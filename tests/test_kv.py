@@ -1,0 +1,37 @@
+"""KV declared queries vs DuckDB oracle at sf0.001 + semantic edge cases."""
+
+import pytest
+
+from tests.oracle import compare
+from torua_spark.operators import kv as kvops
+from torua_spark.queries import kv_q
+from torua_spark.sources.catalog import kv_view
+
+
+@pytest.mark.parametrize("name", sorted(kv_q.QUERIES))
+def test_kv_query_matches_oracle(spark, sf_dir, name):
+    compare(kv_q.QUERIES[name](spark, sf_dir), kv_q.ORACLE[name], sf_dir)
+
+
+def test_missing_key_is_empty(spark, sf_dir):
+    assert kv_q.q_missing_key(spark, sf_dir).count() == 0
+
+
+def test_upsert_last_writer_wins(spark, sf_dir):
+    out = kv_q.q_upsert(spark, sf_dir)
+    vals = {r["key"]: r["value"] for r in out.filter(out.key.isin(
+        ["Customer#000000005", "user@example.com"])).collect()}
+    assert vals["Customer#000000005"] == "UPDATED|1.00"
+    assert vals["user@example.com"] == "NEW|3.00"
+
+
+def test_delete_idempotent(spark, sf_dir):
+    kv = kv_view(spark, sf_dir)
+    tombs = spark.createDataFrame([("not-present-key",)], "key string")
+    assert kvops.delete(kv, tombs).count() == kv.count()
+
+
+def test_range_scan_sorted_halfopen(spark, sf_dir):
+    rows = [r["key"] for r in kv_q.q_range_scan(spark, sf_dir).collect()]
+    assert rows == sorted(rows)
+    assert all(kv_q.RANGE_START <= k < kv_q.RANGE_END for k in rows)

@@ -1,0 +1,82 @@
+"""Relational / scatter-gather operators (reference §2.B B3-B5, A19).
+
+The reference describes scatter-gather query execution — split by
+shard, execute locally, merge at coordinator (ARCHITECTURE.md:499-517)
+— which is *exactly* Spark's partial+final aggregation: map-side
+partial aggregates per partition, one shuffle on the grouping keys,
+final merge. Nothing custom is needed; these builders pin the declared
+shapes and keep every expression JVM-side.
+
+Scale notes: the Q1-shape aggregation reads only the 7 referenced
+columns (column pruning) with the date predicate pushed into the
+parquet scan; group-by cardinality is tiny (single digits) so the
+shuffle moves only per-partition partial rows — this is the plan that
+survives 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def scatter_gather_revenue(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shape pricing summary (declared `scatter_gather_agg`).
+
+    Parity: B3 scatter-gather merge (ARCHITECTURE.md:499-517) + A7-style
+    count/sum stats, on the lineitem fact table.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    """Declared `json_extract_props` — JSON payload passthrough parity
+    (reference stores opaque JSON bodies, internal/cluster/types.go:110-115).
+
+    Extracts `$.k` from the events props JSON and aggregates — stays in
+    codegen via get_json_object (no UDF).
+    """
+    return (
+        events.select(
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def set_ops_demo(orders: DataFrame) -> DataFrame:
+    """Declared `set_ops` — union/intersect/except parity (upsert and
+    delete in the reference are union + anti-join at heart).
+
+    Customers with open orders and with finished orders: intersect;
+    minus those with priority '1-URGENT' anywhere: except. Composed so
+    the result is deterministic and SQL-expressible.
+    """
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent_c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_c.intersect(finished_c).exceptAll(urgent_c.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )

@@ -1,0 +1,127 @@
+"""Declared KV queries (SURVEY §2.D kv_*) + DuckDB oracles.
+
+Parity targets: reference A1-A8 (store.go:297-490, shard.go:257-368,
+573-630) exercised over the customer-backed KV view, with the same
+fixtures the reference's BDD scenarios use (missing key => empty,
+last-writer-wins upsert, idempotent delete, sorted [start,end) range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from torua_spark.operators import kv as kvops
+from torua_spark.sources.catalog import KV_VIEW_SQL, kv_view
+
+POINT_KEY = "Customer#000000042"
+MULTI_KEYS = ["Customer#000000007", "Customer#000000013", "Customer#000000099", "no-such-key"]
+MISSING_KEY = "definitely/missing key-数字"
+UPSERTS = [
+    ("Customer#000000005", "UPDATED|1.00"),
+    ("Customer#000000007", "UPDATED|2.00"),
+    ("user@example.com", "NEW|3.00"),
+]
+TOMBSTONES = ["Customer#000000010", "Customer#000000011", "not-present-key"]
+RANGE_START, RANGE_END = "Customer#000000100", "Customer#000000200"
+
+
+def _kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kv_view(spark, sf_dir)
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.point_get(_kv(spark, sf_dir), POINT_KEY)
+
+
+def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.multi_get(_kv(spark, sf_dir), MULTI_KEYS)
+
+
+def q_missing_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.point_get(_kv(spark, sf_dir), MISSING_KEY)
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = spark.createDataFrame(UPSERTS, "key string, value string")
+    return kvops.upsert(_kv(spark, sf_dir), updates)
+
+
+def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tombs = spark.createDataFrame([(k,) for k in TOMBSTONES], "key string")
+    return kvops.delete(_kv(spark, sf_dir), tombs)
+
+
+def q_list_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.list_keys(_kv(spark, sf_dir))
+
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.range_scan(_kv(spark, sf_dir), RANGE_START, RANGE_END)
+
+
+def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvops.delete_range(_kv(spark, sf_dir), RANGE_START, RANGE_END)
+
+
+QUERIES = {
+    "kv_point_lookup": q_point_lookup,
+    "kv_multi_get": q_multi_get,
+    "kv_missing_key": q_missing_key,
+    "kv_upsert": q_upsert,
+    "kv_delete": q_delete,
+    "kv_list_keys": q_list_keys,
+    "kv_range_scan": q_range_scan,
+    "kv_delete_range": q_delete_range,
+}
+
+_MULTI_IN = ", ".join(f"'{k}'" for k in MULTI_KEYS)
+_UPSERT_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in UPSERTS)
+_TOMB_IN = ", ".join(f"'{k}'" for k in TOMBSTONES)
+
+ORACLE = {
+    "kv_point_lookup": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key, value FROM kv WHERE key = '{POINT_KEY}'
+    """,
+    "kv_multi_get": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key, value FROM kv WHERE key IN ({_MULTI_IN})
+    """,
+    "kv_missing_key": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key, value FROM kv WHERE key = '{MISSING_KEY}'
+    """,
+    "kv_upsert": f"""
+        WITH kv AS ({KV_VIEW_SQL}),
+        updates(key, value) AS (VALUES {_UPSERT_VALUES}),
+        unioned AS (
+            SELECT key, value, 0 AS _version FROM kv
+            UNION ALL
+            SELECT key, value, 1 AS _version FROM updates
+        )
+        SELECT key, value FROM (
+            SELECT key, value,
+                   row_number() OVER (PARTITION BY key ORDER BY _version DESC) AS _rn
+            FROM unioned
+        ) WHERE _rn = 1
+    """,
+    "kv_delete": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key, value FROM kv WHERE key NOT IN ({_TOMB_IN})
+    """,
+    "kv_list_keys": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key FROM kv
+    """,
+    "kv_range_scan": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key FROM kv
+        WHERE key >= '{RANGE_START}' AND key < '{RANGE_END}'
+        ORDER BY key
+    """,
+    "kv_delete_range": f"""
+        WITH kv AS ({KV_VIEW_SQL})
+        SELECT key, value FROM kv
+        WHERE NOT (key >= '{RANGE_START}' AND key < '{RANGE_END}')
+    """,
+}

@@ -1,0 +1,58 @@
+"""Declared relational / scatter-gather queries + oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from torua_spark.operators import relational as rel
+from torua_spark.sources.catalog import load_table
+
+
+def q_scatter_gather_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.scatter_gather_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.json_extract_props(load_table(spark, sf_dir, "events"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.set_ops_demo(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES = {
+    "scatter_gather_agg": q_scatter_gather_agg,
+    "json_extract_props": q_json_extract_props,
+    "set_ops": q_set_ops,
+}
+
+ORACLE = {
+    "scatter_gather_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "json_extract_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               count(*) AS n
+        FROM events
+        GROUP BY k
+    """,
+    "set_ops": """
+        WITH open_c AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             fin_c  AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             urg_c  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT o_custkey AS custkey FROM (
+            SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM fin_c
+        ) EXCEPT ALL SELECT o_custkey FROM urg_c
+    """,
+}

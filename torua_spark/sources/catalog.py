@@ -1,0 +1,66 @@
+"""Source catalog: parquet tables + derived engine views.
+
+The reference's storage is an in-memory ``map[string][]byte`` behind
+HTTP (reference: internal/storage/store.go:232-242) with no file
+formats. The engine's sources are columnar parquet scans — Catalyst
+pushes filters and prunes columns into the scan, which is the 100 TB
+design point (partitioned object-store parquet + predicate pushdown).
+
+``kv_view`` models the reference's KV surface over the ``customer``
+table (FIXTURES.md §2.1): key = c_name, value = mktsegment|acctbal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+        # default; read nanos as long and truncate to Spark's native
+        # microsecond timestamps. `div` keeps the arithmetic in exact
+        # 64-bit integer space (no double rounding at 1e18 magnitudes).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def kv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV projection of customer: (key string, value string).
+
+    Value formatting uses printf-style '%.2f' so the Spark string and
+    the DuckDB oracle string agree exactly (FIXTURES.md §3 determinism).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_name").alias("key"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.format_string("%.2f", F.col("c_acctbal"))).alias("value"),
+    )
+
+
+# The same view in DuckDB SQL — embedded as a CTE by oracle queries.
+KV_VIEW_SQL = (
+    "SELECT c_name AS key, "
+    "concat(c_mktsegment, '|', printf('%.2f', c_acctbal)) AS value "
+    "FROM customer"
+)
