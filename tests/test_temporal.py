@@ -1,0 +1,20 @@
+"""Temporal declared queries vs DuckDB oracle."""
+
+import pytest
+
+from tests.oracle import compare
+from torua_spark.queries import temporal_q
+
+
+@pytest.mark.parametrize("name", sorted(temporal_q.QUERIES))
+def test_temporal_query_matches_oracle(spark, sf_dir, name):
+    compare(temporal_q.QUERIES[name](spark, sf_dir), temporal_q.ORACLE[name], sf_dir)
+
+
+def test_topk_rank_bounds(spark, sf_dir):
+    out = temporal_q.q_sliding_topk(spark, sf_dir).collect()
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    per_day = {}
+    for r in out:
+        per_day.setdefault(r["day"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_day.values())
