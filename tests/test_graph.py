@@ -1,0 +1,69 @@
+"""Graph queries: SQL-expressible ones vs DuckDB oracle; iterative ones
+vs pure-Python references (union-find, power iteration) at sf0.001."""
+
+import pytest
+
+from tests.oracle import compare, duck_connection
+from torua_spark.queries import graph_q
+
+
+@pytest.mark.parametrize("name", sorted(graph_q.ORACLE))
+def test_graph_query_matches_oracle(spark, sf_dir, name):
+    compare(graph_q.QUERIES[name](spark, sf_dir), graph_q.ORACLE[name], sf_dir)
+
+
+def _edges(sf_dir):
+    con = duck_connection(sf_dir)
+    try:
+        return con.execute(
+            "SELECT DISTINCT o_custkey * 2, l_suppkey * 2 + 1 FROM orders o "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    edges = _edges(sf_dir)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # the root is always the min id in its component (union keeps min as
+    # parent), so find(v) is the expected canonical label
+    expected = {v: find(v) for v in parent}
+    got = {
+        r["vertex"]: r["component"]
+        for r in graph_q.q_connected_components(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_pagerank_vs_power_iteration(spark, sf_dir):
+    edges = _edges(sf_dir)
+    vertices = sorted({v for e in edges for v in e})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    ranks = {v: 1.0 for v in vertices}
+    for _ in range(10):
+        contrib = {v: 0.0 for v in vertices}
+        for s, d in edges:
+            contrib[d] += ranks[s] / out_deg[s]
+        ranks = {v: 0.15 + 0.85 * contrib[v] for v in vertices}
+    got = {r["vertex"]: r["rank"] for r in graph_q.q_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(vertices)
+    for v in vertices:
+        assert abs(got[v] - ranks[v]) < 1e-3, (v, got[v], ranks[v])

@@ -1,0 +1,187 @@
+"""Deduplication operators — the LLM-training-pipeline core
+(north-star extension over reference B17; the reference itself dedups
+nothing, its upsert A2 is the only overwrite semantic).
+
+Four tiers, each the idiomatic scale path:
+
+- exact: hash-groupBy on the full text (one shuffle on a 32-byte
+  digest at 100 TB — group by md5, not by the raw text, so shuffle
+  rows stay tiny)
+- MinHash + LSH banding: shingle -> 16-seed minhash signature ->
+  band keys -> candidate pairs via equi-join on (band, key) -> exact
+  Jaccard verify on candidates only. The O(n^2) pair space never
+  materializes; the band join is the blocking step and its key is
+  the shuffle key.
+- SimHash: 32-bit signature via per-bit majority vote over token
+  hashes; near-dup candidates blocked by 16-bit half (pigeonhole:
+  hamming <= t pairs share a half for t <= 16), verified by bit_count
+  of xor.
+- embedding cosine: operators.similarity.embedding_near_dup_pairs.
+
+All signatures are pure Catalyst expressions over md5_32 — portable
+to the DuckDB oracle, no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from torua_spark.functions.text import jaccard, md5_32, tokens, word_shingles
+
+from torua_spark.functions.compat import round4
+
+N_MINHASH = 16
+N_BANDS = 8  # 2 rows per band
+
+# Arithmetic permutation family for minhash: h_i = (A_i*(h%P) + B_i) % P.
+# One md5 per shingle, 15 extra multiply-adds — instead of 16 md5 passes.
+# P = 2^31-1 (Mersenne prime); A/B fixed odd constants, identical in the
+# DuckDB oracle. Products stay < 2^52: exact in BIGINT and double.
+MINHASH_P = 2147483647
+MINHASH_A = [1093, 1549, 2039, 2539, 3041, 3571, 4099, 4621,
+             5147, 5657, 6151, 6689, 7193, 7699, 8209, 8731]
+MINHASH_B = [12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869,
+             3145739, 6291469, 12582917, 25165843, 50331653, 100663319,
+             201326611, 402653189]
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on text content, keeping the smallest doc_id.
+    Grouping key is the md5 digest so the shuffle carries 32 bytes per
+    row instead of the document body; min(doc_id) is the deterministic
+    survivor rule."""
+    return (
+        documents.groupBy(F.md5("text").alias("_digest"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) minhash signature over word 3-gram
+    shingles.
+
+    Plan shape (the 100 TB one): explode shingles -> ONE md5 per
+    shingle -> n cheap arithmetic permutations -> partial+final min
+    aggregation on doc_id. No wide array lambdas (an earlier
+    16-nested-transform formulation was ~100x slower: Catalyst
+    re-evaluated the shingle pipeline per hash and fell out of
+    codegen), and map-side combine shrinks the shuffle to one row per
+    (doc, partition)."""
+    ex = documents.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).select("doc_id", F.pmod(md5_32(F.col("s")), F.lit(MINHASH_P)).alias("hb"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[i]) * F.col("hb") + F.lit(MINHASH_B[i]), F.lit(MINHASH_P))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(i: int, rows: int) -> Column:
+    parts = [F.col(f"mh{i * rows + j}") for j in range(rows)]
+    return F.concat_ws("_", *[p.cast("string") for p in parts])
+
+
+def minhash_lsh_pairs(documents: DataFrame,
+                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(documents, n_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_key(b, rows).alias("key"))
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
+                        n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified with exact word-3-gram
+    Jaccard >= threshold. The verify join re-attaches shingle sets only
+    for candidate docs (semi-join pruned)."""
+    cands = minhash_lsh_pairs(documents, n_hashes, n_bands)
+    sh = documents.select("doc_id", word_shingles("text", 3).alias("sh"))
+    return (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            round4(jaccard(F.col("sha"), F.col("shb"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit j of the signature is
+    the sign of sum over tokens of (+1 if bit j of md5_32(token) else
+    -1). Explode tokens x bit positions; two shuffles on doc_id."""
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    ).withColumn("h", md5_32(F.col("t")))
+    # shiftright/shiftleft need F.expr: the PySpark wrappers only accept a
+    # Python int for the shift amount, but j is a column here.
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    ).select(
+        "doc_id", "j",
+        F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("c"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming,
+    blocked on 16-bit signature halves (any pair within hamming 16
+    shares at least one half... pigeonhole guarantees recall only for
+    max_hamming < 2, so this is a *candidate* blocker like LSH bands —
+    standard practice; verified pairs are exact on the hamming check)."""
+    sigs = simhash_signatures(documents)
+    halves = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("key")),
+                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("simhash"), 16).alias("key")),
+            )
+        ).alias("pk"),
+    ).select("doc_id", "simhash", F.col("pk.part").alias("part"), F.col("pk.key").alias("key"))
+    left = halves.select("part", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    right = halves.select("part", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        left.join(right, ["part", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,164 @@
+"""Graph operators (reference §2.B B1/B2/B6 — documented, never
+implemented: ARCHITECTURE.md:219-226 property-graph sharding,
+ARCHITECTURE.md:548-568 multi-hop traversal, README.md:120-127).
+
+The reference's design stores vertices hashed across shards with edges
+co-located at their source vertex. The Spark realization: vertex and
+edge DataFrames, traversal = self-joins on dst=src, co-location =
+repartition on src (the analog of torua's edge placement), iterative
+algorithms (connected components, PageRank) = loops of joins with
+``localCheckpoint`` to truncate lineage each round (the Pregel pattern
+re-expressed on DataFrames, since PySpark has no GraphX binding).
+
+Scale notes:
+- the edge build (orders ⋈ lineitem) is a co-partitioned shuffle join
+  on l_orderkey; at 100 TB both facts should be bucketed on orderkey
+  so it degrades to a zero-shuffle sort-merge join
+- per-iteration state in CC/PageRank is one (vertex, label) table;
+  messages = one shuffle per hop on dst — exactly the scatter-gather
+  the reference's docs describe per-shard
+- localCheckpoint every iteration keeps the plan O(1) deep instead of
+  O(iterations); without it Catalyst re-derives the whole lineage and
+  planning time explodes by iteration 10
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from torua_spark.functions.compat import round4
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Edge list customer -> supplier through orders ⋈ lineitem
+    (FIXTURES.md §2.5). Distinct (src, dst) pairs."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+def two_hop(orders: DataFrame, lineitem: DataFrame,
+            customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """B2 — `MATCH (c)-[*2]->(s)` over the star schema: distinct
+    (c_custkey, s_suppkey) pairs reachable customer->order->line->supplier,
+    with both endpoints verified against their vertex tables."""
+    e = copurchase_edges(orders, lineitem)
+    return (
+        e.join(customer.select(F.col("c_custkey").alias("src")), "src", "left_semi")
+        .join(supplier.select(F.col("s_suppkey").alias("dst")), "dst", "left_semi")
+        .select(F.col("src").alias("c_custkey"), F.col("dst").alias("s_suppkey"))
+    )
+
+
+def out_degree(edges: DataFrame) -> DataFrame:
+    """B6 — out-degree per source vertex: one partial+final count."""
+    return edges.groupBy(F.col("src").alias("custkey")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def triangle_pattern(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """B1/B3 — pattern match customer->nation->region + aggregate:
+    `MATCH (c:Customer)-[:IN]->(n:Nation)-[:IN]->(r:Region)` with group
+    counts and balance stats per (region, nation). Both dims broadcast."""
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round4(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """B6 — connected components by iterative min-label propagation.
+
+    Vertices carry their own id as the initial label; each round every
+    vertex takes the min of its own and its neighbors' labels; fixpoint
+    = component membership with label = min vertex id in the component.
+    Convergence check via an aggregate per round; lineage truncated with
+    localCheckpoint (driver-local, no HDFS needed; on a real cluster use
+    rdd checkpointing to object storage for fault tolerance).
+
+    Input edges must already be over a single numeric vertex-id space.
+    """
+    # Materialize the (derived) edge list once — the loop body must join
+    # against a checkpointed table, not re-derive orders ⋈ lineitem ⋈
+    # distinct every iteration.
+    und = _undirected(edges).localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und.a == labels.id)
+            .select(F.col("b").alias("id"), F.col("label"))
+        )
+        labels = (
+            msgs.unionByName(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)  # truncate lineage; materialized by the agg below
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
+
+
+def copurchase_vertex_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Co-purchase edges re-encoded into one numeric vertex space:
+    customer c -> 2c, supplier s -> 2s+1 (bipartite disambiguation)."""
+    e = copurchase_edges(orders, lineitem)
+    return e.select((F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """B6 — PageRank via iterative DataFrame joins (directed edges).
+
+    Standard power iteration: rank = (1-d) + d * sum(incoming rank /
+    out_degree). Vertices with no outgoing edges contribute nothing
+    (classic simplified formulation). Output rounded to 4 dp.
+    """
+    # Loop-invariant inputs materialized once (edges is usually a
+    # derived join — without this every iteration re-runs it).
+    edges = edges.localCheckpoint()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        ranks = (
+            vertices.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            )
+            # eager=False: lineage is cut every round but nothing runs
+            # until the caller's single action computes the chained
+            # per-iteration RDDs in one job.
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias("vertex"), round4("rank").alias("rank"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from torua_spark.functions.compat import round4
+
 
 def scatter_gather_revenue(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shape pricing summary (declared `scatter_gather_agg`).
@@ -29,22 +31,20 @@ def scatter_gather_revenue(lineitem: DataFrame, cutoff: str = "1998-09-02") -> D
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
+            round4(F.sum("l_quantity")).alias("sum_qty"),
+            round4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            round4(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                4,
+                )
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round4(F.avg("l_quantity")).alias("avg_qty"),
+            round4(F.avg("l_extendedprice")).alias("avg_price"),
+            round4(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -1,0 +1,130 @@
+"""Similarity search over embeddings (reference B7 — semantic search,
+README.md:315-320; engine extension: ANN for 100 TB corpora).
+
+Two paths, as a real vector pipeline would ship them:
+
+- ``brute_force_topk`` — exact cosine top-k against a query vector.
+  One scan, no shuffle until the final top-k (rank window over a
+  single partition of k candidates per task via takeOrdered semantics
+  in Catalyst's TakeOrderedAndProject). The correctness baseline.
+
+- ``ivf_topk`` — IVF-style two-stage ANN: a deterministic coarse
+  quantizer (centroid = element-wise mean per ``label`` cell — the
+  pre-partitioned analog of a k-means codebook), probe the ``nprobe``
+  nearest cells, exact search only within probed cells. At 100 TB the
+  cell assignment is the partition key: the probe prunes partitions
+  exactly like torua's shard routing prunes nodes (same scatter-
+  gather shape as reference ARCHITECTURE.md:519-534 directed routing
+  vs broadcast query).
+
+Everything is higher-order array expressions (JVM); the oracle mirrors
+with DuckDB's list_cosine_similarity in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from torua_spark.functions.vectors import cosine, to_double_array
+
+from torua_spark.functions.compat import round4
+
+
+def _query_vector(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        to_double_array("embedding").alias("q")
+    )
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact cosine top-k (excludes the query vector itself). Ties
+    broken by vec_id ascending for deterministic output."""
+    q = _query_vector(embeddings, query_vec_id)
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            round4(cosine(to_double_array("embedding"), F.col("q"))).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "sim", "rank")
+    )
+
+
+def centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
+    """Deterministic IVF codebook: element-wise mean vector per cell
+    via posexplode + groupBy — scales to any dimension/corpus (never
+    collects vectors to the driver)."""
+    return (
+        embeddings.select(cell_col, F.posexplode(to_double_array("embedding")).alias("pos", "v"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(cell_col, F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: rank cells by query->centroid cosine, exact-search the
+    top ``nprobe`` cells only. Returns the same schema as brute force;
+    recall < 1.0 by construction when the true neighbor lives in an
+    unprobed cell — that's the documented ANN trade-off."""
+    q = _query_vector(embeddings, query_vec_id)
+    cents = centroids(embeddings, cell_col)
+    wc = Window.orderBy(F.col("csim").desc(), F.col(cell_col))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(cell_col, cosine(F.col("centroid"), F.col("q")).alias("csim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select(cell_col)
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        embeddings.join(F.broadcast(probed), cell_col, "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            round4(cosine(to_double_array("embedding"), F.col("q"))).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, cell_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cell to avoid
+    the O(n^2) cross join (at scale: LSH/IVF cell assignment is the
+    blocking key). Returns (vec_a, vec_b, sim) with vec_a < vec_b."""
+    a = embeddings.select(
+        F.col(cell_col).alias("cell"), F.col("vec_id").alias("vec_a"),
+        to_double_array("embedding").alias("ea"),
+    )
+    b = embeddings.select(
+        F.col(cell_col).alias("cell"), F.col("vec_id").alias("vec_b"),
+        to_double_array("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", round4(cosine(F.col("ea"), F.col("eb"))).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

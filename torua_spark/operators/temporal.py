@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from torua_spark.functions.compat import round4
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -33,7 +35,7 @@ def tumbling_user_hour(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round4(F.avg("value")).alias("avg_value"),
         )
         .select(
             F.date_format(F.col("w.start"), TS_FMT).alias("hour_start"),

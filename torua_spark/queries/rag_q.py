@@ -1,0 +1,271 @@
+"""Declared LLM-pipeline queries (vectors, dedup, text analysis) +
+DuckDB oracles.
+
+Every signature (minhash/simhash/fingerprint) is md5-based so the
+oracle computes *bit-identical* values: Spark `conv(substring(md5(x),
+1,8),16,10)` == DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`. The LSH
+band/blocking logic is mirrored CTE-for-CTE, so candidate sets — not
+just final answers — are verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from torua_spark.operators import dedup as dd
+from torua_spark.operators import similarity as sim
+from torua_spark.operators import text_analysis as ta
+from torua_spark.functions.text import STOPWORDS
+from torua_spark.sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+NEARDUP_COS_THRESHOLD = 0.35
+SIMHASH_MAX_HAMMING = 6
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+QUERIES = {
+    "vector_topk_cosine": lambda s, d: sim.brute_force_topk(_emb(s, d), 0, 10),
+    "vector_ann_ivf": lambda s, d: sim.ivf_topk(_emb(s, d), 0, 10, nprobe=3),
+    "vector_neardup_pairs": lambda s, d: sim.embedding_near_dup_pairs(
+        _emb(s, d), NEARDUP_COS_THRESHOLD
+    ),
+    "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
+    "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(_docs(s, d)),
+    "dedup_minhash_lsh_pairs": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
+    "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
+        _docs(s, d), JACCARD_THRESHOLD
+    ),
+    "dedup_simhash": lambda s, d: dd.simhash_signatures(_docs(s, d)),
+    "dedup_simhash_pairs": lambda s, d: dd.simhash_near_dup_pairs(
+        _docs(s, d), SIMHASH_MAX_HAMMING
+    ),
+    "text_stats": lambda s, d: ta.text_stats(_docs(s, d)),
+    "text_quality_scores": lambda s, d: ta.quality_scores(_docs(s, d)),
+    "text_language_id": lambda s, d: ta.language_id(_docs(s, d)),
+    "text_token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
+    "doc_fingerprint": lambda s, d: ta.fingerprints(_docs(s, d)),
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+def _md5_32(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+_SHINGLES = """
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_N_MH, _N_BANDS, _ROWS = dd.N_MINHASH, dd.N_BANDS, dd.N_MINHASH // dd.N_BANDS
+
+_P, _A, _B = dd.MINHASH_P, dd.MINHASH_A, dd.MINHASH_B
+_MH_EXPRS = ", ".join(
+    f"min(({_A[i]} * hb + {_B[i]}) % {_P}) AS mh{i}" for i in range(_N_MH)
+)
+
+_SIGS = f"""SELECT doc_id, {_MH_EXPRS} FROM (
+        SELECT doc_id, ({_md5_32('s')} % {_P}) AS hb FROM (
+            SELECT doc_id, unnest(sh) AS s FROM shingles
+        )
+    ) GROUP BY doc_id"""
+
+_BANDED = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, ".format(b=b)
+    + " || '_' || ".join(f"mh{b * _ROWS + j}::VARCHAR" for j in range(_ROWS))
+    + " AS key FROM sigs"
+    for b in range(_N_BANDS)
+)
+
+_CANDS = """
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+    WHERE l.doc_id < r.doc_id
+"""
+
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_QVEC = "SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0"
+
+ORACLE = {
+    "vector_topk_cosine": f"""
+        WITH q AS ({_QVEC}),
+        scored AS (
+            SELECT vec_id, label,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+            FROM embeddings, q WHERE vec_id != 0
+        )
+        SELECT vec_id, label, sim, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM scored
+        ) WHERE rank <= 10
+    """,
+    "vector_ann_ivf": f"""
+        WITH q AS ({_QVEC}),
+        pos AS (SELECT unnest(range(1, 65)) AS p),
+        percell AS (
+            SELECT label, p, avg(embedding[p]) AS m FROM embeddings, pos GROUP BY label, p
+        ),
+        cent AS (SELECT label, list(m ORDER BY p) AS centroid FROM percell GROUP BY label),
+        probed AS (
+            SELECT label FROM (
+                SELECT label, row_number() OVER (
+                    ORDER BY list_cosine_similarity(centroid, qe) DESC, label) AS crank
+                FROM cent, q
+            ) WHERE crank <= 3
+        ),
+        scored AS (
+            SELECT vec_id, label,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+            FROM embeddings, q
+            WHERE vec_id != 0 AND label IN (SELECT label FROM probed)
+        )
+        SELECT vec_id, label, sim, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM scored
+        ) WHERE rank <= 10
+    """,
+    "vector_neardup_pairs": f"""
+        SELECT vec_a, vec_b, sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE sim >= {NEARDUP_COS_THRESHOLD}
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH shingles AS ({_SHINGLES})
+        {_SIGS}
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH shingles AS ({_SHINGLES}),
+        sigs AS ({_SIGS}),
+        banded AS ({_BANDED})
+        {_CANDS}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH shingles AS ({_SHINGLES}),
+        sigs AS ({_SIGS}),
+        banded AS ({_BANDED}),
+        cands AS ({_CANDS})
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5) / 10000.0
+                       AS jaccard
+            FROM cands c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents
+        ),
+        h AS (SELECT doc_id, {_md5_32('t')} AS h FROM tok),
+        bits AS (
+            SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+            FROM h, (SELECT unnest(range(32)) AS j) jj
+        ),
+        s AS (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM s GROUP BY doc_id
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents
+        ),
+        h AS (SELECT doc_id, {_md5_32('t')} AS h FROM tok),
+        bits AS (
+            SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+            FROM h, (SELECT unnest(range(32)) AS j) jj
+        ),
+        s AS (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY 1, 2),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM s GROUP BY doc_id
+        ),
+        halves AS (
+            SELECT doc_id, simhash, 0 AS part, simhash & 65535 AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, simhash, 1 AS part, simhash >> 16 AS key FROM sigs
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+            FROM halves l JOIN halves r ON l.part = r.part AND l.key = r.key
+            WHERE l.doc_id < r.doc_id
+        ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+    "text_stats": """
+        SELECT lang, count(*) AS n_docs,
+               floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+               floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "text_quality_scores": f"""
+        SELECT doc_id, n_chars,
+               floor((stop_ratio) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+               floor((ttr) * 10000.0 + 0.5) / 10000.0 AS ttr,
+               floor((mwl) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+               floor((least(n_chars / 500.0, 1.0) * 0.3 + stop_ratio * 0.2
+                     + ttr * 0.3 + least(mwl / 8.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        FROM (
+            SELECT doc_id, n_chars,
+                   len(list_filter(w, t -> list_contains({_STOPLIST}, t)))::DOUBLE
+                       / len(w) AS stop_ratio,
+                   len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+                   list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w) AS mwl
+            FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+        )
+    """,
+    "text_language_id": f"""
+        SELECT lang, predicted, count(*) AS n FROM (
+            SELECT lang,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                             t -> list_contains({_STOPLIST}, t)))::DOUBLE
+                             / len(string_split(text, ' ')) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS predicted
+            FROM documents
+        ) GROUP BY 1, 2
+    """,
+    "text_token_counts": r"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+                    AS BIGINT) AS total_re_tokens
+        FROM documents GROUP BY source
+    """,
+    "doc_fingerprint": f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(text) - 7, 0) + 1),
+                i -> substr(text, i, 8))) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min(list_transform(s, x -> {_md5_32('x')})) AS fingerprint,
+               CAST(len(s) AS INTEGER) AS n_shingles
+        FROM sh
+    """,
+}

@@ -29,13 +29,13 @@ QUERIES = {
 ORACLE = {
     "scatter_gather_agg": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -1,0 +1,84 @@
+"""Declared streaming + multimodal queries.
+
+`late_data_watermark` and `streaming_health_state` run REAL Structured
+Streaming queries (file source -> memory sink, drained synchronously);
+since the whole table arrives in one micro-batch the watermark drops
+nothing and results are batch-equivalent, so both carry SQL oracles
+(the batch-parity goldens from SURVEY §2.D).
+
+`multimodal_features` exercises the Arrow-batched mapInPandas decode
+plumbing; the fake decode is md5-derived so the oracle can recompute
+it in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from torua_spark.operators.multimodal import extract_features, to_media_table
+from torua_spark.sources.catalog import load_table
+from torua_spark.streaming.health_state import streaming_consecutive_failures
+from torua_spark.streaming.windows import late_data_tumbling
+
+
+def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return late_data_tumbling(spark, sf_dir)
+
+
+def q_streaming_health_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_consecutive_failures(spark, sf_dir)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(to_media_table(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES = {
+    "late_data_watermark": q_late_data_watermark,
+    "streaming_health_state": q_streaming_health_state,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE = {
+    "late_data_watermark": """
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+                   AS hour_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "streaming_health_state": """
+        WITH probes AS (
+            SELECT 'n' || (user_id % 8) AS node_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   CASE WHEN value < 50 THEN 1 ELSE 0 END AS fail
+            FROM events WHERE event_type = 'error'
+        ),
+        w AS (
+            SELECT node_id, fail,
+                   row_number() OVER (PARTITION BY node_id ORDER BY ts, event_id) AS rn,
+                   sum(fail) OVER (PARTITION BY node_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+                   sum(fail) OVER (PARTITION BY node_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4
+            FROM probes
+        )
+        SELECT node_id,
+               CAST(sum(CASE WHEN s3 = 3 AND s4 = 3 AND rn >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS unhealthy_transitions,
+               CAST(sum(fail) AS BIGINT) AS total_failures,
+               count(*) AS total_probes
+        FROM w GROUP BY node_id
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               CAST(1 + h % 640 AS INTEGER) AS width,
+               CAST(1 + (h // 640) % 480 AS INTEGER) AS height,
+               'RGB' AS mode
+        FROM (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+            FROM documents
+        )
+    """,
+}

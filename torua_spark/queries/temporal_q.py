@@ -34,7 +34,7 @@ QUERIES = {
 ORACLE = {
     "temporal_tumbling": """
         SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
-               user_id, count(*) AS n_events, round(avg(value), 4) AS avg_value
+               user_id, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     """,
     "temporal_sliding_topk": """

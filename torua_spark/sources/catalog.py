@@ -29,6 +29,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Constraint propagation infers isnotnull filters on join keys, which
+    # duplicates expensive routing expressions (fnv1a32) into a second
+    # full evaluation per row — measured 3-20x slowdowns on routing
+    # joins. Correctness is unaffected by disabling it.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
         # default; read nanos as long and truncate to Spark's native
