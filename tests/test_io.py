@@ -1,0 +1,45 @@
+"""Source/sink round-trips + partition pruning on the partitioned sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from torua_spark.plans import plan_string
+from torua_spark.sources import io
+from torua_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def nation_df(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_csv_roundtrip(spark, nation_df, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    io.write_csv(nation_df, p)
+    back = io.read_csv(spark, p, nation_df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation_df.collect()))
+
+
+def test_json_roundtrip(spark, nation_df, tmp_path):
+    p = str(tmp_path / "nation_json")
+    io.write_json(nation_df, p)
+    back = io.read_json(spark, p, nation_df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation_df.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_by_lang")
+    io.write_partitioned(docs, p, ["lang"])
+    back = spark.read.parquet(p).filter(F.col("lang") == "en")
+    # partition pruning: only the lang=en directory is scanned
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_delta_is_gated(spark, nation_df, tmp_path):
+    if io.delta_available():
+        pytest.skip("delta present")
+    with pytest.raises(NotImplementedError):
+        io.write_delta(nation_df, str(tmp_path / "d"))

@@ -1,0 +1,94 @@
+"""Plan-regression suite: the physical-plan shapes that make the
+engine scale must survive refactors.
+
+- point/range predicates reach the parquet scan (PushedFilters)
+- wide tables are column-pruned at the scan (ReadSchema)
+- dim joins broadcast (no shuffle for the small side)
+- aggregates are partial+final (map-side combine)
+- bucketed co-located joins run with zero shuffle exchanges
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from torua_spark.plans import (
+    assert_broadcast_join,
+    assert_no_shuffle_exchange,
+    assert_partial_final_agg,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    plan_string,
+)
+from torua_spark.queries import joins_q, kv_q, relational_q, topology_q
+
+
+def test_point_lookup_filter_pushdown(spark, sf_dir):
+    assert_pushed_filter(kv_q.q_point_lookup(spark, sf_dir), "EqualTo(c_name")
+
+
+def test_range_scan_filter_pushdown(spark, sf_dir):
+    df = kv_q.q_range_scan(spark, sf_dir)
+    assert_pushed_filter(df, "GreaterThanOrEqual(c_name")
+    assert_pushed_filter(df, "LessThan(c_name")
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    assert_read_schema_only(
+        relational_q.q_scatter_gather_agg(spark, sf_dir),
+        {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+
+
+def test_routing_trace_broadcasts_assignments(spark, sf_dir):
+    assert_broadcast_join(topology_q.q_routing_trace(spark, sf_dir))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = joins_q.q_star_join_revenue(spark, sf_dir)
+    assert plan_string(df).count("BroadcastHashJoin") >= 2
+
+
+def test_scatter_gather_is_partial_final(spark, sf_dir):
+    assert_partial_final_agg(relational_q.q_scatter_gather_agg(spark, sf_dir))
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    """Bucket orders and lineitem on the join key — the persistent-
+    deployment layout that removes the fact-fact shuffle entirely."""
+    wh = tmp_path_factory.mktemp("warehouse")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").option("path", str(wh / "orders_b"))
+     .saveAsTable("orders_bucketed"))
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").option("path", str(wh / "lineitem_b"))
+     .saveAsTable("lineitem_bucketed"))
+    yield "orders_bucketed", "lineitem_bucketed"
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    ot, lt = bucketed_tables
+    o = spark.table(ot)
+    l = spark.table(lt)
+    joined = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # The join itself is co-located: no hash-partitioning exchange may
+    # appear below the join (the groupBy on the same key also reuses
+    # the bucketing).
+    assert_no_shuffle_exchange(joined)
+    # and it still computes the right thing
+    plain = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))

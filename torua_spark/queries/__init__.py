@@ -14,8 +14,10 @@ from importlib import import_module
 _MODULES = [
     "torua_spark.queries.kv_q",
     "torua_spark.queries.topology_q",
+    "torua_spark.queries.admin_q",
     "torua_spark.queries.temporal_q",
     "torua_spark.queries.relational_q",
+    "torua_spark.queries.joins_q",
     "torua_spark.queries.graph_q",
     "torua_spark.queries.rag_q",
     "torua_spark.queries.streaming_q",

@@ -56,3 +56,52 @@ ORACLE = {
         ) EXCEPT ALL SELECT o_custkey FROM urg_c
     """,
 }
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (status -> priority -> grand total): Spark
+    rollup == SQL GROUP BY ROLLUP; NULL marks subtotal rows."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("sum_total"),
+        )
+    )
+
+
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution stats per event_type: distinct users, median
+    and p95 of value (percentile with linear interpolation — the same
+    definition as DuckDB quantile_cont)."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        round4(F.percentile("value", F.lit(0.5))).alias("median_value"),
+        round4(F.percentile("value", F.lit(0.95))).alias("p95_value"),
+    )
+
+
+QUERIES["rollup_orders"] = q_rollup_orders
+QUERIES["quantile_stats"] = q_quantile_stats
+
+ORACLE["rollup_orders"] = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sum_total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+ORACLE["quantile_stats"] = """
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_value,
+           floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_value
+    FROM events GROUP BY event_type
+"""

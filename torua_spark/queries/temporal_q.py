@@ -77,3 +77,61 @@ ORACLE = {
         FROM per_session GROUP BY user_id
     """,
 }
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (the streaming-capable operator) over
+    events: per-user sessions with a 30-minute gap; output bounds as
+    strings. Semantically identical to the lag+cumsum formulation the
+    oracle computes — pinning Spark's built-in operator against an
+    independent SQL implementation."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+QUERIES["temporal_session_window"] = q_session_window_native
+
+# Oracle: sessions via lag+cumsum; session_end = last event ts + gap
+# (Spark's session_window end is exclusive: last_ts + gap duration).
+ORACLE["temporal_session_window"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    lagged AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e
+    ),
+    flagged AS (
+        -- Spark merges an event into the session iff it starts strictly
+        -- before last_ts + gap, at microsecond precision.
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR (epoch_us(ts) - epoch_us(prev_ts)) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(date_trunc('second', max(ts) + INTERVAL 30 MINUTE), '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+"""

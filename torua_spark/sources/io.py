@@ -1,0 +1,56 @@
+"""Source/sink connectors beyond the parquet catalog.
+
+The reference has no file formats at all (HTTP bodies into an
+in-memory map, internal/storage/store.go:232-242); an analytics engine
+needs real ones. Everything rides Spark's native readers/writers:
+
+- parquet: the default (columnar, predicate pushdown, column pruning)
+- csv/json: schema-explicit readers (never inferSchema in production —
+  one pass saved and deterministic types)
+- partitioned parquet sink: hive-style dt= layout for partition-pruned
+  scans — the 100 TB landing pattern
+- Delta/Iceberg need jars absent from this image: import-gated stubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def write_delta(df: DataFrame, path: str) -> None:
+    """Delta sink — jars not in this image; contract documented."""
+    if not delta_available():
+        raise NotImplementedError(
+            "delta-spark jars not on the classpath in this environment; "
+            "in production: df.write.format('delta').save(path)"
+        )
+    df.write.format("delta").save(path)
