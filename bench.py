@@ -28,8 +28,14 @@ def main() -> None:
     spark = get_spark("torua_spark_bench", cpus=cpus)
     qs = all_queries()
 
-    # Warm the JVM / parquet footers with one cheap action.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM (codegen, shuffle, broadcast machinery) and parquet
+    # footers so the first timed query doesn't absorb session startup.
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (r.join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
+     .groupBy("r_name").agg(F.count(F.lit(1)).alias("c")).count())
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

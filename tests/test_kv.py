@@ -35,3 +35,23 @@ def test_range_scan_sorted_halfopen(spark, sf_dir):
     rows = [r["key"] for r in kv_q.q_range_scan(spark, sf_dir).collect()]
     assert rows == sorted(rows)
     assert all(kv_q.RANGE_START <= k < kv_q.RANGE_END for k in rows)
+
+
+def test_owns_key_partitions_match_routing(spark, sf_dir):
+    """A11 — the node-side ownership predicate selects exactly the keys
+    the coordinator routes to that shard."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.hashing import shard_for_key
+
+    kv = kv_view(spark, sf_dir)
+    for shard in range(4):
+        owned = set(
+            r["key"] for r in kv.filter(kvops.owns_key(4, shard)).select("key").collect()
+        )
+        routed = set(
+            r["key"]
+            for r in kv.select("key", shard_for_key("key").alias("s"))
+            .filter(F.col("s") == shard)
+            .collect()
+        )
+        assert owned == routed and owned

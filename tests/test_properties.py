@@ -1,0 +1,63 @@
+"""Property-based checks (hypothesis): the routing and dedup invariants
+hold for arbitrary inputs, not just fixtures. Examples are generated
+up front and evaluated in ONE Spark job per property (per-example
+Spark roundtrips would be pathologically slow)."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from torua_spark.constants import FNV_MOD, FNV_OFFSET_BASIS, FNV_PRIME
+from torua_spark.functions.hashing import fnv1a32, shard_for_key
+
+
+def fnv_py(s: str) -> int:
+    h = FNV_OFFSET_BASIS
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME) % FNV_MOD
+    return h
+
+
+# One batched property: random unicode keys -> Catalyst FNV == Python FNV.
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=64),
+        min_size=50, max_size=50, unique=True,
+    )
+)
+def test_fnv_property_random_unicode(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r["key"]: r["h"] for r in df.select("key", fnv1a32("key").alias("h")).collect()}
+    for k in keys:
+        assert got[k] == fnv_py(k), repr(k)
+
+
+def test_shard_always_in_range(spark):
+    import random
+
+    random.seed(7)
+    keys = ["".join(random.choices("abcdefgh数字/:@ ", k=random.randint(0, 30))) for _ in range(500)]
+    df = spark.createDataFrame([(k,) for k in set(keys)], "key string")
+    shards = [r["s"] for r in df.select(shard_for_key("key").alias("s")).collect()]
+    assert all(0 <= s < 4 for s in shards)
+
+
+def test_upsert_idempotent_property(spark, sf_dir):
+    """Applying the same update batch twice == applying once (LWW)."""
+    from torua_spark.operators.kv import upsert
+    from torua_spark.sources.catalog import kv_view
+
+    kv = kv_view(spark, sf_dir)
+    updates = spark.createDataFrame(
+        [("Customer#000000003", "X|1"), ("new-key", "Y|2")], "key string, value string"
+    )
+    once = upsert(kv, updates)
+    twice = upsert(once, updates)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_jaccard_bounds_and_symmetry(spark, sf_dir):
+    from torua_spark.queries.rag_q import QUERIES
+
+    rows = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)

@@ -16,8 +16,8 @@ from pyspark.sql import Column, functions as F
 
 def round4(col: Column | str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
-    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5) + F.lit(1e-9)) / F.lit(10000.0)
 
 
 def round4_sql(expr: str) -> str:
-    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+    return f"floor(({expr}) * 10000.0 + 0.5 + 1e-9) / 10000.0"

@@ -106,7 +106,7 @@ def broadcast_gather(kv: DataFrame, spark: SparkSession,
     all_nodes = nodes_df(spark, nodes)
     assigns = assignments_roundrobin(spark, num_shards, nodes)
     per_node = node_stats(kv, assigns, num_shards)
-    sent_to = all_nodes.count()
+    sent_to = len(nodes or NODES)  # membership list size — no job needed
     return (
         all_nodes.select("node_id")
         .join(per_node, "node_id", "left")

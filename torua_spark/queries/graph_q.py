@@ -83,7 +83,7 @@ ORACLE = {
     "graph_triangle_agg": """
         SELECT r.r_name AS region, n.n_name AS nation,
                count(*) AS n_customers,
-               floor((sum(c.c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS sum_acctbal
+               floor((sum(c.c_acctbal)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey

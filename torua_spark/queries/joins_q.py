@@ -94,7 +94,7 @@ ORACLE = {
     "join_topk_revenue": """
         WITH joined AS (
             SELECT o.o_orderkey,
-                   floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)
+                   floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5 + 1e-9)
                        / 10000.0 AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -109,7 +109,7 @@ ORACLE = {
     """,
     "star_join_revenue": """
         SELECT r.r_name AS region, n.n_name AS nation,
-               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)
+               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5 + 1e-9)
                    / 10000.0 AS revenue,
                count(*) AS n_lineitems
         FROM lineitem l
@@ -121,7 +121,7 @@ ORACLE = {
     """,
     "skew_salted_agg": """
         SELECT event_type, count(*) AS n_events,
-               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+               floor((sum(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_value
         FROM events GROUP BY event_type
     """,
 }

@@ -103,7 +103,7 @@ ORACLE = {
         WITH q AS ({_QVEC}),
         scored AS (
             SELECT vec_id, label,
-                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
             FROM embeddings, q WHERE vec_id != 0
         )
         SELECT vec_id, label, sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -126,7 +126,7 @@ ORACLE = {
         ),
         scored AS (
             SELECT vec_id, label,
-                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
             FROM embeddings, q
             WHERE vec_id != 0 AND label IN (SELECT label FROM probed)
         )
@@ -138,7 +138,7 @@ ORACLE = {
         SELECT vec_a, vec_b, sim FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    floor((list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+                                                b.embedding::DOUBLE[])) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE sim >= {NEARDUP_COS_THRESHOLD}
@@ -165,7 +165,7 @@ ORACLE = {
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT c.doc_a, c.doc_b,
                    floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5) / 10000.0
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5 + 1e-9) / 10000.0
                        AS jaccard
             FROM cands c
             JOIN shingles sa ON sa.doc_id = c.doc_a
@@ -219,17 +219,17 @@ ORACLE = {
     """,
     "text_stats": """
         SELECT lang, count(*) AS n_docs,
-               floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
-               floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
+               floor((avg(n_chars)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_chars,
+               floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_tokens
         FROM documents GROUP BY lang
     """,
     "text_quality_scores": f"""
         SELECT doc_id, n_chars,
-               floor((stop_ratio) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
-               floor((ttr) * 10000.0 + 0.5) / 10000.0 AS ttr,
-               floor((mwl) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+               floor((stop_ratio) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS stop_ratio,
+               floor((ttr) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS ttr,
+               floor((mwl) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS mean_word_len,
                floor((least(n_chars / 500.0, 1.0) * 0.3 + stop_ratio * 0.2
-                     + ttr * 0.3 + least(mwl / 8.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
+                     + ttr * 0.3 + least(mwl / 8.0, 1.0) * 0.2) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS quality_score
         FROM (
             SELECT doc_id, n_chars,
                    len(list_filter(w, t -> list_contains({_STOPLIST}, t)))::DOUBLE

@@ -29,13 +29,13 @@ QUERIES = {
 ORACLE = {
     "scatter_gather_agg": """
         SELECT l_returnflag, l_linestatus,
-               floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-               floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
-               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               floor((sum(l_quantity)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_charge,
+               floor((avg(l_quantity)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_price,
+               floor((avg(l_discount)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -95,13 +95,13 @@ QUERIES["quantile_stats"] = q_quantile_stats
 
 ORACLE["rollup_orders"] = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sum_total
+           floor((sum(o_totalprice)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 ORACLE["quantile_stats"] = """
     SELECT event_type, count(*) AS n,
            count(DISTINCT user_id) AS n_users,
-           floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_value,
-           floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_value
+           floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS median_value,
+           floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS p95_value
     FROM events GROUP BY event_type
 """

@@ -34,7 +34,7 @@ QUERIES = {
 ORACLE = {
     "temporal_tumbling": """
         SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
-               user_id, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+               user_id, count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     """,
     "temporal_sliding_topk": """
@@ -134,4 +134,49 @@ ORACLE["temporal_session_window"] = """
                AS session_end,
            count(*) AS n_events
     FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True sliding window (1 hour window, 30 minute slide): every
+    event lands in exactly two windows. Native F.window with slide."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+QUERIES["temporal_sliding_window"] = q_sliding_window
+
+# Each event belongs to windows starting at time_bucket(30m, ts) and
+# 30 minutes before it — the exact expansion of a 1h/30m slide.
+ORACLE["temporal_sliding_window"] = """
+    WITH expanded AS (
+        SELECT strftime(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT strftime(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                            - INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value
+    FROM expanded GROUP BY 1, 2
 """
