@@ -36,6 +36,14 @@ def main() -> None:
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     (r.join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
      .groupBy("r_name").agg(F.count(F.lit(1)).alias("c")).count())
+    # Spin up the Python/Arrow worker pool so pandas-UDF queries don't
+    # pay per-executor interpreter startup inside their timing.
+    import pandas as pd  # noqa: F401
+
+    def _id(it):
+        yield from it
+
+    n.mapInPandas(_id, schema=n.schema).count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

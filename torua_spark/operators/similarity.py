@@ -114,17 +114,26 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, blocked by cell to avoid
     the O(n^2) cross join (at scale: LSH/IVF cell assignment is the
     blocking key). Returns (vec_a, vec_b, sim) with vec_a < vec_b."""
-    a = embeddings.select(
-        F.col(cell_col).alias("cell"), F.col("vec_id").alias("vec_a"),
-        to_double_array("embedding").alias("ea"),
-    )
-    b = embeddings.select(
-        F.col(cell_col).alias("cell"), F.col("vec_id").alias("vec_b"),
-        to_double_array("embedding").alias("eb"),
-    )
+    from torua_spark.functions.vectors import dot, norm
+
+    # Precompute each vector's norm once (2 aggregates per *vector*)
+    # so the pair loop only evaluates the dot product — identical
+    # arithmetic to cosine(), ~3x less interpreted higher-order work.
+    base = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        "vec_id",
+        to_double_array("embedding").alias("e"),
+    ).withColumn("nrm", norm(F.col("e")))
+    a = base.select("cell", F.col("vec_id").alias("vec_a"),
+                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = base.select("cell", F.col("vec_id").alias("vec_b"),
+                    F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", round4(cosine(F.col("ea"), F.col("eb"))).alias("sim"))
+        .select(
+            "vec_a", "vec_b",
+            round4(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )

@@ -18,6 +18,7 @@ _MODULES = [
     "torua_spark.queries.temporal_q",
     "torua_spark.queries.relational_q",
     "torua_spark.queries.joins_q",
+    "torua_spark.queries.asof_q",
     "torua_spark.queries.udf_q",
     "torua_spark.queries.graph_q",
     "torua_spark.queries.rag_q",

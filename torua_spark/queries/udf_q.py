@@ -39,7 +39,9 @@ class ShardSplit:
 
 
 def q_shard_split_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shards = spark.range(4).select(F.col("id").cast("int").alias("shard_id"))
+    # coalesce(1): a lateral UDTF spawns a Python worker per partition;
+    # 32 partitions of a 4-row input is all startup cost.
+    shards = spark.range(4).coalesce(1).select(F.col("id").cast("int").alias("shard_id"))
     shards.createOrReplaceTempView("_shards_to_split")
     spark.udtf.register("shard_split", ShardSplit)
     return spark.sql(
