@@ -1,0 +1,85 @@
+"""ToruaEngine facade: the reference's BDD scenarios
+(features/distributed-storage.feature) replayed against the Python API,
+plus the shard-partitioned at-rest layout with partition-pruned reads.
+"""
+
+from pyspark.sql import functions as F
+
+from torua_spark.constants import FNV_MOD, FNV_OFFSET_BASIS, FNV_PRIME
+from torua_spark.engine import ToruaEngine
+from torua_spark.plans import plan_string
+
+
+def fnv_py(s: str) -> int:
+    h = FNV_OFFSET_BASIS
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME) % FNV_MOD
+    return h
+
+
+def test_crud_scenarios(spark):
+    """Store/retrieve, update, delete, 404 — the core BDD scenarios."""
+    e = ToruaEngine(spark)
+    e.put("simple", "v1").put("user@example.com", "v2").put("数字", "unicode-value")
+    assert e.get("simple") == "v1"
+    assert e.get("user@example.com") == "v2"
+    assert e.get("数字") == "unicode-value"
+    assert e.get("missing") is None            # 404
+    e.put("simple", "v1-updated")              # overwrite
+    assert e.get("simple") == "v1-updated"
+    e.delete("simple")
+    assert e.get("simple") is None
+    e.delete("simple")                         # idempotent
+    assert sorted(e.scan("a", "z")) == ["user@example.com"]
+
+
+def test_routing_matches_reference_hash(spark):
+    e = ToruaEngine(spark)
+    for key in ["simple", "path/to/resource", "数字"]:
+        shard, node = e.route(key)
+        assert shard == fnv_py(key) % 4
+        assert node == ("n1" if shard % 2 == 0 else "n2")
+
+
+def test_empty_value_and_large_value(spark):
+    """BDD: empty values valid; >1MB values round-trip."""
+    e = ToruaEngine(spark)
+    big = "x" * (1024 * 1024 + 17)
+    e.put_many([("empty", ""), ("big", big)])
+    assert e.get("empty") == ""
+    got = e.get("big")
+    assert got is not None and len(got) == len(big)
+
+
+def test_checkpoint_partition_prunes(spark, tmp_path):
+    """At-rest layout: shard-partitioned parquet; a point lookup with
+    the routing predicate prunes to ONE shard directory — the batch
+    analog of coordinator routing."""
+    e = ToruaEngine(spark)
+    e.put_many([(f"key-{i}", f"v{i}") for i in range(200)])
+    path = str(tmp_path / "kvstate")
+    e.checkpoint_to(path)
+
+    key = "key-42"
+    shard = fnv_py(key) % 4
+    df = (
+        spark.read.parquet(path)
+        .filter((F.col("shard_id") == shard) & (F.col("key") == key))
+    )
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan and "shard_id" in plan, plan
+    assert [r["value"] for r in df.collect()] == ["v42"]
+
+    restored = ToruaEngine.restore_from(spark, path)
+    assert restored.get("key-42") == "v42"
+    assert sorted(restored.list_keys()) == sorted(f"key-{i}" for i in range(200))
+
+
+def test_stats_and_broadcast(spark):
+    e = ToruaEngine(spark)
+    e.put_many([(f"k{i}", "v" * i) for i in range(50)])
+    stats = {r["shard_id"]: r["keys"] for r in e.stats().collect()}
+    assert sum(stats.values()) == 50
+    bg = e.broadcast_stats().collect()
+    assert all(r["sent_to"] == 2 for r in bg)
+    assert sum(r["keys"] for r in bg) == 50

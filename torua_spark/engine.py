@@ -1,0 +1,151 @@
+"""ToruaEngine — the user-facing facade.
+
+Every HTTP endpoint of the reference maps to a method here, so a
+torua user can switch 1:1 (reference routes in parentheses; see
+cmd/coordinator/main.go and cmd/node/main.go):
+
+    GET    /data/{key}        -> engine.get(key)
+    PUT    /data/{key}        -> engine.put(key, value) / put_many
+    DELETE /data/{key}        -> engine.delete(key)
+    GET    /shard/{id}/keys   -> engine.list_keys(shard_id=...)
+    range scan (shard.go)     -> engine.scan(start, end)
+    DELETE range              -> engine.delete_range(start, end)
+    GET    /shards            -> engine.shards()
+    GET    /nodes             -> engine.nodes()
+    GET    /stats             -> engine.stats()
+    POST   /broadcast         -> engine.broadcast_stats()
+    routing introspection     -> engine.route(key)
+
+State lives in a DataFrame (lazily maintained via the kv operators);
+``checkpoint_to`` / ``restore_from`` persist it as shard-partitioned
+parquet — the at-rest layout whose directory structure IS the
+reference's shard placement, so point lookups partition-prune to a
+single shard directory exactly as the coordinator routes to a single
+node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from torua_spark.constants import NODES, NUM_SHARDS
+from torua_spark.functions.hashing import shard_for_key
+from torua_spark.operators import kv as kvops
+from torua_spark.operators import topology as topo
+
+
+class ToruaEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        kv: DataFrame | None = None,
+        num_shards: int = NUM_SHARDS,
+        nodes: list[tuple[str, str, str]] | None = None,
+    ):
+        self.spark = spark
+        self.num_shards = num_shards
+        self.node_list = nodes or NODES
+        self._kv = kv if kv is not None else spark.createDataFrame(
+            [], "key string, value string"
+        )
+        self._mutations = 0
+
+    # ------------------------------------------------------------ data path
+
+    def get(self, key: str) -> str | None:
+        """GET /data/{key}: value or None (the 404 path)."""
+        rows = kvops.point_get(self._kv, key).take(1)
+        return rows[0]["value"] if rows else None
+
+    def multi_get(self, keys: list[str]) -> dict[str, str]:
+        return {
+            r["key"]: r["value"] for r in kvops.multi_get(self._kv, keys).collect()
+        }
+
+    def put(self, key: str, value: str) -> "ToruaEngine":
+        return self.put_many([(key, value)])
+
+    def put_many(self, items: list[tuple[str, str]]) -> "ToruaEngine":
+        """PUT /data/{key}: last-writer-wins upsert (batched)."""
+        updates = self.spark.createDataFrame(items, "key string, value string")
+        self._kv = kvops.upsert(self._kv, updates)
+        self._compact()
+        return self
+
+    def delete(self, *keys: str) -> "ToruaEngine":
+        """DELETE /data/{key}: idempotent."""
+        tombs = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        self._kv = kvops.delete(self._kv, tombs)
+        self._compact()
+        return self
+
+    def _compact(self, every: int = 8) -> None:
+        # Each mutation layers a window/anti-join over the state plan;
+        # cut the lineage periodically so a long mutation chain doesn't
+        # grow the plan unboundedly (same role as log compaction).
+        self._mutations += 1
+        if self._mutations % every == 0:
+            self._kv = self._kv.localCheckpoint(eager=False)
+
+    def scan(self, start: str, end: str) -> list[str]:
+        """Sorted lexicographic [start, end) key scan."""
+        return [r["key"] for r in kvops.range_scan(self._kv, start, end).collect()]
+
+    def delete_range(self, start: str, end: str) -> "ToruaEngine":
+        self._kv = kvops.delete_range(self._kv, start, end)
+        return self
+
+    def list_keys(self, shard_id: int | None = None) -> list[str]:
+        df = kvops.list_keys(self._kv)
+        if shard_id is not None:
+            df = self._kv.filter(kvops.owns_key(self.num_shards, shard_id)).select("key")
+        return [r["key"] for r in df.collect()]
+
+    # --------------------------------------------------------- control path
+
+    def route(self, key: str) -> tuple[int, str]:
+        """key -> (shard_id, node_id), the coordinator's routing decision."""
+        row = (
+            self.spark.createDataFrame([(key,)], "key string")
+            .select(shard_for_key(F.col("key"), self.num_shards).alias("s"))
+            .take(1)
+        )[0]
+        shard = row["s"]
+        node = self.node_list[shard % len(self.node_list)][0]
+        return shard, node
+
+    def shards(self) -> DataFrame:
+        """GET /shards: the assignment table."""
+        return topo.assignments_roundrobin(self.spark, self.num_shards, self.node_list)
+
+    def nodes(self) -> DataFrame:
+        """GET /nodes: the membership table."""
+        return topo.nodes_df(self.spark, self.node_list)
+
+    def stats(self) -> DataFrame:
+        """Per-shard {keys, bytes} stats."""
+        return kvops.stats(self._kv, self.num_shards)
+
+    def broadcast_stats(self) -> DataFrame:
+        """POST /broadcast: per-node gather with sent_to."""
+        return topo.broadcast_gather(self._kv, self.spark, self.num_shards, self.node_list)
+
+    # ---------------------------------------------------------- persistence
+
+    def checkpoint_to(self, path: str) -> None:
+        """Persist as shard-partitioned parquet: directory-per-shard IS
+        the reference's shard placement at rest."""
+        (
+            self._kv.withColumn("shard_id", shard_for_key(F.col("key"), self.num_shards))
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(path)
+        )
+
+    @classmethod
+    def restore_from(cls, spark: SparkSession, path: str, **kw) -> "ToruaEngine":
+        kv = spark.read.parquet(path).select("key", "value")
+        return cls(spark, kv, **kw)
+
+    def dataframe(self) -> DataFrame:
+        return self._kv
