@@ -24,9 +24,30 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 from torua_spark.functions.compat import round4
+
+_ROWS_PER_PARTITION = 50_000
+
+
+@contextmanager
+def _iteration_partitions(df: DataFrame, n_rows: int):
+    """Size shuffle partitions for an iterative loop to the working
+    set instead of the session default: AQE right-sizes single queries
+    but not the dozens of tiny shuffles an iterative algorithm issues.
+    Clamped below by 8 and above by the session setting (a 10B-edge
+    graph keeps the full configured parallelism)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(8, min(int(prev), n_rows // _ROWS_PER_PARTITION + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -94,28 +115,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # against a checkpointed table, not re-derive orders ⋈ lineitem ⋈
     # distinct every iteration.
     und = _undirected(edges).localCheckpoint()
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        msgs = (
-            und.join(labels, und.a == labels.id)
-            .select(F.col("b").alias("id"), F.col("label"))
-        )
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
         labels = (
-            msgs.unionByName(labels.select("id", "label"))
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)  # truncate lineage; materialized by the agg below
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iter):
+            msgs = (
+                und.join(labels, und.a == labels.id)
+                .select(F.col("b").alias("id"), F.col("label"))
+            )
+            labels = (
+                msgs.unionByName(labels.select("id", "label"))
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)  # truncate lineage; materialized by the agg below
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
 
 
@@ -136,29 +159,33 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
     # Loop-invariant inputs materialized once (edges is usually a
     # derived join — without this every iteration re-runs it).
     edges = edges.localCheckpoint()
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
-    ranks = vertices.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+    n_edges = edges.count()
+    with _iteration_partitions(edges, n_edges):
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint()
         )
-        ranks = (
-            vertices.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
-            .select(
-                "id",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+        ranks = vertices.withColumn("rank", F.lit(1.0))
+        for _ in range(iterations):
+            contribs = (
+                edges.join(ranks, edges.src == ranks.id)
+                .join(deg, "src")
+                .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             )
-            # eager=False: lineage is cut every round but nothing runs
-            # until the caller's single action computes the chained
-            # per-iteration RDDs in one job.
-            .localCheckpoint(eager=False)
-        )
+            ranks = (
+                vertices.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+                .select(
+                    "id",
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                )
+                # eager=False: lineage is cut every round but nothing runs
+                # until the chain is materialized below — one job for
+                # all iterations instead of one per round.
+                .localCheckpoint(eager=False)
+            )
+        # Materialize while the iteration partitioning is in force.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias("vertex"), round4("rank").alias("rank"))
