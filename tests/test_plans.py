@@ -92,3 +92,41 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# Queries whose plans legitimately contain Python evaluation or
+# 1-row-side nested-loop joins.
+_PYTHON_OK = {
+    "multimodal_features",      # mapInPandas codec plumbing (Arrow)
+    "udaf_quality_by_lang",     # applyInPandas UDAF (Arrow)
+    "shard_split_ranges",       # Python UDTF
+    "late_data_watermark",      # streaming drained via memory sink
+    "streaming_health_state",   # applyInPandasWithState
+}
+_NESTED_LOOP_OK = {
+    # broadcast of a single-row query vector is a BroadcastNestedLoopJoin
+    "vector_topk_cosine", "vector_ann_ivf", "vector_neardup_pairs",
+}
+
+
+def test_no_row_python_and_no_cartesian_anywhere(spark, sf_dir):
+    """The global claim 'no slow-path Python, no accidental cross
+    joins' asserted over every declared query's physical plan."""
+    from torua_spark.queries import all_queries
+
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        if name in _PYTHON_OK:
+            continue
+        try:
+            plan = plan_string(fn(spark, sf_dir))
+        except Exception as e:  # plan-time failure is its own bug
+            failures.append(f"{name}: plan failed: {e}")
+            continue
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            failures.append(f"{name}: python UDF in plan")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: cartesian product")
+        if name not in _NESTED_LOOP_OK and "BroadcastNestedLoopJoin" in plan:
+            failures.append(f"{name}: unexpected nested loop join")
+    assert not failures, failures
