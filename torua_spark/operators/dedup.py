@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from torua_spark.functions.text import jaccard, md5_32, tokens, word_shingles
+from torua_spark.functions.text import jaccard, md5_32, tokens
 
 from torua_spark.functions.compat import round4
 

@@ -61,6 +61,33 @@ def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def coproduct_edges(orders: DataFrame, lineitem: DataFrame, distinct: bool = True) -> DataFrame:
+    """Bipartite edge list customer -> (supplier, part): the customer
+    bought that part from that supplier. Distinct triples.
+
+    This is the scale-safe projection key for co-purchase analysis:
+    grouping by (supplier, part) keeps pair blow-up linear in the edge
+    count (measured max group size 3 at sf0.1, vs 345M raw pairs when
+    keyed on supplier alone — a dense projection no engine should
+    materialize at 100 TB).
+
+    `distinct=False` skips the dedup shuffle for consumers whose next
+    step dedups anyway (e.g. collect_set per (supp, part))."""
+    out = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("supp"),
+            F.col("l_partkey").alias("part"),
+        )
+    )
+    return out.distinct() if distinct else out
+
+
 def two_hop(orders: DataFrame, lineitem: DataFrame,
             customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """B2 — `MATCH (c)-[*2]->(s)` over the star schema: distinct

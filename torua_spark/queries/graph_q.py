@@ -91,3 +91,55 @@ ORACLE = {
     """,
     # connected_components / graph_pagerank: iterative — rows-only.
 }
+
+
+def q_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase projection of the bipartite purchase graph: two
+    customers are partners when they bought the SAME part from the SAME
+    supplier (3-hop path class customer->(supplier,part)->customer).
+    Output: per-customer count of distinct co-purchase partners.
+
+    Keyed on (supplier, part) — not supplier alone — so the pair
+    blow-up stays linear in |edges| (dense projections through hub
+    vertices are the classic graph-analytics scale trap; supplier-only
+    keying is 345M raw pairs at sf0.1 vs 618k here, max group size 3).
+
+    Formulated as groupBy + collect_set + double explode rather than a
+    self-join: one shuffle builds the per-(supplier, part) customer
+    set, pair expansion is then narrow (no second shuffle of the edge
+    list, no join). Customers-per-(supp, part) is bounded by data
+    semantics (≈ lineitems per partsupp, constant in SF), so collected
+    sets stay tiny at any scale."""
+    from pyspark.sql import functions as F
+
+    e = g.coproduct_edges(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        distinct=False,  # collect_set dedups; skip the extra shuffle
+    )
+    groups = e.groupBy("supp", "part").agg(F.collect_set("src").alias("cs"))
+    return (
+        groups.filter(F.size("cs") > 1)
+        .select(F.explode("cs").alias("c1"), "cs")
+        .select("c1", F.explode("cs").alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .distinct()
+        .groupBy(F.col("c1").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+
+
+QUERIES["graph_copurchase_degree"] = q_copurchase_degree
+
+ORACLE["graph_copurchase_degree"] = """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS supp, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pairs AS (
+        SELECT DISTINCT a.src AS c1, b.src AS c2
+        FROM e a JOIN e b ON a.supp = b.supp AND a.part = b.part
+        WHERE a.src != b.src
+    )
+    SELECT c1 AS custkey, count(*) AS n_partners FROM pairs GROUP BY c1
+"""
