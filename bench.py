@@ -21,11 +21,12 @@ from torua_spark.session import get_spark
 
 
 def main() -> None:
-    # Iterative queries localCheckpoint intermediates; across a 60+
-    # query bench those cached RDDs only get reclaimed when the Python
-    # references are gone (ContextCleaner). Give the single-JVM driver
-    # real headroom and nudge GC between queries.
-    os.environ.setdefault("TORUA_DRIVER_MEM", "48g")
+    # Measured: a BIG heap (48g) makes the suite ~3x SLOWER than 8g —
+    # full GCs on a huge heap are slow and ContextCleaner (which frees
+    # checkpoint/shuffle blocks via weak refs) only runs after a GC, so
+    # state from iterative queries lingers and degrades every later
+    # query. Small heap + forced System.gc() per query (below) keeps
+    # all 63 queries at their standalone speed: 73s total vs 229s.
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -50,10 +51,8 @@ def main() -> None:
 
     n.mapInPandas(_id, schema=n.schema).count()
 
-    # Default 1 run per query: measured suite-wide, running every query
-    # twice nearly DOUBLES per-query minimums (accumulated shuffle/
-    # checkpoint state degrades the shared JVM faster than min-of-N
-    # removes variance). BENCH_RUNS=2 remains available for A/B work.
+    # Default 1 run per query (honest cold-plan timing); BENCH_RUNS=2
+    # gives min-of-N warm numbers for A/B work.
     runs = int(os.environ.get("BENCH_RUNS", "1"))
     import gc
 
@@ -75,6 +74,12 @@ def main() -> None:
             finally:
                 df = None
                 gc.collect()  # release checkpoint RDD refs promptly
+                # ContextCleaner only reclaims checkpoint/shuffle blocks
+                # after a JVM GC notices the weak refs; with a large
+                # driver heap that never happens on its own, and block-
+                # manager pressure slows every subsequent query. Force
+                # it — costs ~100ms, saves multi-second degradation.
+                spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 4)
     total = round(sum(t for t in timings.values() if t > 0), 4)
     wall = round(time.perf_counter() - t_all, 4)
