@@ -32,6 +32,12 @@ from torua_spark.functions.compat import round4
 
 _ROWS_PER_PARTITION = 50_000
 
+# Iterative algorithms broadcast their per-round vertex state while it
+# is plausibly under the executor broadcast budget (~a few hundred MB
+# of (long, long/double) rows); beyond that they fall back to shuffle
+# joins against the (ideally bucketed) edge list.
+_BROADCAST_STATE_MAX_VERTICES = 8_000_000
+
 
 @contextmanager
 def _iteration_partitions(df: DataFrame, n_rows: int):
@@ -150,10 +156,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .withColumn("label", F.col("id"))
             .localCheckpoint()
         )
+        n_vertices = labels.count()
+        # The mutating state is one (id, label) row per vertex. When it
+        # fits the broadcast budget, broadcasting it turns the per-round
+        # edge join into a map-side hash join — the big, static edge
+        # list is never shuffled, leaving ONE shuffle per round (the
+        # min-label agg). Past the budget (1B-vertex graphs) fall back
+        # to the shuffle join; there the right deployment move is
+        # bucketing edges on `a` so the join side stays co-located.
+        bcast = n_vertices <= _BROADCAST_STATE_MAX_VERTICES
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iter):
+            state = F.broadcast(labels) if bcast else labels
             msgs = (
-                und.join(labels, und.a == labels.id)
+                und.join(state, und.a == state.id)
                 .select(F.col("b").alias("id"), F.col("label"))
             )
             labels = (
@@ -194,19 +210,38 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
             .distinct()
             .localCheckpoint()
         )
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+        n_vertices = vertices.count()
+        # Fold the (loop-invariant) out-degree into the edge list ONCE:
+        # each edge carries w = 1/out_deg(src), so the loop body never
+        # joins `deg` again — one join per round instead of two.
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        ew = (
+            edges.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .localCheckpoint()
+        )
+        # Zero-contribution rows for every vertex replace the final
+        # vertices left-join: dangling/no-inbound vertices survive the
+        # groupBy, so rank update = union + ONE aggregation shuffle.
+        zeros = vertices.select("id", F.lit(0.0).alias("c")).localCheckpoint()
+        # Broadcast the per-round rank state while it fits (same guard
+        # and rationale as connected_components): the static edge list
+        # is then never shuffled in the loop.
+        bcast = n_vertices <= _BROADCAST_STATE_MAX_VERTICES
         ranks = vertices.withColumn("rank", F.lit(1.0))
         for _ in range(iterations):
+            state = F.broadcast(ranks) if bcast else ranks
             contribs = (
-                edges.join(ranks, edges.src == ranks.id)
-                .join(deg, "src")
-                .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                ew.join(state, ew.src == state.id)
+                .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
             )
             ranks = (
-                vertices.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+                contribs.unionByName(zeros)
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
                 .select(
                     "id",
-                    (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("s")).alias("rank"),
                 )
                 # eager=False: lineage is cut every round but nothing runs
                 # until the chain is materialized below — one job for
