@@ -106,6 +106,8 @@ _PYTHON_OK = {
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin
     "vector_topk_cosine", "vector_ann_ivf", "vector_neardup_pairs",
+    # broadcast of single-row corpus statistics (N, avgdl) likewise
+    "rag_tfidf_topk", "rag_bm25_topk",
 }
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from torua_spark.operators import dedup as dd
+from torua_spark.operators import retrieval as rt
 from torua_spark.operators import similarity as sim
 from torua_spark.operators import text_analysis as ta
 from torua_spark.functions.text import STOPWORDS
@@ -21,6 +22,7 @@ from torua_spark.sources.catalog import load_table
 JACCARD_THRESHOLD = 0.5
 NEARDUP_COS_THRESHOLD = 0.35
 SIMHASH_MAX_HAMMING = 6
+BM25_QUERY_TERMS = ["vector", "stream", "merge"]
 
 
 def _docs(spark, sf_dir):
@@ -52,6 +54,9 @@ QUERIES = {
     "text_language_id": lambda s, d: ta.language_id(_docs(s, d)),
     "text_token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
     "doc_fingerprint": lambda s, d: ta.fingerprints(_docs(s, d)),
+    "rag_chunk_documents": lambda s, d: rt.chunk_documents(_docs(s, d)),
+    "rag_tfidf_topk": lambda s, d: rt.tfidf_top_terms(_docs(s, d), 3),
+    "rag_bm25_topk": lambda s, d: rt.bm25_topk(_docs(s, d), BM25_QUERY_TERMS, 10),
 }
 
 
@@ -267,5 +272,70 @@ ORACLE = {
                list_min(list_transform(s, x -> {_md5_32('x')})) AS fingerprint,
                CAST(len(s) AS INTEGER) AS n_shingles
         FROM sh
+    """,
+    "rag_chunk_documents": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+            SELECT doc_id,
+                   unnest(range(0, (len(w) - 1) // {rt.CHUNK_STRIDE} + 1)) AS i,
+                   w
+            FROM w
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(w, i * {rt.CHUNK_STRIDE} + 1,
+                        least(i * {rt.CHUNK_STRIDE} + {rt.CHUNK_SIZE}, len(w)))) AS INTEGER)
+                   AS n_tokens,
+               md5(array_to_string(list_slice(w, i * {rt.CHUNK_STRIDE} + 1,
+                        least(i * {rt.CHUNK_STRIDE} + {rt.CHUNK_SIZE}, len(w))), ' '))
+                   AS chunk_md5
+        FROM c
+    """,
+    "rag_tfidf_topk": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+            WHERE NOT list_contains({_STOPLIST}, term) GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   floor((tf.tf * ln((n_docs + 1.0) / (df + 1.0))) * 10000.0 + 0.5 + 1e-9)
+                       / 10000.0 AS tfidf
+            FROM tf JOIN df USING (term), nd
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    "rag_bm25_topk": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
+        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id, unnest(w) AS term FROM toks
+            ) WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        per_doc AS (
+            SELECT tf.doc_id,
+                   floor((sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * ({rt.BM25_K1} + 1))
+                       / (tf + {rt.BM25_K1} * (1 - {rt.BM25_B} + {rt.BM25_B} * dl / avgdl))
+                   )) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM per_doc
+        ) WHERE rank <= 10
     """,
 }
