@@ -81,18 +81,8 @@ def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}) minhash signature over word 3-gram
-    shingles.
-
-    Plan shape (the 100 TB one): shingle rows -> ONE md5 per shingle
-    -> n cheap arithmetic permutations -> partial+final min aggregation
-    on doc_id. No wide array lambdas (an earlier 16-nested-transform
-    formulation was ~100x slower: Catalyst re-evaluated the shingle
-    pipeline per hash and fell out of codegen). min over the shingle
-    multiset equals min over the distinct set, so no dedup pass is
-    needed and the oracle's distinct-set formulation agrees."""
-    ex = _shingle_rows(documents, 3).select(
+def _signatures_from_shingle_rows(sh_rows: DataFrame, n_hashes: int) -> DataFrame:
+    ex = sh_rows.select(
         "doc_id", F.pmod(md5_32(F.col("s")), F.lit(MINHASH_P)).alias("hb")
     )
     aggs = [
@@ -104,17 +94,27 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataF
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) minhash signature over word 3-gram
+    shingles.
+
+    Plan shape (the 100 TB one): shingle rows -> ONE md5 per shingle
+    -> n cheap arithmetic permutations -> partial+final min aggregation
+    on doc_id. No wide array lambdas (an earlier 16-nested-transform
+    formulation was ~100x slower: Catalyst re-evaluated the shingle
+    pipeline per hash and fell out of codegen). min over the shingle
+    multiset equals min over the distinct set, so no dedup pass is
+    needed and the oracle's distinct-set formulation agrees."""
+    return _signatures_from_shingle_rows(_shingle_rows(documents, 3), n_hashes)
+
+
 def _band_key(i: int, rows: int) -> Column:
     parts = [F.col(f"mh{i * rows + j}") for j in range(rows)]
     return F.concat_ws("_", *[p.cast("string") for p in parts])
 
 
-def minhash_lsh_pairs(documents: DataFrame,
-                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the signature.
-    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     rows = n_hashes // n_bands
-    sigs = minhash_signatures(documents, n_hashes)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -134,17 +134,32 @@ def minhash_lsh_pairs(documents: DataFrame,
     )
 
 
+def minhash_lsh_pairs(documents: DataFrame,
+                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    sigs = minhash_signatures(documents, n_hashes)
+    return _lsh_pairs_from_sigs(sigs, n_hashes, n_bands)
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
     """Near-dup pairs: LSH candidates verified with exact word-3-gram
     Jaccard >= threshold. The verify join re-attaches shingle sets only
-    for candidate docs (semi-join pruned)."""
-    cands = minhash_lsh_pairs(documents, n_hashes, n_bands)
-    # Distinct shingle sets from the fast shingle-row path (collect_set
-    # order is irrelevant: array_intersect/size are order-insensitive).
-    sh = _shingle_rows(documents, 3).groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh")
+    for candidate docs (semi-join pruned).
+
+    The shingle rows feed BOTH the minhash signatures and the verify
+    sets — materialized once (localCheckpoint) instead of recomputing
+    the tokenize+explode+md5 pipeline twice. At 100 TB this is a
+    persist-to-storage of the (doc_id, shingle) relation, the single
+    most reused intermediate of the dedup stack."""
+    sh_rows = _shingle_rows(documents, 3).localCheckpoint()
+    cands = _lsh_pairs_from_sigs(
+        _signatures_from_shingle_rows(sh_rows, n_hashes), n_hashes, n_bands
     )
+    # Distinct shingle sets (collect_set order is irrelevant:
+    # array_intersect/size are order-insensitive).
+    sh = sh_rows.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     return (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -159,30 +174,36 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j of the signature is
     the sign of sum over tokens of (+1 if bit j of md5_32(token) else
-    -1). Explode tokens x bit positions; two shuffles on doc_id."""
-    tok = documents.select(
+    -1).
+
+    Plan shape: one token row per (doc, distinct token), then 32
+    sum(CASE ...) aggregates in a SINGLE partial+final aggregation on
+    doc_id — not an explode over bit positions (which multiplies the
+    token relation x32 and needs a second shuffle). The shift amounts
+    are literals, so every branch stays in whole-stage codegen.
+
+    Same explicit repartition rationale as `_shingle_rows`: the corpus
+    arrives in file-sized partitions but the md5+aggregate work is
+    CPU-bound per token — spread it over the full parallelism."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    tok = documents.repartition(parallelism, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     ).withColumn("h", md5_32(F.col("t")))
-    # shiftright/shiftleft need F.expr: the PySpark wrappers only accept a
-    # Python int for the shift amount, but j is a column here.
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-    ).select(
-        "doc_id", "j",
-        F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("c"),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0))
-            ).alias("simhash")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
