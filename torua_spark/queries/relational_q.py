@@ -90,8 +90,32 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based stats per event_type: HLL++ distinct users and
+    t-digest-style approximate percentiles. These are THE 100 TB
+    formulation of `quantile_stats` — fixed-size mergeable sketch
+    state per group (partial+final, no per-key state blowup, no global
+    sort), where the exact variants hold all distinct keys / all
+    values per group.
+
+    No SQL oracle: DuckDB's approx sketches use different algorithms,
+    so values legitimately differ (driver records the rows-only
+    check). `tests/test_relational.py` bounds both estimates against
+    the exact answers instead — the honest way to verify a sketch."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+    )
+
+
 QUERIES["rollup_orders"] = q_rollup_orders
 QUERIES["quantile_stats"] = q_quantile_stats
+QUERIES["approx_stats"] = q_approx_stats
 
 ORACLE["rollup_orders"] = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

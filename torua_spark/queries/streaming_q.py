@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from torua_spark.operators.multimodal import extract_features, to_media_table
 from torua_spark.sources.catalog import load_table
+from torua_spark.streaming.dedup import streaming_distinct_users
 from torua_spark.streaming.health_state import streaming_consecutive_failures
 from torua_spark.streaming.windows import late_data_tumbling
 
@@ -33,10 +34,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(to_media_table(load_table(spark, sf_dir, "documents")))
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_distinct_users(spark, sf_dir)
+
+
 QUERIES = {
     "late_data_watermark": q_late_data_watermark,
     "streaming_health_state": q_streaming_health_state,
     "multimodal_features": q_multimodal_features,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLE = {
@@ -67,6 +73,10 @@ ORACLE = {
                CAST(sum(fail) AS BIGINT) AS total_failures,
                count(*) AS total_probes
         FROM w GROUP BY node_id
+    """,
+    "streaming_dedup": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type
     """,
     "multimodal_features": """
         SELECT doc_id,
