@@ -23,10 +23,12 @@ from torua_spark.queries import all_oracle_sql, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: scatter-gather pricing summary (TPC-H Q1 shape) —
-    the reference's B3 scatter-gather aggregation model realized as
-    Spark partial+final aggregation over lineitem at sf0.001."""
-    return all_queries()["scatter_gather_agg"](spark, "/root/testdata/sf0.001")
+    """Flagship: end-to-end GraphRAG retrieval (the reference's
+    north-star use case) — cosine top-k seed documents, one-hop
+    purchase-graph expansion from a broadcast seed set, decayed score
+    fusion, ranked context window. Composes the vector, graph, and
+    ranking surfaces in one oracle-checked plan at sf0.001."""
+    return all_queries()["graphrag_retrieve"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

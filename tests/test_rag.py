@@ -62,6 +62,25 @@ def test_chunks_cover_documents(spark, sf_dir):
             assert c["n_tokens"] == expected
 
 
+def test_graphrag_expansion_semantics(spark, sf_dir):
+    """Seeds appear at hop 0 with their cosine score; every hop-1
+    neighbor's score is a decayed seed score, never above the best
+    seed."""
+    from torua_spark.operators.graphrag import HOP_DECAY, N_SEEDS
+
+    rows = rag_q.QUERIES["graphrag_retrieve"](spark, sf_dir).collect()
+    seeds = [r for r in rows if r["hop"] == 0]
+    hop1 = [r for r in rows if r["hop"] == 1]
+    assert 0 < len(seeds) <= N_SEEDS
+    assert all(r["entity_type"] == "doc" for r in seeds)
+    assert all(r["entity_type"] == "supplier" for r in hop1)
+    best = max(r["score"] for r in seeds)
+    # 1e-4 slack: hop-1 scores are re-rounded after the decay multiply
+    assert all(r["score"] <= best * HOP_DECAY + 1e-4 for r in hop1)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
 def test_bm25_ranked_topk(spark, sf_dir):
     rows = rag_q.QUERIES["rag_bm25_topk"](spark, sf_dir).collect()
     assert len(rows) == 10

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from torua_spark.operators import dedup as dd
+from torua_spark.operators import graphrag as gr
 from torua_spark.operators import retrieval as rt
 from torua_spark.operators import similarity as sim
 from torua_spark.operators import text_analysis as ta
@@ -57,6 +58,11 @@ QUERIES = {
     "rag_chunk_documents": lambda s, d: rt.chunk_documents(_docs(s, d)),
     "rag_tfidf_topk": lambda s, d: rt.tfidf_top_terms(_docs(s, d), 3),
     "rag_bm25_topk": lambda s, d: rt.bm25_topk(_docs(s, d), BM25_QUERY_TERMS, 10),
+    "graphrag_retrieve": lambda s, d: gr.graphrag_retrieve(
+        _emb(s, d),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    ),
 }
 
 
@@ -311,6 +317,39 @@ ORACLE = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
             FROM scored
         ) WHERE rank <= 3
+    """,
+    "graphrag_retrieve": f"""
+        WITH q AS ({_QVEC}),
+        scored AS (
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+            FROM embeddings, q WHERE vec_id != 0
+        ),
+        seeds AS (
+            SELECT vec_id, sim FROM (
+                SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM scored
+            ) WHERE r <= {gr.N_SEEDS}
+        ),
+        e AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        hop1 AS (
+            SELECT 'supplier' AS entity_type, dst AS entity_id,
+                   floor((max(sim) * {gr.HOP_DECAY}) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS score,
+                   1 AS hop
+            FROM seeds JOIN e ON seeds.vec_id = e.src GROUP BY dst
+        ),
+        allrows AS (
+            SELECT 'doc' AS entity_type, vec_id AS entity_id, sim AS score, 0 AS hop
+            FROM seeds
+            UNION ALL SELECT * FROM hop1
+        )
+        SELECT entity_type, entity_id, score, hop, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY score DESC, entity_type, entity_id) AS rank
+            FROM allrows
+        ) WHERE rank <= {gr.CONTEXT_LIMIT}
     """,
     "rag_bm25_topk": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
