@@ -1,9 +1,11 @@
 """Declared graph queries (B1/B2/B6) + oracles.
 
-`graph_2hop`, `graph_degree`, `graph_triangle_agg` are SQL-expressible
-and hash-checked. `connected_components` and `graph_pagerank` are
-iterative (not single-statement ANSI SQL) — rows-only for the driver,
-with pytest verifying them against pure-Python references at sf0.001.
+`graph_2hop`, `graph_degree`, `graph_triangle_agg` are directly
+SQL-expressible. The iterative pair (`connected_components`,
+`graph_pagerank`) is hash-checked too, via LOOP-UNROLLED oracles —
+one generated CTE per round (see `_cc_oracle_sql`/`_pr_oracle_sql`);
+pytest additionally verifies both against pure-Python references at
+sf0.001.
 """
 
 from __future__ import annotations
@@ -89,8 +91,72 @@ ORACLE = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2
     """,
-    # connected_components / graph_pagerank: iterative — rows-only.
 }
+
+# Iterative queries, oracle-checked by LOOP UNROLLING: the oracle SQL
+# generates one CTE per round. PageRank runs a fixed 10 iterations on
+# both sides. CC's Spark side iterates to the fixpoint; the oracle
+# unrolls _CC_ORACLE_ROUNDS rounds — min-label propagation is
+# idempotent past convergence, so any unroll depth >= the convergence
+# round count (measured 4-5 at these SFs; 12 gives a wide margin at
+# sf0.01's ~300-vertex graph diameter) yields the identical fixpoint.
+
+_VEDGES_SQL = """
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+_CC_ORACLE_ROUNDS = 12
+_PR_ITERATIONS = 10
+
+
+def _cc_oracle_sql(rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    # AS MATERIALIZED: each CTE is referenced more than once; without
+    # the hint DuckDB may inline them, re-planning (and re-opening)
+    # the base parquet per reference.
+    ctes = [
+        f"e AS MATERIALIZED ({_VEDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM und)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""l{r + 1} AS MATERIALIZED (
+            SELECT id, min(label) AS label FROM (
+                SELECT und.b AS id, l{r}.label FROM und JOIN l{r} ON und.a = l{r}.id
+                UNION ALL SELECT id, label FROM l{r}
+            ) GROUP BY id
+        )""")
+    return f"WITH {', '.join(ctes)} SELECT id AS vertex, label AS component FROM l{rounds}"
+
+
+def _pr_oracle_sql(iterations: int = _PR_ITERATIONS, damping: float = 0.85) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_VEDGES_SQL})",
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        """ew AS MATERIALIZED (
+            SELECT e.src, e.dst, 1.0 / d.out_deg AS w
+            FROM e JOIN (SELECT src, count(*) AS out_deg FROM e GROUP BY src) d
+              ON e.src = d.src
+        )""",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM v)",
+    ]
+    for r in range(iterations):
+        ctes.append(f"""r{r + 1} AS MATERIALIZED (
+            SELECT id, {1.0 - damping} + {damping} * sum(c) AS rank FROM (
+                SELECT ew.dst AS id, r{r}.rank * ew.w AS c
+                FROM ew JOIN r{r} ON ew.src = r{r}.id
+                UNION ALL SELECT id, 0.0 FROM v
+            ) GROUP BY id
+        )""")
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT id AS vertex, "
+        f"floor(rank * 10000.0 + 0.5 + 1e-9) / 10000.0 AS rank FROM r{iterations}"
+    )
+
+
+ORACLE["connected_components"] = _cc_oracle_sql()
+ORACLE["graph_pagerank"] = _pr_oracle_sql()
 
 
 def q_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
