@@ -81,6 +81,17 @@ def test_graphrag_expansion_semantics(spark, sf_dir):
     assert ranks == list(range(1, len(rows) + 1))
 
 
+def test_ppr_mass_conservation(spark, sf_dir):
+    """PPR scores are a sub-probability distribution (dangling mass
+    dropped): positive, summing to <= 1 over the full vertex set, so
+    the emitted top-k alone must also sum below 1."""
+    rows = rag_q.QUERIES["graphrag_ppr"](spark, sf_dir).collect()
+    assert rows, "PPR returned nothing"
+    assert all(r["score"] >= 0 for r in rows)
+    assert sum(r["score"] for r in rows) <= 1.0 + 1e-6
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_bm25_ranked_topk(spark, sf_dir):
     rows = rag_q.QUERIES["rag_bm25_topk"](spark, sf_dir).collect()
     assert len(rows) == 10

@@ -33,6 +33,10 @@ HOP_DECAY = 0.5
 N_SEEDS = 5
 CONTEXT_LIMIT = 25
 
+PPR_ITERATIONS = 10
+PPR_DAMPING = 0.85
+PPR_TOPK = 20
+
 
 def graphrag_retrieve(embeddings: DataFrame, orders: DataFrame,
                       lineitem: DataFrame, query_vec_id: int = 0,
@@ -68,4 +72,78 @@ def graphrag_retrieve(embeddings: DataFrame, orders: DataFrame,
     return (
         out.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= limit)
+    )
+
+
+def personalized_pagerank(edges: DataFrame, seed_ids: DataFrame,
+                          iterations: int = PPR_ITERATIONS,
+                          damping: float = PPR_DAMPING,
+                          topk: int = PPR_TOPK) -> DataFrame:
+    """Personalized PageRank — random walk with restart onto the seed
+    set (`seed_ids`: one `id` column), the graph-weighted retrieval
+    primitive of GraphRAG (multi-hop relevance vs graphrag_retrieve's
+    single hop).
+
+    r_0 = restart;  r_{k+1} = (1-d)·restart + d·Mᵀ r_k, with uniform
+    restart mass 1/|seeds| on seeds present in the graph (dangling
+    mass dropped — same simplified convention as `graph.pagerank`).
+
+    The loop is fully CHAINED (fixed iteration count, eager=False
+    checkpoints — one Spark job, no driver round-trips; see
+    `graph.pagerank` for the large-graph broadcast alternative).
+    Returns the top-k non-seed-or-not vertices by rounded score with
+    vertex-id tie-break."""
+    edges = edges.localCheckpoint()
+    n_edges = edges.count()
+    from torua_spark.operators.graph import _iteration_partitions
+
+    with _iteration_partitions(edges, n_edges):
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        n_seeds = seed_ids.count()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        ew = (
+            edges.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .localCheckpoint()
+        )
+        restart = (
+            vertices.join(
+                F.broadcast(seed_ids.select("id", F.lit(1.0 / n_seeds).alias("rw"))),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("rw"), F.lit(0.0)).alias("rw"))
+            .localCheckpoint()
+        )
+        ranks = restart.select("id", F.col("rw").alias("rank"))
+        for _ in range(iterations):
+            sums = (
+                ew.join(ranks, ew.src == ranks.id)
+                .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                restart.join(sums, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) * F.col("rw")
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+    scored = ranks.select(
+        F.col("id").alias("vertex"), round4("rank").alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vertex").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
     )

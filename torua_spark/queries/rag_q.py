@@ -63,7 +63,22 @@ QUERIES = {
         load_table(s, d, "orders"),
         load_table(s, d, "lineitem"),
     ),
+    "graphrag_ppr": lambda s, d: _q_graphrag_ppr(s, d),
 }
+
+
+def _q_graphrag_ppr(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators.graph import copurchase_vertex_edges
+
+    seeds = sim.brute_force_topk(_emb(spark, sf_dir), 0, gr.N_SEEDS).select(
+        (F.col("vec_id") * 2).alias("id")
+    )
+    edges = copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return gr.personalized_pagerank(edges, seeds)
 
 
 # ---------------------------------------------------------------- oracles
@@ -351,6 +366,7 @@ ORACLE = {
             FROM allrows
         ) WHERE rank <= {gr.CONTEXT_LIMIT}
     """,
+    # graphrag_ppr: generated below (loop-unrolled)
     "rag_bm25_topk": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
@@ -378,3 +394,63 @@ ORACLE = {
         ) WHERE rank <= 10
     """,
 }
+
+
+def _ppr_oracle_sql(iterations: int = gr.PPR_ITERATIONS,
+                    damping: float = gr.PPR_DAMPING) -> str:
+    """Loop-unrolled personalized PageRank (same technique as
+    graph_q's iterative oracles; AS MATERIALIZED stops DuckDB from
+    inlining multiply-referenced CTEs). The damping constants are
+    interpolated from the SAME Python doubles Spark uses, so both
+    engines compute with bit-identical coefficients."""
+    ctes = [
+        f"q AS ({_QVEC})",
+        """scored AS MATERIALIZED (
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+            FROM embeddings, q WHERE vec_id != 0
+        )""",
+        f"""seeds AS MATERIALIZED (
+            SELECT vec_id * 2 AS id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+                FROM scored
+            ) WHERE r <= {gr.N_SEEDS}
+        )""",
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        """ew AS MATERIALIZED (
+            SELECT e.src, e.dst, 1.0 / d.out_deg AS w
+            FROM e JOIN (SELECT src, count(*) AS out_deg FROM e GROUP BY src) d
+              ON e.src = d.src
+        )""",
+        f"""restart AS MATERIALIZED (
+            SELECT v.id,
+                   CASE WHEN seeds.id IS NOT NULL THEN {1.0 / gr.N_SEEDS} ELSE 0.0 END AS rw
+            FROM v LEFT JOIN seeds ON v.id = seeds.id
+        )""",
+        "r0 AS MATERIALIZED (SELECT id, rw AS rank FROM restart)",
+    ]
+    for r in range(iterations):
+        ctes.append(f"""r{r + 1} AS MATERIALIZED (
+            SELECT restart.id,
+                   {1.0 - damping} * restart.rw + {damping} * coalesce(s.s, 0.0) AS rank
+            FROM restart LEFT JOIN (
+                SELECT ew.dst AS id, sum(r{r}.rank * ew.w) AS s
+                FROM ew JOIN r{r} ON ew.src = r{r}.id GROUP BY ew.dst
+            ) s ON restart.id = s.id
+        )""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT vertex, score, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT id AS vertex,
+                   floor(rank * 10000.0 + 0.5 + 1e-9) / 10000.0 AS score,
+                   row_number() OVER (
+                       ORDER BY floor(rank * 10000.0 + 0.5 + 1e-9) / 10000.0 DESC, id
+                   ) AS rank
+            FROM r{iterations}
+        ) WHERE rank <= {gr.PPR_TOPK}"""
+
+
+ORACLE["graphrag_ppr"] = _ppr_oracle_sql()
