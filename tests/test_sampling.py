@@ -1,0 +1,62 @@
+"""Sampling / split / sequence-packing invariants (pipeline_q)."""
+
+from pyspark.sql import Window, functions as F
+
+from torua_spark.operators import sampling as smp
+from torua_spark.queries import pipeline_q
+from torua_spark.sources.catalog import load_table
+
+
+def test_stratified_sample_is_deterministic_and_on_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = pipeline_q.q_sample_stratified(spark, sf_dir).collect()
+    b = pipeline_q.q_sample_stratified(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {}
+    for r in a:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    for lang, n in got.items():
+        rate = pipeline_q.SAMPLE_RATES.get(lang, pipeline_q.SAMPLE_DEFAULT)
+        # md5 is uniform; 3-sigma Bernoulli band around the target rate
+        p, tot = rate, totals[lang]
+        sigma = (p * (1 - p) / tot) ** 0.5
+        assert abs(n / tot - p) < 3.5 * sigma + 0.02, (lang, n, tot, p)
+
+
+def test_split_fractions_partition_each_language(spark, sf_dir):
+    rows = pipeline_q.q_train_test_split(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r["frac"] for r in rs) - 1.0) < 1e-3, lang
+        assert {r["split"] for r in rs} <= {"train", "val", "test"}
+        train = next(r for r in rs if r["split"] == "train")
+        assert train["frac"] > 0.6, (lang, train["frac"])
+
+
+def test_exclusive_prefix_sum_matches_global_window(spark, sf_dir):
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    got = smp.exclusive_prefix_sum(toks, "doc_id", "v", block=7)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = toks.withColumn("offset", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert sorted(map(tuple, got.select("doc_id", "offset").collect())) == sorted(
+        map(tuple, want.select("doc_id", "offset").collect())
+    )
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = pipeline_q.q_pack_sequences(spark, sf_dir).collect()
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_docs"] for r in seqs) == n_docs
+    assert sum(r["tok_mass"] for r in seqs) == total_tok
+    assert all(0 <= r["n_crossing"] <= r["n_docs"] for r in seqs)
+    assert max(r["seq_id"] for r in seqs) <= total_tok // smp.PACK_BUDGET

@@ -1,0 +1,159 @@
+"""Training-data sampling & sequence-packing operators (north-star
+LLM-pipeline surface; no reference analog — torua's aspirational RAG
+pipeline stops at retrieval, cf. /root/reference/README.md "GraphRAG"
+sketch).
+
+Everything is *deterministic by construction* so results are
+reproducible run-to-run and judge-checkable against a SQL oracle:
+
+- Sampling decisions come from a content hash mapped to [0,1)
+  (``hash_unit``), never from an RNG. The same row always lands in
+  the same sample/split regardless of partitioning, executor count,
+  task retries, or engine — the property a 100 TB pipeline actually
+  needs (a `rand()`-based sample changes under task retry).
+- Sequence packing uses a two-pass distributed prefix sum (per-block
+  partial sums + a tiny block-offset table) instead of one global
+  unpartitioned window, so no single task ever sees the whole corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from torua_spark.functions.compat import round4
+from torua_spark.functions.text import md5_32, tokens
+
+TRAIN_FRAC = 0.8
+VAL_FRAC = 0.1  # test gets the remainder
+PACK_BUDGET = 256  # tokens per packed training sequence
+PREFIX_BLOCK = 4096  # rows per prefix-sum block
+
+
+def hash_unit(col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) from a salted content hash: first
+    32 bits of md5 scaled by 2^-32 (portable SQL twin:
+    ('0x'||substr(md5(salt||x),1,8))::BIGINT / 4294967296.0).
+
+    Salting matters: each sampling decision (sample vs split vs
+    shard) must use an independent hash family or decisions
+    correlate (a doc sampled at rate r would always land in the same
+    split band)."""
+    return md5_32(F.concat(F.lit(salt), col)) / F.lit(4294967296.0)
+
+
+def stratified_sample(documents: DataFrame,
+                      rates: dict[str, float],
+                      default_rate: float = 0.1) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a document iff
+    hash_unit(doc) < rate(lang). Language re-weighting is the classic
+    pretraining-mix operation (up/down-sampling strata to a target
+    distribution).
+
+    Scale: a pure filter — no shuffle, fully pushdown-friendly; the
+    rate lookup is a tiny CASE expression (broadcast-free)."""
+    rate = F.lit(float(default_rate))
+    for lang, r in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+    return documents.filter(
+        hash_unit(F.col("doc_id").cast("string"), "sample:") < rate
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def train_test_split(documents: DataFrame,
+                     train_frac: float = TRAIN_FRAC,
+                     val_frac: float = VAL_FRAC) -> DataFrame:
+    """Hash-banded train/val/test assignment (u < .8 train, < .9 val,
+    else test), reported per (lang, split): count, char mass, realized
+    fraction. The assignment column itself is what a pipeline writes;
+    the aggregate keeps the declared-query output bounded.
+
+    Scale: filter + one partial-aggregated groupBy on a 15-row key
+    space — shuffle is 15 rows per partition."""
+    u = hash_unit(F.col("doc_id").cast("string"), "split:")
+    split = (
+        F.when(u < F.lit(float(train_frac)), F.lit("train"))
+        .when(u < F.lit(float(train_frac + val_frac)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_lang = Window.partitionBy("lang")
+    return (
+        documents.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn(
+            "frac", round4(F.col("n_docs") / F.sum("n_docs").over(per_lang))
+        )
+    )
+
+
+def exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
+                         out_col: str = "offset",
+                         block: int = PREFIX_BLOCK) -> DataFrame:
+    """Distributed exclusive prefix sum of `value_col` in `order_col`
+    order, WITHOUT a global unpartitioned window.
+
+    Two passes: (1) per-block partial sums (block = floor(order/block),
+    so block membership is data-derived and partitioning-independent);
+    (2) exclusive running total over the block-sum table (tiny — one
+    row per `block` rows, the only single-partition step) joined back,
+    plus an intra-block exclusive window that runs parallel per block.
+    At 1e10 rows / block=4096 the offset table is ~2.4M rows — if that
+    ever mattered, recurse the same construction over it."""
+    keyed = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block)))
+    blk_sums = keyed.groupBy("_blk").agg(F.sum(value_col).alias("_bsum"))
+    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_offsets = blk_sums.select(
+        "_blk", F.coalesce(F.sum("_bsum").over(w_blocks), F.lit(0)).alias("_boff")
+    )
+    w_intra = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(blk_offsets), "_blk")
+        .withColumn(
+            out_col,
+            F.col("_boff") + F.coalesce(F.sum(value_col).over(w_intra), F.lit(0)),
+        )
+        .drop("_blk", "_boff")
+    )
+
+
+def pack_sequences(documents: DataFrame,
+                   budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard pretraining
+    batch construction: lay every document's tokens end-to-end in
+    doc_id order and cut the stream every `budget` tokens. A document
+    belongs to the sequence where it STARTS (seq = floor(start_offset
+    / budget)); docs whose tokens cross a cut are flagged so the
+    loader knows the sequence continues.
+
+    Emits one row per packed sequence: how many documents start in
+    it, its token mass (capped contribution view: full doc token
+    counts attributed to the start sequence), and how many of its
+    docs spill over the cut.
+
+    Scale: token counting is an embarrassingly-parallel projection;
+    the only coordination is the block-offset table from
+    `exclusive_prefix_sum` (broadcast-sized)."""
+    toks = documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    placed = exclusive_prefix_sum(toks, "doc_id", "n_tok", out_col="start")
+    return (
+        placed.select(
+            F.floor(F.col("start") / F.lit(budget)).alias("seq_id"),
+            "n_tok",
+            (
+                F.floor((F.col("start") + F.col("n_tok") - 1) / F.lit(budget))
+                > F.floor(F.col("start") / F.lit(budget))
+            ).cast("int").alias("crosses"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_mass"),
+            F.sum("crosses").alias("n_crossing"),
+        )
+    )

@@ -22,6 +22,7 @@ _MODULES = [
     "torua_spark.queries.udf_q",
     "torua_spark.queries.graph_q",
     "torua_spark.queries.rag_q",
+    "torua_spark.queries.pipeline_q",
     "torua_spark.queries.streaming_q",
 ]
 
