@@ -106,7 +106,7 @@ _PYTHON_OK = {
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin
     "vector_topk_cosine", "vector_ann_ivf", "vector_neardup_pairs",
-    "graphrag_retrieve", "graphrag_ppr",
+    "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
     "rag_tfidf_topk", "rag_bm25_topk",
 }

@@ -3,6 +3,7 @@
 import pytest
 
 from tests.oracle import compare
+from torua_spark.operators import graphrag as gr
 from torua_spark.queries import rag_q
 
 
@@ -90,6 +91,31 @@ def test_ppr_mass_conservation(spark, sf_dir):
     assert all(r["score"] >= 0 for r in rows)
     assert sum(r["score"] for r in rows) <= 1.0 + 1e-6
     assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_bfs_hops_partition_vertex_set(spark, sf_dir):
+    """Histogram rows (incl. the hops=-1 unreached row) partition the
+    vertex set; exactly N_SEEDS vertices sit at hop 0."""
+    from torua_spark.operators.graph import copurchase_vertex_edges
+    from torua_spark.sources.catalog import load_table
+
+    rows = rag_q.QUERIES["graphrag_hops"](spark, sf_dir).collect()
+    by_hop = {r["hops"]: r["n_vertices"] for r in rows}
+    # hop 0 = the seeds that exist as graph vertices (absent seeds are
+    # dropped, matching the oracle's d0 semi-join)
+    assert 1 <= by_hop[0] <= gr.N_SEEDS
+    edges = copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    from pyspark.sql import functions as F
+
+    n_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert sum(by_hop.values()) == n_vertices
 
 
 def test_bm25_ranked_topk(spark, sf_dir):

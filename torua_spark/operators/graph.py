@@ -213,6 +213,52 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
 
 
+def bfs_hop_histogram(edges: DataFrame, seed_ids: DataFrame,
+                      max_hops: int = 4) -> DataFrame:
+    """B2 generalized — multi-source BFS over the undirected graph:
+    min hop distance from the seed set (`seed_ids`: one `id` column),
+    emitted as a histogram (hops, n_vertices) plus one `hops = -1` row
+    counting vertices unreached within `max_hops`.
+
+    State is the SPARSE reached set (id, hops) — rounds only touch the
+    frontier's neighborhood, not the full vertex table, so early
+    rounds are proportional to the expanding ball, not |V|. Rounds are
+    chained lazily (eager=False checkpoints, one Spark job); min-
+    aggregation makes re-discovery idempotent, the same Pregel shape
+    as `connected_components`."""
+    und = _undirected(edges).localCheckpoint()
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
+        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        n_vertices = vertices.count()
+        dist = (
+            seed_ids.select("id")
+            .join(vertices, "id", "left_semi")
+            .select("id", F.lit(0).cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+        for _ in range(max_hops):
+            msgs = (
+                und.join(dist, und.a == dist.id)
+                .select(F.col("b").alias("id"), (F.col("hops") + F.lit(1)).alias("hops"))
+            )
+            dist = (
+                msgs.unionByName(dist.select("id", "hops"))
+                .groupBy("id")
+                .agg(F.min("hops").cast("int").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+        dist = dist.localCheckpoint(eager=True)
+        n_reached = dist.count()
+    hist = dist.groupBy("hops").agg(F.count(F.lit(1)).alias("n_vertices"))
+    spark = edges.sparkSession
+    unreached = spark.range(1).select(
+        F.lit(-1).cast("int").alias("hops"),
+        F.lit(n_vertices - n_reached).cast("long").alias("n_vertices"),
+    )
+    return hist.unionByName(unreached)
+
+
 def copurchase_vertex_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Co-purchase edges re-encoded into one numeric vertex space:
     customer c -> 2c, supplier s -> 2s+1 (bipartite disambiguation)."""

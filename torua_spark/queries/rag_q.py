@@ -64,10 +64,13 @@ QUERIES = {
         load_table(s, d, "lineitem"),
     ),
     "graphrag_ppr": lambda s, d: _q_graphrag_ppr(s, d),
+    "graphrag_hops": lambda s, d: _q_graphrag_hops(s, d),
 }
 
+GRAPHRAG_MAX_HOPS = 4
 
-def _q_graphrag_ppr(spark, sf_dir):
+
+def _seed_edges(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from torua_spark.operators.graph import copurchase_vertex_edges
@@ -78,6 +81,18 @@ def _q_graphrag_ppr(spark, sf_dir):
     edges = copurchase_vertex_edges(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+    return seeds, edges
+
+
+def _q_graphrag_hops(spark, sf_dir):
+    from torua_spark.operators.graph import bfs_hop_histogram
+
+    seeds, edges = _seed_edges(spark, sf_dir)
+    return bfs_hop_histogram(edges, seeds, GRAPHRAG_MAX_HOPS)
+
+
+def _q_graphrag_ppr(spark, sf_dir):
+    seeds, edges = _seed_edges(spark, sf_dir)
     return gr.personalized_pagerank(edges, seeds)
 
 
@@ -454,3 +469,55 @@ def _ppr_oracle_sql(iterations: int = gr.PPR_ITERATIONS,
 
 
 ORACLE["graphrag_ppr"] = _ppr_oracle_sql()
+
+
+def _hops_oracle_sql(max_hops: int = GRAPHRAG_MAX_HOPS) -> str:
+    """Loop-unrolled multi-source BFS: d_{k+1} = min-union of d_k and
+    its one-hop neighborhood over the symmetrized edge list — each
+    round one CTE, the same sparse-frontier semantics as
+    `graph.bfs_hop_histogram`."""
+    ctes = [
+        f"q AS ({_QVEC})",
+        """scored AS MATERIALIZED (
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+            FROM embeddings, q WHERE vec_id != 0
+        )""",
+        f"""seeds AS MATERIALIZED (
+            SELECT vec_id * 2 AS id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+                FROM scored
+            ) WHERE r <= {gr.N_SEEDS}
+        )""",
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM e
+                UNION ALL SELECT dst AS a, src AS b FROM e
+            )
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        """d0 AS MATERIALIZED (
+            SELECT seeds.id, 0 AS hops FROM seeds JOIN v ON v.id = seeds.id
+        )""",
+    ]
+    for k in range(max_hops):
+        ctes.append(f"""d{k + 1} AS MATERIALIZED (
+            SELECT id, min(hops) AS hops FROM (
+                SELECT und.b AS id, d{k}.hops + 1 AS hops
+                FROM und JOIN d{k} ON und.a = d{k}.id
+                UNION ALL SELECT id, hops FROM d{k}
+            ) GROUP BY id
+        )""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT CAST(hops AS INTEGER) AS hops, count(*)::BIGINT AS n_vertices
+        FROM d{max_hops} GROUP BY hops
+        UNION ALL
+        SELECT -1 AS hops,
+               (SELECT count(*) FROM v) - (SELECT count(*) FROM d{max_hops}) AS n_vertices"""
+
+
+ORACLE["graphrag_hops"] = _hops_oracle_sql()
