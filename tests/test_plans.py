@@ -109,6 +109,8 @@ _NESTED_LOOP_OK = {
     "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
     "rag_tfidf_topk", "rag_bm25_topk",
+    # 5-row stage list inequality-joined to a 5-row depth histogram
+    "corpus_funnel",
 }
 
 

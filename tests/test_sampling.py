@@ -49,6 +49,33 @@ def test_exclusive_prefix_sum_matches_global_window(spark, sf_dir):
     )
 
 
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        pipeline_q.q_corpus_funnel(spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == smp.FUNNEL_STAGES
+    counts = [r["n_docs"] for r in rows]
+    chars = [r["sum_chars"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert chars == sorted(chars, reverse=True)
+    assert counts[0] == load_table(spark, sf_dir, "documents").count()
+
+
+def test_canonical_clusters_cover_pair_vertices(spark, sf_dir):
+    from torua_spark.operators import dedup as dd
+    from torua_spark.queries import rag_q
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, rag_q.JACCARD_THRESHOLD).collect()
+    in_pairs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    clusters = rag_q.QUERIES["dedup_cluster_canonical"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in clusters) == len(in_pairs)
+    assert all(r["n_docs"] >= 2 for r in clusters)
+    canon = {r["canonical_doc"] for r in clusters}
+    assert canon <= in_pairs
+
+
 def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     seqs = pipeline_q.q_pack_sequences(spark, sf_dir).collect()

@@ -171,6 +171,66 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+CANON_CC_ROUNDS = 12
+
+
+def canonicalize_near_dups(documents: DataFrame, threshold: float = 0.5,
+                           rounds: int = CANON_CC_ROUNDS) -> DataFrame:
+    """The step AFTER near-dup detection: group verified pairs into
+    duplicate CLUSTERS (fixed-round min-label propagation over the
+    pair graph) and pick one canonical survivor per cluster (longest
+    text, doc_id tie-break) — what a training pipeline actually ships.
+
+    The label loop runs a FIXED `rounds` count on both engines (not
+    to-convergence), so the oracle can unroll it exactly; dup clusters
+    are near-cliques with tiny diameters, making 12 rounds far past
+    fixpoint in practice. The pair graph is orders of magnitude
+    smaller than the corpus — the loop's tables are (dup-doc, label)
+    only, never corpus-wide.
+
+    Returns (cluster, n_docs, canonical_doc, chars_dropped)."""
+    pairs = (
+        ngram_jaccard_pairs(documents, threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        msgs = und.join(labels, und.a == labels.id).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        labels = (
+            msgs.unionByName(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    labels = labels.localCheckpoint(eager=True)
+    mem = labels.join(
+        documents.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("label").orderBy(F.col("n_chars").desc(), F.col("id").asc())
+    ranked = mem.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("r") == 1, F.col("id"))).alias("canonical_doc"),
+            F.sum(F.when(F.col("r") > 1, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "chars_dropped"
+            ),
+        )
+    )
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j of the signature is
     the sign of sum over tokens of (+1 if bit j of md5_32(token) else

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from torua_spark.functions.compat import round4
-from torua_spark.functions.text import md5_32, tokens
+from torua_spark.functions.text import (
+    md5_32,
+    mean_word_length,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+)
 
 TRAIN_FRAC = 0.8
 VAL_FRAC = 0.1  # test gets the remainder
@@ -83,6 +89,78 @@ def train_test_split(documents: DataFrame,
         .withColumn(
             "frac", round4(F.col("n_docs") / F.sum("n_docs").over(per_lang))
         )
+    )
+
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_QUALITY = 0.45  # ~corpus median: half the docs survive
+FUNNEL_SAMPLE_RATE = 0.5
+FUNNEL_STAGES = ["raw", "min_length", "quality", "exact_dedup", "sampled"]
+
+
+def corpus_funnel(documents: DataFrame) -> DataFrame:
+    """The full preprocessing funnel as ONE one-pass query: how many
+    documents (and how much text) survive each cumulative stage —
+    raw → length floor → quality floor → exact dedup → final sample.
+    The per-stage attrition report every corpus pipeline publishes.
+
+    One scan: each doc gets its DEEPEST surviving stage (stages are
+    cumulative, so passing k implies passing k-1), a 5-row depth
+    histogram is aggregated, and stage totals come from an inequality
+    join against the stage list (depth >= stage) — never N scans of
+    the corpus. The dedup-survivor flag is the only shuffle (digest
+    window); survivor rank partitions on (digest, passed-quality) so
+    filtered-out docs can't displace a survivor."""
+    q_raw = (
+        F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0)) * 0.3
+        + stopword_ratio("text") * 0.2
+        + type_token_ratio("text") * 0.3
+        + F.least(mean_word_length("text") / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    flagged = documents.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") >= F.lit(FUNNEL_MIN_CHARS)).alias("p1"),
+        (
+            (F.col("n_chars") >= F.lit(FUNNEL_MIN_CHARS))
+            & (round4(q_raw) >= F.lit(FUNNEL_MIN_QUALITY))
+        ).alias("p2"),
+        F.md5("text").alias("digest"),
+        (
+            hash_unit(F.col("doc_id").cast("string"), "funnel:")
+            < F.lit(FUNNEL_SAMPLE_RATE)
+        ).alias("samp"),
+    )
+    w = Window.partitionBy("digest", "p2").orderBy("doc_id")
+    staged = flagged.withColumn(
+        "p3", F.col("p2") & (F.row_number().over(w) == 1)
+    ).select(
+        "n_chars",
+        F.when(F.col("p3") & F.col("samp"), F.lit(4))
+        .when(F.col("p3"), F.lit(3))
+        .when(F.col("p2"), F.lit(2))
+        .when(F.col("p1"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("depth"),
+    )
+    hist = staged.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    spark = documents.sparkSession
+    stages = spark.range(len(FUNNEL_STAGES)).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in FUNNEL_STAGES]), F.col("stage") + 1
+    )
+    return (
+        stages.join(hist, hist.depth >= stages.stage, "left")
+        .groupBy("stage")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("chars"), F.lit(0)).alias("sum_chars"),
+        )
+        .select("stage", label.alias("stage_name"), "n_docs", "sum_chars")
     )
 
 

@@ -33,10 +33,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.corpus_funnel(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "sample_stratified": q_sample_stratified,
     "train_test_split": q_train_test_split,
     "pack_sequences": q_pack_sequences,
+    "corpus_funnel": q_corpus_funnel,
 }
 
 
@@ -77,6 +82,7 @@ ORACLE = {
                floor((n_docs / sum(n_docs) OVER (PARTITION BY lang)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS frac
         FROM agg
     """,
+    "corpus_funnel": None,  # assigned below (needs the stopword list)
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
@@ -99,3 +105,57 @@ ORACLE = {
         FROM placed GROUP BY seq_id
     """,
 }
+
+
+def _funnel_oracle_sql() -> str:
+    from torua_spark.functions.text import STOPWORDS
+
+    stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    stage_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(smp.FUNNEL_STAGES)
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars, text,
+                   len(list_filter(w, t -> list_contains({stoplist}, t)))::DOUBLE
+                       / len(w) AS stop_ratio,
+                   len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+                   list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w) AS mwl
+            FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents)
+        ),
+        flagged AS (
+            SELECT doc_id, n_chars,
+                   n_chars >= {smp.FUNNEL_MIN_CHARS} AS p1,
+                   (n_chars >= {smp.FUNNEL_MIN_CHARS} AND
+                    floor((least(n_chars / 500.0, 1.0) * 0.3 + stop_ratio * 0.2
+                          + ttr * 0.3 + least(mwl / 8.0, 1.0) * 0.2) * 10000.0 + 0.5 + 1e-9) / 10000.0
+                        >= {smp.FUNNEL_MIN_QUALITY}) AS p2,
+                   md5(text) AS digest,
+                   ('0x' || substr(md5('funnel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 < {smp.FUNNEL_SAMPLE_RATE} AS samp
+            FROM scored
+        ),
+        staged AS (
+            SELECT n_chars,
+                   CASE WHEN p3 AND samp THEN 4 WHEN p3 THEN 3
+                        WHEN p2 THEN 2 WHEN p1 THEN 1 ELSE 0 END AS depth
+            FROM (
+                SELECT *, p2 AND (row_number() OVER (
+                    PARTITION BY digest, p2 ORDER BY doc_id) = 1) AS p3
+                FROM flagged
+            )
+        ),
+        hist AS (
+            SELECT depth, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+            FROM staged GROUP BY depth
+        ),
+        stages AS (SELECT unnest(range({len(smp.FUNNEL_STAGES)}))::INTEGER AS stage)
+        SELECT stage, CASE stage {stage_case} END AS stage_name,
+               coalesce(sum(n), 0)::BIGINT AS n_docs,
+               coalesce(sum(chars), 0)::BIGINT AS sum_chars
+        FROM stages LEFT JOIN hist ON hist.depth >= stages.stage
+        GROUP BY stage
+    """
+
+
+ORACLE["corpus_funnel"] = _funnel_oracle_sql()

@@ -46,6 +46,9 @@ QUERIES = {
     "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
         _docs(s, d), JACCARD_THRESHOLD
     ),
+    "dedup_cluster_canonical": lambda s, d: dd.canonicalize_near_dups(
+        _docs(s, d), JACCARD_THRESHOLD
+    ),
     "dedup_simhash": lambda s, d: dd.simhash_signatures(_docs(s, d)),
     "dedup_simhash_pairs": lambda s, d: dd.simhash_near_dup_pairs(
         _docs(s, d), SIMHASH_MAX_HAMMING
@@ -521,3 +524,59 @@ def _hops_oracle_sql(max_hops: int = GRAPHRAG_MAX_HOPS) -> str:
 
 
 ORACLE["graphrag_hops"] = _hops_oracle_sql()
+
+
+def _canonical_oracle_sql(rounds: int = dd.CANON_CC_ROUNDS) -> str:
+    """Near-dup cluster canonicalization: the verified-pair CTE chain
+    (same text as dedup_ngram_jaccard) + `rounds` unrolled min-label
+    CC rounds + the longest-survivor pick."""
+    ctes = [
+        f"shingles AS ({_SHINGLES})",
+        f"sigs AS ({_SIGS})",
+        f"banded AS ({_BANDED})",
+        f"cands AS ({_CANDS})",
+        f"""pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM (
+                SELECT c.doc_a, c.doc_b,
+                       floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5 + 1e-9) / 10000.0
+                           AS jaccard
+                FROM cands c
+                JOIN shingles sa ON sa.doc_id = c.doc_a
+                JOIN shingles sb ON sb.doc_id = c.doc_b
+            ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        )""",
+        """und AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+        )""",
+        """l0 AS MATERIALIZED (
+            SELECT id, id AS label FROM (SELECT DISTINCT a AS id FROM und)
+        )""",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""l{k + 1} AS MATERIALIZED (
+            SELECT id, min(label) AS label FROM (
+                SELECT und.b AS id, l{k}.label FROM und JOIN l{k} ON und.a = l{k}.id
+                UNION ALL SELECT id, label FROM l{k}
+            ) GROUP BY id
+        )""")
+    return f"""WITH {', '.join(ctes)},
+        mem AS (
+            SELECT l.label, d.doc_id AS id, d.n_chars
+            FROM l{rounds} l JOIN documents d ON d.doc_id = l.id
+        ),
+        ranked AS (
+            SELECT label, id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY n_chars DESC, id ASC
+                   ) AS r
+            FROM mem
+        )
+        SELECT label AS cluster, count(*)::BIGINT AS n_docs,
+               min(CASE WHEN r = 1 THEN id END) AS canonical_doc,
+               sum(CASE WHEN r > 1 THEN n_chars ELSE 0 END)::BIGINT AS chars_dropped
+        FROM ranked GROUP BY label"""
+
+
+ORACLE["dedup_cluster_canonical"] = _canonical_oracle_sql()
