@@ -23,6 +23,20 @@ def test_streaming_health_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_sessions_equal_batch_session_window(spark, sf_dir):
+    """The same session_window operator must produce identical sessions
+    whether driven by the streaming engine or the batch engine."""
+    from torua_spark.queries import temporal_q
+
+    stream = sorted(
+        map(tuple, streaming_q.QUERIES["streaming_sessions"](spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, temporal_q.q_session_window_native(spark, sf_dir).collect())
+    )
+    assert stream == batch
+
+
 def test_frame_sample_is_documented_stub(spark, sf_dir):
     from torua_spark.operators import multimodal
     from torua_spark.sources.catalog import load_table

@@ -19,7 +19,11 @@ from torua_spark.operators.multimodal import extract_features, to_media_table
 from torua_spark.sources.catalog import load_table
 from torua_spark.streaming.dedup import streaming_distinct_users
 from torua_spark.streaming.health_state import streaming_consecutive_failures
-from torua_spark.streaming.windows import late_data_tumbling
+from torua_spark.streaming.windows import (
+    late_data_tumbling,
+    stream_static_enrich_agg,
+    streaming_sessions,
+)
 
 
 def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,6 +47,8 @@ QUERIES = {
     "streaming_health_state": q_streaming_health_state,
     "multimodal_features": q_multimodal_features,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_enriched_agg": stream_static_enrich_agg,
+    "streaming_sessions": streaming_sessions,
 }
 
 ORACLE = {
@@ -77,6 +83,44 @@ ORACLE = {
     "streaming_dedup": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY event_type
+    """,
+    "streaming_enriched_agg": """
+        SELECT e.event_type, n.n_name,
+               count(*) AS n_events,
+               floor((sum(e.value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY e.event_type, n.n_name
+    """,
+    "streaming_sessions": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+        ),
+        lagged AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM e
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR (epoch_us(ts) - epoch_us(prev_ts)) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM lagged
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(date_trunc('second', max(ts) + INTERVAL 30 MINUTE), '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
     """,
     "multimodal_features": """
         SELECT doc_id,

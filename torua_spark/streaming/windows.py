@@ -41,6 +41,87 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def drain_to_batch(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation synchronously to a memory sink and
+    return the final table as a plain batch DataFrame (the batch-parity
+    golden harness). Shuffle partitions are pinned to 8 for the run —
+    one state-store instance spins up per partition."""
+    spark = agg.sparkSession
+    name = f"drain_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+def stream_static_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared `streaming_enriched_agg` — the stream-static join: the
+    events stream enriched against the static customer->nation dims
+    (broadcast hash join per micro-batch; the dims never enter state),
+    then aggregated per (event_type, nation).
+
+    At scale this is THE streaming enrichment shape: the static side
+    is re-broadcast per trigger from its (cached) snapshot, stream
+    state holds only the aggregation rows, and no watermark is needed
+    because the group keys are low-cardinality and time-free."""
+    ev = events_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    from torua_spark.functions.compat import round4
+
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("event_type", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+    )
+    return drain_to_batch(agg)
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared `streaming_sessions` — native session_window over the
+    event STREAM (30-minute gap per user), drained to batch. Complete
+    mode: with the whole table in one micro-batch the result equals
+    the batch session_window, pinning batch/stream parity of the
+    session operator (the oracle is the independent lag+cumsum SQL).
+
+    A production deployment adds a watermark and append mode so state
+    is evicted as sessions close; complete mode here keeps the drained
+    run deterministic."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain_to_batch(agg)
+
+
 def late_data_tumbling(spark: SparkSession, sf_dir: str,
                        watermark: str = "10 minutes") -> DataFrame:
     """Declared `late_data_watermark`: streaming tumbling 1h window per
