@@ -27,6 +27,16 @@ def test_json_roundtrip(spark, nation_df, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation_df.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, nation_df, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    io.write_orc(nation_df, p)
+    back = io.read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation_df.collect()))
+    # ORC scans take predicate pushdown like parquet
+    plan = plan_string(back.filter(F.col("n_nationkey") == 3))
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     p = str(tmp_path / "docs_by_lang")

@@ -139,6 +139,18 @@ def q_shard_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) of A25's wide counters back to long form —
+    `DataFrame.unpivot`, the inverse of groupBy().pivot(). Zero
+    counters survive as explicit rows (coalesced before the melt)."""
+    return q_shard_op_counters(spark, sf_dir).unpivot(
+        ids=["shard_id"],
+        values=["gets", "puts", "deletes"],
+        variableColumnName="op",
+        valueColumnName="n",
+    )
+
+
 QUERIES = {
     "kv_hostile_keys": q_hostile_keys,
     "shard_assignment_update": q_assignment_update,
@@ -146,6 +158,7 @@ QUERIES = {
     "node_shards": q_node_shards,
     "shard_state_machine": q_shard_state_machine,
     "shard_op_counters": q_shard_op_counters,
+    "shard_op_unpivot": q_shard_op_unpivot,
 }
 
 _KEYS_VALUES = ", ".join(f"('{k}')" for k in HOSTILE_KEYS)
@@ -207,3 +220,10 @@ ORACLE = {
         FROM ops GROUP BY shard_id
     """,
 }
+
+ORACLE["shard_op_unpivot"] = f"""
+    WITH p AS ({ORACLE["shard_op_counters"]})
+    SELECT shard_id, 'gets' AS op, gets AS n FROM p
+    UNION ALL SELECT shard_id, 'puts' AS op, puts AS n FROM p
+    UNION ALL SELECT shard_id, 'deletes' AS op, deletes AS n FROM p
+"""

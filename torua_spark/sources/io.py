@@ -38,6 +38,15 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native; same pushdown/pruning contract as parquet)."""
+    df.write.mode(mode).orc(path)
+
+
 def delta_available() -> bool:
     try:
         import delta  # noqa: F401
