@@ -108,7 +108,7 @@ _NESTED_LOOP_OK = {
     "vector_topk_cosine", "vector_ann_ivf", "vector_neardup_pairs",
     "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
-    "rag_tfidf_topk", "rag_bm25_topk",
+    "rag_tfidf_topk", "rag_bm25_topk", "text_unigram_logprob",
     # 5-row stage list inequality-joined to a 5-row depth histogram
     "corpus_funnel",
 }

@@ -118,6 +118,31 @@ def test_bfs_hops_partition_vertex_set(spark, sf_dir):
     assert sum(by_hop.values()) == n_vertices
 
 
+def test_unigram_logprob_covers_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from torua_spark.sources.catalog import load_table
+
+    rows = rag_q.QUERIES["text_unigram_logprob"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    assert all(r["avg_nll"] > 0 for r in rows)
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in rows) == total_tok
+
+
+def test_quantization_error_within_half_step(spark, sf_dir):
+    """Uniform quantization to 256 levels can't err more than half a
+    step per dimension (plus the 4dp rounding slack)."""
+    rows = rag_q.QUERIES["vector_quantize_report"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        step = (r["maxv"] - r["minv"]) / 255.0
+        assert r["max_err"] <= step / 2 + 1e-4, r
+        assert 0 <= r["avg_err"] <= r["max_err"] + 1e-4
+
+
 def test_bm25_ranked_topk(spark, sf_dir):
     rows = rag_q.QUERIES["rag_bm25_topk"](spark, sf_dir).collect()
     assert len(rows) == 10

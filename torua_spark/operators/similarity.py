@@ -108,6 +108,44 @@ def ivf_topk(
     )
 
 
+def scalar_quantization_report(embeddings: DataFrame,
+                               levels: int = 256) -> DataFrame:
+    """Int8 scalar-quantization calibration for the vector store:
+    per-dimension [min, max] over the corpus, plus the reconstruction
+    error that quantizing to `levels` uniform codes would incur —
+    the memory-4x-reduction feasibility report an ANN deployment runs
+    before switching its index to int8.
+
+    Two corpus passes over (vec_id, dim, value) rows: a 64-row
+    min/max aggregate (broadcast back), then the error aggregate.
+    Constant-dimension degenerate ranges (max == min) quantize to
+    code 0 with zero error. All arithmetic is IEEE +,*,/ — portable
+    to the oracle bit-for-bit."""
+    pos = embeddings.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "v")
+    )
+    stats = pos.groupBy("pos").agg(
+        F.min("v").alias("minv"), F.max("v").alias("maxv")
+    )
+    span = F.col("maxv") - F.col("minv")
+    code = F.when(
+        span > 0,
+        F.floor((F.col("v") - F.col("minv")) / span * F.lit(levels - 1) + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    recon = F.col("minv") + code * span / F.lit(levels - 1)
+    return (
+        pos.join(F.broadcast(stats), "pos")
+        .select("pos", "minv", "maxv", F.abs(F.col("v") - recon).alias("err"))
+        .groupBy("pos")
+        .agg(
+            round4(F.min("minv")).alias("minv"),
+            round4(F.max("maxv")).alias("maxv"),
+            round4(F.avg("err")).alias("avg_err"),
+            round4(F.max("err")).alias("max_err"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35, cell_col: str = "label"
 ) -> DataFrame:

@@ -90,6 +90,35 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Unigram language-model quality score — the classic LM filter:
+    per-doc mean negative log-probability of its tokens under the
+    corpus unigram distribution (high = surprising/rare text, low =
+    fluent/common). The cheap proxy for perplexity-based filtering.
+
+    Corpus-sized work is ONE (token) count shuffle; the unigram table
+    is vocabulary-sized and broadcast to score tokens in place, and
+    the corpus total is a broadcast scalar. Per-doc reduce is a
+    partial+final aggregation."""
+    spark_parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    tok = documents.repartition(spark_parallelism, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(F.broadcast(uni), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round4(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("total")))
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min-hash over character 8-gram shingles
     (one-permutation rolling-hash fingerprint) + shingle cardinality.

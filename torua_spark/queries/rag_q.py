@@ -57,6 +57,8 @@ QUERIES = {
     "text_quality_scores": lambda s, d: ta.quality_scores(_docs(s, d)),
     "text_language_id": lambda s, d: ta.language_id(_docs(s, d)),
     "text_token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
+    "text_unigram_logprob": lambda s, d: ta.unigram_logprob(_docs(s, d)),
+    "vector_quantize_report": lambda s, d: sim.scalar_quantization_report(_emb(s, d)),
     "doc_fingerprint": lambda s, d: ta.fingerprints(_docs(s, d)),
     "rag_chunk_documents": lambda s, d: rt.chunk_documents(_docs(s, d)),
     "rag_tfidf_topk": lambda s, d: rt.tfidf_top_terms(_docs(s, d), 3),
@@ -383,6 +385,41 @@ ORACLE = {
                 ORDER BY score DESC, entity_type, entity_id) AS rank
             FROM allrows
         ) WHERE rank <= {gr.CONTEXT_LIMIT}
+    """,
+    "text_unigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        uni AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
+        tot AS (SELECT sum(cnt)::BIGINT AS total FROM uni)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               floor((avg(-ln(cnt::DOUBLE / total))) * 10000.0 + 0.5 + 1e-9) / 10000.0
+                   AS avg_nll
+        FROM tok JOIN uni USING (t), tot
+        GROUP BY doc_id
+    """,
+    "vector_quantize_report": """
+        WITH pos AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding)))::INTEGER AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ),
+        stats AS (SELECT pos, min(v) AS minv, max(v) AS maxv FROM pos GROUP BY pos),
+        errs AS (
+            SELECT p.pos, s.minv, s.maxv,
+                   abs(p.v - (s.minv +
+                       (CASE WHEN s.maxv - s.minv > 0
+                             THEN floor((p.v - s.minv) / (s.maxv - s.minv) * 255 + 0.5)
+                             ELSE 0 END) * (s.maxv - s.minv) / 255)) AS err
+            FROM pos p JOIN stats s ON p.pos = s.pos
+        )
+        SELECT pos,
+               floor((min(minv)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS minv,
+               floor((max(maxv)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS maxv,
+               floor((avg(err)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_err,
+               floor((max(err)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_err
+        FROM errs GROUP BY pos
     """,
     # graphrag_ppr: generated below (loop-unrolled)
     "rag_bm25_topk": f"""
