@@ -113,14 +113,74 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (all 4 grouping-set combinations of status x priority)
+    — `rollup_orders`' sibling covering the complete grouping-sets
+    family; NULL marks the aggregated-out dimension."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round4(F.sum("o_totalprice")).alias("sum_total"),
+    )
+
+
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics via ranking windows: events split into
+    per-type quartiles (ntile over a unique total order), reporting
+    count, mean, and the quartile's upper percent_rank/cume_dist
+    boundary. One shuffle on event_type; the sort is per-partition."""
+    from pyspark.sql import Window, functions as F
+    from torua_spark.functions.compat import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("value")).alias("avg_value"),
+        round4(F.max("pr")).alias("max_percent_rank"),
+        round4(F.max("cd")).alias("max_cume_dist"),
+    )
+
+
 QUERIES["rollup_orders"] = q_rollup_orders
 QUERIES["quantile_stats"] = q_quantile_stats
 QUERIES["approx_stats"] = q_approx_stats
+QUERIES["cube_orders"] = q_cube_orders
+QUERIES["value_quartiles"] = q_value_quartiles
 
 ORACLE["rollup_orders"] = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            floor((sum(o_totalprice)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+ORACLE["cube_orders"] = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+ORACLE["value_quartiles"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+        FROM events
+    )
+    SELECT event_type, CAST(quartile AS INTEGER) AS quartile, count(*) AS n,
+           floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value,
+           floor((max(pr)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_percent_rank,
+           floor((max(cd)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_cume_dist
+    FROM ranked GROUP BY event_type, quartile
 """
 ORACLE["quantile_stats"] = """
     SELECT event_type, count(*) AS n,
