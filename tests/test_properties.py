@@ -61,3 +61,46 @@ def test_jaccard_bounds_and_symmetry(spark, sf_dir):
 
     rows = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_hash_unit_matches_python_md5(spark):
+    """The sampling band function == top-32-md5-bits/2^32 computed by
+    Python's hashlib — pinning the cross-engine portability claim."""
+    import hashlib
+
+    from torua_spark.operators.sampling import hash_unit
+
+    keys = [str(i) for i in range(64)] + ["", "é", "数字", "a b|c"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["u"]
+        for r in df.select("k", hash_unit(F.col("k"), "salt:").alias("u")).collect()
+    }
+    for k in keys:
+        want = int(hashlib.md5(("salt:" + k).encode()).hexdigest()[:8], 16) / 2**32
+        assert got[k] == want, k
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 1000)),
+        min_size=30, max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_prefix_sum_property_random_sparse_ids(spark, rows):
+    """Block-wise exclusive prefix sum == sequential cumsum for
+    arbitrary sparse, gappy order keys (block boundaries land
+    anywhere relative to the keys)."""
+    from torua_spark.operators.sampling import exclusive_prefix_sum
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["offset"]
+        for r in exclusive_prefix_sum(df, "id", "v", block=13).collect()
+    }
+    acc = 0
+    for i, v in sorted(rows):
+        assert got[i] == acc, (i, got[i], acc)
+        acc += v
