@@ -55,3 +55,21 @@ def test_owns_key_partitions_match_routing(spark, sf_dir):
             .collect()
         )
         assert owned == routed and owned
+
+
+def test_scd2_intervals_chain_per_key(spark, sf_dir):
+    """Each key's SCD2 rows form a gapless chain: exactly one open
+    (current) row; every valid_to equals the next version's
+    valid_from; versions are dense from 1."""
+    from torua_spark.queries.kv_q import q_scd2_history
+
+    by_key = {}
+    for r in q_scd2_history(spark, sf_dir).collect():
+        by_key.setdefault(r["key"], []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], key

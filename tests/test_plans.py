@@ -42,6 +42,23 @@ def test_q1_column_pruning(spark, sf_dir):
     )
 
 
+def test_sample_scan_prunes_text_column(spark, sf_dir):
+    """Stratified sampling decides on doc_id+lang only — the scan must
+    NOT read `text` (the column holding ~95% of the table's bytes)."""
+    from torua_spark.queries import pipeline_q
+
+    assert_read_schema_only(
+        pipeline_q.q_sample_stratified(spark, sf_dir),
+        {"doc_id", "lang", "source", "n_chars"},
+    )
+
+
+def test_pack_sequences_broadcasts_block_offsets(spark, sf_dir):
+    from torua_spark.queries import pipeline_q
+
+    assert_broadcast_join(pipeline_q.q_pack_sequences(spark, sf_dir))
+
+
 def test_routing_trace_broadcasts_assignments(spark, sf_dir):
     assert_broadcast_join(topology_q.q_routing_trace(spark, sf_dir))
 

@@ -18,3 +18,14 @@ def test_topk_rank_bounds(spark, sf_dir):
     for r in out:
         per_day.setdefault(r["day"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_day.values())
+
+
+def test_funnel_is_monotone_and_ordered(spark, sf_dir):
+    rows = sorted(
+        temporal_q.q_event_funnel(spark, sf_dir).collect(), key=lambda r: r["stage"]
+    )
+    assert [r["event_type"] for r in rows] == ["signup", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conversion"] == 1.0
+    assert all(0.0 <= r["conversion"] <= 1.0 for r in rows)

@@ -53,6 +53,26 @@ def upsert(kv: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(updates: DataFrame) -> DataFrame:
+    """A2 extended to FULL HISTORY — the SCD2 (slowly-changing
+    dimension) view of a key's update stream: every write becomes a
+    versioned row with a [valid_from, valid_to) interval, the last
+    one open-ended (the LWW winner `upsert` keeps).
+
+    ``updates`` carries (key, value, ts, seq) where seq breaks ts
+    ties deterministically. One window per key: valid_to = next
+    write's ts (lead). At 100 TB this is one shuffle on key — and the
+    window never holds more than a key's own history."""
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    return updates.select(
+        "key",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def delete(kv: DataFrame, tombstones: DataFrame) -> DataFrame:
     """A3 — idempotent delete (store.go:391-397) as left_anti join."""
     return kv.join(tombstones.select("key"), "key", "left_anti")

@@ -64,6 +64,54 @@ def sliding_topk_event_types(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+FUNNEL_SEQUENCE = ["signup", "click", "purchase"]
+
+
+def event_funnel(events: DataFrame,
+                 sequence: list[str] | None = None) -> DataFrame:
+    """Ordered-sequence funnel — the MATCH_RECOGNIZE-shaped pattern
+    Spark has no native operator for: per user, the earliest time of
+    stage k STRICTLY AFTER their matched stage k-1 time (first-touch
+    attribution), reported as per-stage user counts + conversion from
+    the previous stage.
+
+    Composition: one conditional min-aggregate per stage over the
+    (co-partitioned) events-per-user relation — stage k's aggregate
+    filters on the stage k-1 timestamp joined back on user_id. After
+    the first shuffle on user_id every later stage reuses the same
+    hash partitioning, so the funnel depth adds aggregates, not
+    repartitions. Ties inside a stage don't matter (min); stage
+    boundaries are strict (> prev) so one event can't match twice."""
+    sequence = sequence or FUNNEL_SEQUENCE
+    ev = events.select("user_id", "event_type", "ts")
+    reached = ev.filter(F.col("event_type") == sequence[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    stage_counts = [reached.count()]
+    for k, stage in enumerate(sequence[1:], start=1):
+        reached = (
+            ev.filter(F.col("event_type") == stage)
+            .join(reached, "user_id")
+            .filter(F.col("ts") > F.col(f"t{k - 1}"))
+            .groupBy("user_id", *[f"t{j}" for j in range(k)])
+            .agg(F.min("ts").alias(f"t{k}"))
+        )
+        stage_counts.append(reached.count())
+    spark = events.sparkSession
+    rows = [
+        (k, sequence[k], int(stage_counts[k]),
+         float(stage_counts[k]) / stage_counts[k - 1] if k and stage_counts[k - 1] else
+         (1.0 if k == 0 else 0.0))
+        for k in range(len(sequence))
+    ]
+    out = spark.createDataFrame(
+        rows, "stage int, event_type string, n_users long, conversion double"
+    )
+    return out.select(
+        "stage", "event_type", "n_users", round4("conversion").alias("conversion")
+    )
+
+
 def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization — classic lag+cumsum session assignment (the
     batch equivalent of streaming session_window): a new session starts

@@ -125,3 +125,35 @@ ORACLE = {
         WHERE NOT (key >= '{RANGE_START}' AND key < '{RANGE_END}')
     """,
 }
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extended to full write history: the purchase-event stream
+    per user as an SCD2 table (valid_from/valid_to intervals, version
+    numbers, open-ended current row)."""
+    from pyspark.sql import functions as F
+    from torua_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    updates = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+    return kvops.scd2_history(updates)
+
+
+QUERIES["kv_scd2_history"] = q_scd2_history
+
+ORACLE["kv_scd2_history"] = """
+    SELECT user_id::VARCHAR AS key, value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           (lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""

@@ -180,3 +180,46 @@ ORACLE["temporal_sliding_window"] = """
            floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value
     FROM expanded GROUP BY 1, 2
 """
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel (first-touch, strict
+    ordering) — the MATCH_RECOGNIZE-shaped sequence pattern."""
+    from torua_spark.operators.temporal import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["event_funnel"] = q_event_funnel
+
+ORACLE["event_funnel"] = """
+    WITH s0 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s0.t0
+        GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT (SELECT count(*) FROM s0)::BIGINT AS n0,
+               (SELECT count(*) FROM s1)::BIGINT AS n1,
+               (SELECT count(*) FROM s2)::BIGINT AS n2
+    )
+    SELECT 0 AS stage, 'signup' AS event_type, n0 AS n_users,
+           floor(1.0 * 10000.0 + 0.5 + 1e-9) / 10000.0 AS conversion FROM n
+    UNION ALL
+    SELECT 1, 'click', n1,
+           floor((CASE WHEN n0 > 0 THEN n1::DOUBLE / n0 ELSE 0.0 END) * 10000.0 + 0.5 + 1e-9) / 10000.0 FROM n
+    UNION ALL
+    SELECT 2, 'purchase', n2,
+           floor((CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0.0 END) * 10000.0 + 0.5 + 1e-9) / 10000.0 FROM n
+"""
