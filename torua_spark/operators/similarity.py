@@ -108,6 +108,35 @@ def ivf_topk(
     )
 
 
+def centroid_inertia(embeddings: DataFrame,
+                     cell_col: str = "label") -> DataFrame:
+    """Cluster-quality report for the embedding space: per cell
+    (label), the member count and the mean/max squared L2 distance to
+    the cell centroid — the inertia measure a k-means/IVF deployment
+    monitors to decide when to re-train its index.
+
+    Plan: one (vec, dim, value) aggregation to centroids (cells x
+    dims rows — broadcast back), one per-vector distance reduce, one
+    per-cell reduce. The centroid table is index-sized, never
+    corpus-sized; every aggregate is partial+final."""
+    pos = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        "vec_id",
+        F.posexplode(to_double_array("embedding")).alias("pos", "v"),
+    )
+    cent = pos.groupBy("cell", "pos").agg(F.avg("v").alias("c"))
+    per_vec = (
+        pos.join(F.broadcast(cent), ["cell", "pos"])
+        .groupBy("cell", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round4(F.avg("d2")).alias("avg_dist2"),
+        round4(F.max("d2")).alias("max_dist2"),
+    )
+
+
 def scalar_quantization_report(embeddings: DataFrame,
                                levels: int = 256) -> DataFrame:
     """Int8 scalar-quantization calibration for the vector store:

@@ -59,6 +59,7 @@ QUERIES = {
     "text_token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
     "text_unigram_logprob": lambda s, d: ta.unigram_logprob(_docs(s, d)),
     "vector_quantize_report": lambda s, d: sim.scalar_quantization_report(_emb(s, d)),
+    "vector_centroid_inertia": lambda s, d: sim.centroid_inertia(_emb(s, d)),
     "doc_fingerprint": lambda s, d: ta.fingerprints(_docs(s, d)),
     "rag_chunk_documents": lambda s, d: rt.chunk_documents(_docs(s, d)),
     "rag_tfidf_topk": lambda s, d: rt.tfidf_top_terms(_docs(s, d), 3),
@@ -420,6 +421,24 @@ ORACLE = {
                floor((avg(err)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_err,
                floor((max(err)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_err
         FROM errs GROUP BY pos
+    """,
+    "vector_centroid_inertia": """
+        WITH pos AS (
+            SELECT label AS cell, vec_id,
+                   unnest(range(len(embedding)))::INTEGER AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ),
+        cent AS (SELECT cell, pos, avg(v) AS c FROM pos GROUP BY cell, pos),
+        per_vec AS (
+            SELECT p.cell, p.vec_id, sum((p.v - c.c) * (p.v - c.c)) AS d2
+            FROM pos p JOIN cent c ON p.cell = c.cell AND p.pos = c.pos
+            GROUP BY p.cell, p.vec_id
+        )
+        SELECT cell, count(*)::BIGINT AS n_vectors,
+               floor((avg(d2)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_dist2,
+               floor((max(d2)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_dist2
+        FROM per_vec GROUP BY cell
     """,
     # graphrag_ppr: generated below (loop-unrolled)
     "rag_bm25_topk": f"""
