@@ -139,6 +139,27 @@ def q_shard_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assignment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog snapshot diff via FULL OUTER join: old vs new
+    assignment tables classified into unchanged / moved / added /
+    removed — the admin view behind A12/A13 (what did this
+    reassignment batch actually change?)."""
+    old = spark.createDataFrame(ASSIGN_INITIAL, "shard_id int, node_id string")
+    new = spark.createDataFrame(
+        [(0, "n1"), (1, "n3"), (3, "n3"), (9, "n4")], "shard_id int, node_id string"
+    )
+    j = old.withColumnRenamed("node_id", "old_node").join(
+        new.withColumnRenamed("node_id", "new_node"), "shard_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("old_node").isNull(), F.lit("added"))
+        .when(F.col("new_node").isNull(), F.lit("removed"))
+        .when(F.col("old_node") == F.col("new_node"), F.lit("unchanged"))
+        .otherwise(F.lit("moved"))
+    )
+    return j.select("shard_id", "old_node", "new_node", change.alias("change"))
+
+
 def q_shard_op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) of A25's wide counters back to long form —
     `DataFrame.unpivot`, the inverse of groupBy().pivot(). Zero
@@ -159,6 +180,7 @@ QUERIES = {
     "shard_state_machine": q_shard_state_machine,
     "shard_op_counters": q_shard_op_counters,
     "shard_op_unpivot": q_shard_op_unpivot,
+    "shard_assignment_diff": q_assignment_diff,
 }
 
 _KEYS_VALUES = ", ".join(f"('{k}')" for k in HOSTILE_KEYS)
@@ -220,6 +242,18 @@ ORACLE = {
         FROM ops GROUP BY shard_id
     """,
 }
+
+ORACLE["shard_assignment_diff"] = f"""
+    WITH old AS (SELECT * FROM (VALUES {_INIT_VALUES}) AS t(shard_id, node_id)),
+    new AS (SELECT * FROM (VALUES (0, 'n1'), (1, 'n3'), (3, 'n3'), (9, 'n4')) AS t(shard_id, node_id))
+    SELECT CAST(coalesce(old.shard_id, new.shard_id) AS INTEGER) AS shard_id,
+           old.node_id AS old_node, new.node_id AS new_node,
+           CASE WHEN old.node_id IS NULL THEN 'added'
+                WHEN new.node_id IS NULL THEN 'removed'
+                WHEN old.node_id = new.node_id THEN 'unchanged'
+                ELSE 'moved' END AS change
+    FROM old FULL OUTER JOIN new ON old.shard_id = new.shard_id
+"""
 
 ORACLE["shard_op_unpivot"] = f"""
     WITH p AS ({ORACLE["shard_op_counters"]})
