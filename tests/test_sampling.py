@@ -87,3 +87,18 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
     assert sum(r["tok_mass"] for r in seqs) == total_tok
     assert all(0 <= r["n_crossing"] <= r["n_docs"] for r in seqs)
     assert max(r["seq_id"] for r in seqs) <= total_tok // smp.PACK_BUDGET
+
+
+def test_fixed_size_sample_exact_counts(spark, sf_dir):
+    rows = pipeline_q.q_sample_fixed_size(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rank_in_stratum"])
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, ranks in per_lang.items():
+        want = min(pipeline_q.FIXED_SAMPLE_N, totals[lang])
+        assert sorted(ranks) == list(range(1, want + 1)), lang

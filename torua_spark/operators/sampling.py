@@ -65,6 +65,29 @@ def stratified_sample(documents: DataFrame,
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def fixed_size_sample(documents: DataFrame, n_per_stratum: int,
+                      stratum_col: str = "lang") -> DataFrame:
+    """Exact-size per-stratum sample (eval-set construction): the
+    `n_per_stratum` docs with the smallest salted hash in each
+    stratum. Hash-ranking makes it a uniform random draw that is
+    still deterministic and engine-portable; unlike rate-based
+    `stratified_sample` the output size is exact.
+
+    Scale: one shuffle on the stratum key; per-stratum top-n is a
+    bounded heap per partition (rank window) — with many strata the
+    window parallelizes across them. For a single giant stratum,
+    switch to a two-pass threshold estimate; at our stratum counts
+    the window is the right tool."""
+    u = hash_unit(F.col("doc_id").cast("string"), "fixed:")
+    w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        documents.select("doc_id", stratum_col, "n_chars", u.alias("u"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_per_stratum)
+        .select("doc_id", stratum_col, "n_chars", F.col("r").alias("rank_in_stratum"))
+    )
+
+
 def train_test_split(documents: DataFrame,
                      train_frac: float = TRAIN_FRAC,
                      val_frac: float = VAL_FRAC) -> DataFrame:

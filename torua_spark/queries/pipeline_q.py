@@ -37,11 +37,21 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.corpus_funnel(load_table(spark, sf_dir, "documents"))
 
 
+FIXED_SAMPLE_N = 25
+
+
+def q_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.fixed_size_sample(
+        load_table(spark, sf_dir, "documents"), FIXED_SAMPLE_N
+    )
+
+
 QUERIES = {
     "sample_stratified": q_sample_stratified,
     "train_test_split": q_train_test_split,
     "pack_sequences": q_pack_sequences,
     "corpus_funnel": q_corpus_funnel,
+    "sample_fixed_size": q_sample_fixed_size,
 }
 
 
@@ -83,6 +93,19 @@ ORACLE = {
         FROM agg
     """,
     "corpus_funnel": None,  # assigned below (needs the stopword list)
+    "sample_fixed_size": f"""
+        SELECT doc_id, lang, n_chars, CAST(r AS INTEGER) AS rank_in_stratum
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('fixed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                    / 4294967296.0 ASC,
+                                doc_id ASC
+                   ) AS r
+            FROM documents
+        ) WHERE r <= {FIXED_SAMPLE_N}
+    """,
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
