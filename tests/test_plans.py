@@ -152,3 +152,21 @@ def test_no_row_python_and_no_cartesian_anywhere(spark, sf_dir):
         if name not in _NESTED_LOOP_OK and "BroadcastNestedLoopJoin" in plan:
             failures.append(f"{name}: unexpected nested loop join")
     assert not failures, failures
+
+
+def test_cached_plan_reuses_inmemory_scan(spark, sf_dir):
+    """B15 (result cache): a cached aggregate is served from
+    InMemoryTableScan on re-use instead of recomputing the scan."""
+    from torua_spark.sources.catalog import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    try:
+        df.count()  # materialize the cache
+        assert "InMemoryTableScan" in plan_string(df)
+    finally:
+        df.unpersist()
