@@ -22,6 +22,7 @@ from torua_spark.streaming.health_state import streaming_consecutive_failures
 from torua_spark.streaming.windows import (
     late_data_tumbling,
     stream_static_enrich_agg,
+    stream_stream_attribution,
     streaming_sessions,
 )
 
@@ -49,6 +50,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_enriched_agg": stream_static_enrich_agg,
     "streaming_sessions": streaming_sessions,
+    "streaming_attribution_join": stream_stream_attribution,
 }
 
 ORACLE = {
@@ -92,6 +94,16 @@ ORACLE = {
         JOIN customer c ON e.user_id = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY e.event_type, n.n_name
+    """,
+    "streaming_attribution_join": """
+        SELECT c.user_id,
+               strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
     """,
     "streaming_sessions": """
         WITH e AS (

@@ -122,6 +122,42 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_batch(agg)
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str,
+                              horizon_minutes: int = 60) -> DataFrame:
+    """Declared `streaming_attribution_join` — the stream-STREAM join:
+    every purchase attributed to each click by the same user within
+    the preceding `horizon_minutes` (ad-attribution shape). Both sides
+    carry watermarks and the join has an event-time range constraint,
+    so the streaming engine can evict click state older than the
+    horizon — state is O(events in horizon), not O(stream).
+
+    Inner-join results emit as soon as both sides match (no watermark
+    wait), so the drained single-batch run equals the equivalent
+    batch interval join — the oracle."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", f"{horizon_minutes} minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", f"{horizon_minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+    ).select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+    )
+    return drain_to_batch(joined, mode="append")
+
+
 def late_data_tumbling(spark: SparkSession, sf_dir: str,
                        watermark: str = "10 minutes") -> DataFrame:
     """Declared `late_data_watermark`: streaming tumbling 1h window per
