@@ -115,6 +115,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
 # 1-row-side nested-loop joins.
 _PYTHON_OK = {
     "multimodal_features",      # mapInPandas codec plumbing (Arrow)
+    "multimodal_resize",        # geometry over the same mapInPandas decode
     "udaf_quality_by_lang",     # applyInPandas UDAF (Arrow)
     "shard_split_ranges",       # Python UDTF
     "late_data_watermark",      # streaming drained via memory sink

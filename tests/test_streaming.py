@@ -44,3 +44,33 @@ def test_frame_sample_is_documented_stub(spark, sf_dir):
     media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(media)
+
+
+def test_resize_specs_fit_box_and_preserve_aspect(spark, sf_dir):
+    from torua_spark.operators import multimodal
+    from torua_spark.queries.streaming_q import q_multimodal_resize
+
+    rows = q_multimodal_resize(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["new_width"] <= multimodal.RESIZE_BOX
+        assert 1 <= r["new_height"] <= multimodal.RESIZE_BOX
+        if r["needs_resize"]:
+            # each dim is the rounded ideal scaled size (clamped at 1)
+            # and the long side lands exactly on the box edge
+            scale = multimodal.RESIZE_BOX / max(r["width"], r["height"])
+            assert r["new_width"] == max(1, int(r["width"] * scale + 0.5)), r
+            assert r["new_height"] == max(1, int(r["height"] * scale + 0.5)), r
+            assert max(r["new_width"], r["new_height"]) == multimodal.RESIZE_BOX, r
+        else:
+            assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
+
+
+def test_resize_pixels_is_documented_stub(spark, sf_dir):
+    import pytest as _pytest
+
+    from torua_spark.operators import multimodal
+    from torua_spark.sources.catalog import load_table
+
+    media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_pixels(media)

@@ -67,6 +67,46 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_decode_batch, FEATURE_SCHEMA)
 
 
+RESIZE_BOX = 224
+
+
+def resize_specs(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """Resize PLANNING — the JVM-side half of the resize operator:
+    fit-within-box target geometry (aspect-preserving, never upscale)
+    computed from decoded metadata. A real pipeline splits exactly
+    here: codec decode (Arrow-batched Python) emits metadata, the
+    geometry/filter/pruning logic stays in whole-stage codegen, and
+    only rows with `needs_resize` re-enter the (expensive) pixel
+    stage — at 100 TB that pruning is most of the win."""
+    feats = extract_features(media)
+    longest = F.greatest(F.col("width"), F.col("height"))
+    scale = F.when(longest > box, F.lit(float(box)) / longest).otherwise(F.lit(1.0))
+    # round-half-up (floor(x+0.5)), the PIL geometry convention — floor
+    # alone undershoots the box edge when scale*longest lands at
+    # 223.999... in IEEE arithmetic.
+    new_dim = lambda c: (  # noqa: E731
+        F.greatest(F.lit(1), F.floor(F.col(c) * scale + F.lit(0.5))).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        new_dim("width").alias("new_width"),
+        new_dim("height").alias("new_height"),
+        (longest > box).alias("needs_resize"),
+    )
+
+
+def resize_pixels(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """Pixel resampling — requires a real image codec; the Spark-side
+    contract is resize_specs ⋈ payload -> mapInPandas(PIL resize).
+    Not implementable in this container."""
+    raise NotImplementedError(
+        "pixel resampling needs an image codec (PIL) absent from this "
+        "environment; target geometry comes from resize_specs"
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling — requires a real codec; the Spark-side
     contract is identical to extract_features (mapInPandas over binary

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from torua_spark.operators.multimodal import extract_features, to_media_table
+from torua_spark.operators.multimodal import (
+    extract_features,
+    resize_specs,
+    to_media_table,
+)
 from torua_spark.sources.catalog import load_table
 from torua_spark.streaming.dedup import streaming_distinct_users
 from torua_spark.streaming.health_state import streaming_consecutive_failures
@@ -39,6 +43,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(to_media_table(load_table(spark, sf_dir, "documents")))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_specs(to_media_table(load_table(spark, sf_dir, "documents")))
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_distinct_users(spark, sf_dir)
 
@@ -47,6 +55,7 @@ QUERIES = {
     "late_data_watermark": q_late_data_watermark,
     "streaming_health_state": q_streaming_health_state,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enriched_agg": stream_static_enrich_agg,
     "streaming_sessions": streaming_sessions,
@@ -133,6 +142,28 @@ ORACLE = {
                    AS session_end,
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
+    """,
+    "multimodal_resize": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(1 + h % 640 AS INTEGER) AS width,
+                   CAST(1 + (h // 640) % 480 AS INTEGER) AS height
+            FROM (
+                SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                FROM documents
+            )
+        )
+        SELECT doc_id, width, height,
+               CAST(greatest(1, floor(width *
+                   CASE WHEN greatest(width, height) > 224
+                        THEN 224.0 / greatest(width, height) ELSE 1.0 END + 0.5)) AS INTEGER)
+                   AS new_width,
+               CAST(greatest(1, floor(height *
+                   CASE WHEN greatest(width, height) > 224
+                        THEN 224.0 / greatest(width, height) ELSE 1.0 END + 0.5)) AS INTEGER)
+                   AS new_height,
+               greatest(width, height) > 224 AS needs_resize
+        FROM f
     """,
     "multimodal_features": """
         SELECT doc_id,
