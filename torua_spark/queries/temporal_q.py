@@ -223,3 +223,44 @@ ORACLE["event_funnel"] = """
     SELECT 2, 'purchase', n2,
            floor((CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0.0 END) * 10000.0 + 0.5 + 1e-9) / 10000.0 FROM n
 """
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: events land in 1-day
+    time chunks whose PARTIAL aggregates (count, sum) are what a
+    deployment materializes incrementally; the serving query merges
+    partials — never re-reading raw events. Correctness rests on the
+    aggregates being algebraic (count/sum merge; avg = sum/count of
+    merged partials, never avg-of-avgs) — which this query proves by
+    matching the oracle's direct aggregation over the raw table.
+
+    At 100 TB: chunks are parquet partitions written per ingest
+    window; the merge step reads ~365 x |event_type| partial rows per
+    year instead of the raw stream."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    chunks = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("chunk"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps"))
+    return chunks.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        round4(F.sum("ps")).alias("sum_value"),
+        round4(F.sum("ps") / F.sum("pn")).alias("avg_value"),
+    )
+
+
+QUERIES["hypertable_rollup"] = q_hypertable_rollup
+
+ORACLE["hypertable_rollup"] = """
+    WITH chunks AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS chunk, event_type,
+               count(*)::BIGINT AS pn, sum(value) AS ps
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, sum(pn)::BIGINT AS n_events,
+           floor((sum(ps)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_value,
+           floor((sum(ps) / sum(pn)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value
+    FROM chunks GROUP BY event_type
+"""
