@@ -150,3 +150,19 @@ def test_bm25_ranked_topk(spark, sf_dir):
     scores = [r["score"] for r in ordered]
     assert scores == sorted(scores, reverse=True)
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_prefix_filter_recall_covers_lsh_tier(spark, sf_dir):
+    """Prefix filtering is COMPLETE (theorem-backed blocking): every
+    pair the probabilistic LSH tier verified AT OR ABOVE the prefix
+    tier's threshold must also be found."""
+    pf = {
+        (r["doc_a"], r["doc_b"])
+        for r in rag_q.QUERIES["dedup_prefix_filter"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in rag_q.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r["jaccard"] >= rag_q.PREFIX_THRESHOLD
+    }
+    assert lsh <= pf

@@ -171,6 +171,67 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+def prefix_filter_pairs(documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs blocking family) — the complete-recall
+    counterpart to the probabilistic LSH tier: any pair with token
+    Jaccard >= t MUST share a token inside each side's length
+    (|x| - ceil(t*|x|) + 1) prefix when both token lists are sorted
+    by ascending global document frequency, so blocking on prefix
+    tokens is lossless and the exact verify keeps precision.
+
+    Scale shape: rare tokens (the sort order) make tiny blocks — the
+    candidate join is driven by the LEAST common set elements of each
+    doc. Global df is vocabulary-sized (broadcast); the only
+    corpus-sized shuffles are the (doc, element) relation and the
+    candidate join. The set representation is distinct word 3-gram
+    SHINGLES (same as the minhash tier — unigram sets degenerate on
+    a shared-vocabulary corpus where every doc resembles every
+    other). Returns (doc_a, doc_b, jaccard)."""
+    from torua_spark.functions.text import word_shingles
+
+    tok = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(word_shingles("text", 3)).alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    prefix = (
+        tok.join(F.broadcast(dfreq), "t")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select("doc_id", "t")
+        # NOT checkpointed: the self-join's two sides are identical
+        # subplans, so Catalyst serves both from one ReusedExchange —
+        # measured FASTER than an eager localCheckpoint (6s vs 14s at
+        # sf0.1), whose blocking materialization costs more than the
+        # exchange reuse saves.
+    )
+    cands = (
+        prefix.withColumnRenamed("doc_id", "doc_a")
+        .join(prefix.withColumnRenamed("doc_id", "doc_b"), "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = documents.select(
+        "doc_id", word_shingles("text", 3).alias("tk")
+    )
+    return (
+        cands.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta")), "doc_a"
+        )
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b", round4(jaccard(F.col("ta"), F.col("tb"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 CANON_CC_ROUNDS = 12
 
 

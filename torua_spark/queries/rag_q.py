@@ -21,6 +21,11 @@ from torua_spark.functions.text import STOPWORDS
 from torua_spark.sources.catalog import load_table
 
 JACCARD_THRESHOLD = 0.5
+# Prefix filtering runs at a HIGH threshold by design: prefix length is
+# |x|(1-t)+1, so t=0.5 blocks on half of every doc's shingles (huge
+# candidate blocks) while t=0.8 blocks on a fifth — the PPJoin family's
+# intended operating point. The LSH tier covers the lower-t regime.
+PREFIX_THRESHOLD = 0.8
 NEARDUP_COS_THRESHOLD = 0.35
 SIMHASH_MAX_HAMMING = 6
 BM25_QUERY_TERMS = ["vector", "stream", "merge"]
@@ -48,6 +53,9 @@ QUERIES = {
     ),
     "dedup_cluster_canonical": lambda s, d: dd.canonicalize_near_dups(
         _docs(s, d), JACCARD_THRESHOLD
+    ),
+    "dedup_prefix_filter": lambda s, d: dd.prefix_filter_pairs(
+        _docs(s, d), PREFIX_THRESHOLD
     ),
     "dedup_simhash": lambda s, d: dd.simhash_signatures(_docs(s, d)),
     "dedup_simhash_pairs": lambda s, d: dd.simhash_near_dup_pairs(
@@ -386,6 +394,37 @@ ORACLE = {
                 ORDER BY score DESC, entity_type, entity_id) AS rank
             FROM allrows
         ) WHERE rank <= {gr.CONTEXT_LIMIT}
+    """,
+    "dedup_prefix_filter": f"""
+        WITH shingles AS ({_SHINGLES}),
+        tok AS (SELECT doc_id, unnest(sh) AS t FROM shingles),
+        dfreq AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id),
+        prefix AS (
+            SELECT doc_id, t FROM (
+                SELECT tok.doc_id, tok.t, sizes.sz,
+                       row_number() OVER (
+                           PARTITION BY tok.doc_id ORDER BY dfreq.df, tok.t
+                       ) AS rn
+                FROM tok JOIN dfreq ON tok.t = dfreq.t
+                JOIN sizes ON tok.doc_id = sizes.doc_id
+            ) WHERE rn <= sz - ceil({PREFIX_THRESHOLD} * sz) + 1
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b ON a.t = b.t
+            WHERE a.doc_id < b.doc_id
+        ),
+        sets AS (SELECT doc_id, sh AS tk FROM shingles)
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   floor((len(list_intersect(sa.tk, sb.tk))::DOUBLE /
+                         (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk)))) * 10000.0 + 0.5 + 1e-9) / 10000.0
+                       AS jaccard
+            FROM cands c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b
+        ) WHERE jaccard >= {PREFIX_THRESHOLD}
     """,
     "text_unigram_logprob": """
         WITH tok AS (
