@@ -206,11 +206,14 @@ def prefix_filter_pairs(documents: DataFrame,
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
         .select("doc_id", "t")
-        # NOT checkpointed: the self-join's two sides are identical
-        # subplans, so Catalyst serves both from one ReusedExchange —
-        # measured FASTER than an eager localCheckpoint (6s vs 14s at
-        # sf0.1), whose blocking materialization costs more than the
-        # exchange reuse saves.
+        # persist(), not localCheckpoint(): the candidate self-join
+        # consumes this relation on both sides and Catalyst does NOT
+        # reuse the exchange across them (8 FileScans without this).
+        # Lazy caching dedups the computation without an eager
+        # blocking materialization — interleaved A/B at sf0.1:
+        # persist ~4.4s, no-op ~4.5-8.8s, localCheckpoint ~7.5-9.3s.
+        # The cache entry is prefix-relation-sized (tiny vs corpus).
+        .persist()
     )
     cands = (
         prefix.withColumnRenamed("doc_id", "doc_a")
