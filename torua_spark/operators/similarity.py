@@ -4,9 +4,11 @@ README.md:315-320; engine extension: ANN for 100 TB corpora).
 Two paths, as a real vector pipeline would ship them:
 
 - ``brute_force_topk`` — exact cosine top-k against a query vector.
-  One scan, no shuffle until the final top-k (rank window over a
-  single partition of k candidates per task via takeOrdered semantics
-  in Catalyst's TakeOrderedAndProject). The correctness baseline.
+  One scan, no shuffle until the final top-k, which uses
+  ``orderBy().limit(k)`` — Catalyst's ``TakeOrderedAndProject``:
+  an O(k) heap per partition, k rows per partition to the final
+  merge, never a single-partition sort of the scored corpus. The
+  correctness baseline.
 
 - ``ivf_topk`` — IVF-style two-stage ANN: a deterministic coarse
   quantizer (centroid = element-wise mean per ``label`` cell — the
@@ -23,11 +25,12 @@ with DuckDB's list_cosine_similarity in double precision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from torua_spark.functions.vectors import cosine, to_double_array
 
 from torua_spark.functions.compat import round4
+from torua_spark.functions.ranking import global_topk
 
 
 def _query_vector(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
@@ -49,12 +52,8 @@ def brute_force_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) 
             round4(cosine(to_double_array("embedding"), F.col("q"))).alias("sim"),
         )
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "sim", "rank")
-    )
+    topk = global_topk(scored, [F.col("sim").desc(), F.col("vec_id")], k)
+    return topk.select("vec_id", "label", "sim", "rank")
 
 
 def centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
@@ -84,16 +83,14 @@ def ivf_topk(
     unprobed cell — that's the documented ANN trade-off."""
     q = _query_vector(embeddings, query_vec_id)
     cents = centroids(embeddings, cell_col)
-    wc = Window.orderBy(F.col("csim").desc(), F.col(cell_col))
-    probed = (
+    probed = global_topk(
         cents.crossJoin(F.broadcast(q))
-        .select(cell_col, cosine(F.col("centroid"), F.col("q")).alias("csim"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= nprobe)
-        .select(cell_col)
-    )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
+        .select(cell_col, cosine(F.col("centroid"), F.col("q")).alias("csim")),
+        [F.col("csim").desc(), F.col(cell_col)],
+        nprobe,
+        rank_col="crank",
+    ).select(cell_col)
+    scored = (
         embeddings.join(F.broadcast(probed), cell_col, "left_semi")
         .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
@@ -102,10 +99,9 @@ def ivf_topk(
             "label",
             round4(cosine(to_double_array("embedding"), F.col("q"))).alias("sim"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "sim", "rank")
     )
+    topk = global_topk(scored, [F.col("sim").desc(), F.col("vec_id")], k)
+    return topk.select("vec_id", "label", "sim", "rank")
 
 
 def centroid_inertia(embeddings: DataFrame,
