@@ -84,20 +84,36 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-                "harness_wall_sec": wall,
-            }
-        )
-    )
+    # Shut Spark down COMPLETELY before emitting the JSON so no JVM
+    # shutdown WARN (e.g. StateStore maintenance threads left by the
+    # streaming queries) can trail the line and break the driver's
+    # parse (VERDICT r1: BENCH_r01.json "parsed": null). Order
+    # matters: stop active streaming queries, then the session; only
+    # then print, flush, and exit without running further hooks.
+    for sq in spark.streams.active:
+        try:
+            sq.stop()
+        except Exception:
+            pass
     spark.stop()
+    time.sleep(1.0)  # let JVM shutdown-hook log lines drain first
+
+    line = json.dumps(
+        {
+            "metric": "declared_queries_total_wallclock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs_per_query": runs,
+            "harness_wall_sec": wall,
+        }
+    )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
+    # Skip atexit/py4j teardown that could emit trailing output.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -52,8 +52,15 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if os.environ.get("VERIFY_EXTRA") == "1":
+        # Sweep the pytest-only surface too (the micro-queries folded
+        # into composites plus signature-level variants).
+        from torua_spark.queries import extra_oracle_sql, extra_queries
+
+        qs.update(extra_queries())
+        oracles.update(extra_oracle_sql())
     failures = []
     for name in sorted(qs):
         t0 = time.perf_counter()

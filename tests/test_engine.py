@@ -83,3 +83,39 @@ def test_stats_and_broadcast(spark):
     bg = e.broadcast_stats().collect()
     assert all(r["sent_to"] == 2 for r in bg)
     assert sum(r["keys"] for r in bg) == 50
+
+
+def test_binary_values_roundtrip(spark):
+    """The reference's true value model: opaque []byte
+    (store.go:51-103; BDD 1 MB scenario features/distributed-storage
+    .feature:74-79). Non-UTF-8 bytes, the empty value, and a >1 MB
+    value must all round-trip byte-for-byte through put/get/upsert/
+    delete, and stats must count value BYTES."""
+    e = ToruaEngine(spark, value_type="binary")
+    raw = bytes(range(256))                      # every byte value, not UTF-8
+    big = bytes(range(256)) * 4200               # 1,075,200 bytes > 1 MB
+    e.put_many([
+        ("bin", raw),
+        ("empty", b""),
+        ("big", big),
+        ("utf8", "héllo-数字".encode("utf-8")),
+    ])
+    assert e.get("bin") == raw
+    assert e.get("empty") == b""
+    assert e.get("big") == big
+    assert e.get("utf8") == "héllo-数字".encode("utf-8")
+    assert e.get("missing") is None
+
+    # LWW overwrite with different bytes
+    e.put("bin", b"\x00\x01\x02")
+    assert e.get("bin") == b"\x00\x01\x02"
+
+    # stats counts bytes of the binary payloads
+    stats = e.stats().collect()
+    assert sum(r["keys"] for r in stats) == 4
+    total = sum(r["bytes"] for r in stats)
+    assert total == 3 + 0 + len(big) + len("héllo-数字".encode("utf-8"))
+
+    e.delete("big")
+    assert e.get("big") is None
+    assert sorted(e.list_keys()) == ["bin", "empty", "utf8"]

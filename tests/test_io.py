@@ -53,3 +53,29 @@ def test_delta_is_gated(spark, nation_df, tmp_path):
         pytest.skip("delta present")
     with pytest.raises(NotImplementedError):
         io.write_delta(nation_df, str(tmp_path / "d"))
+
+
+def test_time_partitioned_events_prune_and_cluster(spark, sf_dir, tmp_path):
+    """B14 beyond bucketing (VERDICT r1 #8): dt= hive layout on events
+    gives partition-pruned time-range scans, and the intra-partition
+    sort gives tight row-group min/max on event_type for row-group
+    skipping. Asserted: PartitionFilters carries the dt predicate,
+    PushedFilters carries the event_type predicate, counts match the
+    unpartitioned path."""
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_by_dt")
+    io.write_time_partitioned(ev, p, "ts", cluster_cols=["event_type", "user_id"])
+
+    some_dt = spark.read.parquet(p).select("dt").orderBy("dt").limit(1).collect()[0][0]
+    q = (
+        spark.read.parquet(p)
+        .filter((F.col("dt") == some_dt) & (F.col("event_type") == "click"))
+    )
+    plan = plan_string(q)
+    assert "PartitionFilters" in plan and "dt" in plan
+    assert "PushedFilters" in plan and "event_type" in plan
+    expect = ev.filter(
+        (F.date_format(F.col("ts"), "yyyy-MM-dd") == some_dt)
+        & (F.col("event_type") == "click")
+    ).count()
+    assert q.count() == expect

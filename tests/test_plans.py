@@ -116,9 +116,12 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
 _PYTHON_OK = {
     "multimodal_features",      # mapInPandas codec plumbing (Arrow)
     "multimodal_resize",        # geometry over the same mapInPandas decode
+    "multimodal_pipeline",      # composite of the two above
     "udaf_quality_by_lang",     # applyInPandas UDAF (Arrow)
     "shard_split_ranges",       # Python UDTF
+    "python_udxf",              # composite of the two above
     "late_data_watermark",      # streaming drained via memory sink
+    "streaming_windows",        # composite containing the above
     "streaming_health_state",   # applyInPandasWithState
 }
 _NESTED_LOOP_OK = {
@@ -127,6 +130,7 @@ _NESTED_LOOP_OK = {
     "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
     "rag_tfidf_topk", "rag_bm25_topk", "text_unigram_logprob",
+    "text_stats_tokens",        # composite leg shares the stats broadcast
     # 5-row stage list inequality-joined to a 5-row depth histogram
     "corpus_funnel",
 }
@@ -134,11 +138,12 @@ _NESTED_LOOP_OK = {
 
 def test_no_row_python_and_no_cartesian_anywhere(spark, sf_dir):
     """The global claim 'no slow-path Python, no accidental cross
-    joins' asserted over every declared query's physical plan."""
-    from torua_spark.queries import all_queries
+    joins' asserted over every query's physical plan — declared 50
+    AND the extra (pytest-only) surface."""
+    from torua_spark.queries import all_queries, extra_queries
 
     failures = []
-    for name, fn in sorted(all_queries().items()):
+    for name, fn in sorted({**all_queries(), **extra_queries()}.items()):
         if name in _PYTHON_OK:
             continue
         try:
@@ -152,6 +157,29 @@ def test_no_row_python_and_no_cartesian_anywhere(spark, sf_dir):
             failures.append(f"{name}: cartesian product")
         if name not in _NESTED_LOOP_OK and "BroadcastNestedLoopJoin" in plan:
             failures.append(f"{name}: unexpected nested loop join")
+    assert not failures, failures
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """Every global top-k must compile to TakeOrderedAndProject (O(k)
+    heap per partition), never a partition-less Window sort that
+    funnels the scored corpus through one task (VERDICT r1 #3). The
+    rank column is attached by a window over the k-row result, which
+    is single-partition by construction and irrelevant at scale."""
+    from torua_spark.queries import all_queries
+
+    qs = all_queries()
+    topk_queries = [
+        "vector_topk_cosine", "vector_ann_ivf", "rag_bm25_topk",
+        "join_topk_revenue", "graphrag_ppr",
+    ]
+    failures = []
+    for name in topk_queries:
+        if name not in qs:
+            continue
+        plan = plan_string(qs[name](spark, sf_dir))
+        if "TakeOrderedAndProject" not in plan:
+            failures.append(f"{name}: no TakeOrderedAndProject in plan")
     assert not failures, failures
 
 

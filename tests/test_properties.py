@@ -104,3 +104,18 @@ def test_prefix_sum_property_random_sparse_ids(spark, rows):
     for i, v in sorted(rows):
         assert got[i] == acc, (i, got[i], acc)
         acc += v
+
+
+def test_declared_registry_is_exactly_fifty_with_oracles():
+    """The driver hash-checks the FIRST 50 registry entries only; the
+    declared surface must be exactly 50 names, every one with a DuckDB
+    oracle, and every name resolvable — a typo'd composite leg or a
+    51st entry silently escapes verification otherwise."""
+    from torua_spark.queries import _DECLARED, all_oracle_sql, all_queries
+
+    qs = all_queries()
+    osql = all_oracle_sql()
+    assert len(_DECLARED) == 50
+    assert list(qs) == _DECLARED
+    assert set(osql) == set(_DECLARED)
+    assert all(callable(f) for f in qs.values())

@@ -166,3 +166,30 @@ def test_prefix_filter_recall_covers_lsh_tier(spark, sf_dir):
         if r["jaccard"] >= rag_q.PREFIX_THRESHOLD
     }
     assert lsh <= pf
+
+
+def test_hyperplane_banding_recall_vs_brute_force(spark, sf_dir):
+    """VERDICT r1 #6: the learned (hyperplane-band) blocking key must
+    recover most true near-dup pairs without any trusted label column.
+    Theory at 64 bits / 16 bands of 4 for the corpus's sim range
+    (0.35-0.51) is ~0.92; md5-derived planes measure ~0.90. Pin a 0.8
+    floor so a regression to correlated planes (measured 0.62 with a
+    linear integer mix) fails loudly."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_near_dup_pairs(emb, 0.35).collect()
+    }
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_near_dup_pairs(
+            emb.withColumn("one", F.lit(1)), 0.35, cell_col="one"
+        ).collect()
+    }
+    assert banded <= truth          # blocking never invents pairs
+    assert truth, "fixture must contain near-dup pairs"
+    assert len(banded) / len(truth) >= 0.8

@@ -41,12 +41,20 @@ class ToruaEngine:
         kv: DataFrame | None = None,
         num_shards: int = NUM_SHARDS,
         nodes: list[tuple[str, str, str]] | None = None,
+        value_type: str = "string",
     ):
+        """``value_type="binary"`` gives the reference's true value
+        model — opaque bytes (store.go:51-103, "Accepts any byte
+        sequence" cmd/node/main.go:536-539): empty, non-UTF-8, and
+        >1 MB values all round-trip (features/distributed-storage
+        .feature:74-79). Every operator below is type-agnostic (the
+        kv ops only compare keys and measure/order values)."""
         self.spark = spark
         self.num_shards = num_shards
         self.node_list = nodes or NODES
+        self.value_type = value_type
         self._kv = kv if kv is not None else spark.createDataFrame(
-            [], "key string, value string"
+            [], f"key string, value {value_type}"
         )
         self._mutations = 0
 
@@ -67,7 +75,9 @@ class ToruaEngine:
 
     def put_many(self, items: list[tuple[str, str]]) -> "ToruaEngine":
         """PUT /data/{key}: last-writer-wins upsert (batched)."""
-        updates = self.spark.createDataFrame(items, "key string, value string")
+        updates = self.spark.createDataFrame(
+            items, f"key string, value {self.value_type}"
+        )
         self._kv = kvops.upsert(self._kv, updates)
         self._compact()
         return self

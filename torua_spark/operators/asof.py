@@ -34,32 +34,43 @@ def asof_join(
     """For every left row, attach ``payload`` from the latest right row
     with ``right.ts <= left.ts`` (inclusive), per key ``on``. Left rows
     with no prior right row get NULL. Columns in the result: all left
-    columns + ``payload``."""
+    columns + ``payload``.
+
+    The carried value is wrapped in a single-field struct emitted only
+    for right rows, so a right row whose payload is genuinely NULL
+    still *wins* (native ASOF semantics: the row is matched and its
+    NULL returned) instead of being skipped by ``ignorenulls`` in
+    favor of an older non-null payload. Ties among multiple right rows
+    at the same (key, ts) are broken deterministically: the greatest
+    payload value wins (ascending struct order, last-wins)."""
     l_cols = left.columns
+    p_type = right.schema[payload].dataType
+    marker_type = "struct<p:" + p_type.simpleString() + ">"
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[payload].dataType).alias("_payload"),
+        F.lit(None).cast(marker_type).alias("_marker"),
         *[F.col(c).alias(f"_l_{c}") for c in l_cols],
     )
     rhs = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(payload).alias("_payload"),
+        F.struct(F.col(payload).alias("p")).alias("_marker"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in l_cols],
     )
     # Right rows sort before left rows at equal ts (_side 0 < 1), which
-    # yields inclusive <= semantics.
+    # yields inclusive <= semantics; _marker orders right rows with
+    # equal (key, ts) so the carried payload is deterministic.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_marker")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         lhs.unionByName(rhs)
-        .withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+        .withColumn("_asof", F.last("_marker", ignorenulls=True).over(w)["p"])
         .filter(F.col("_side") == 1)
         .select(*[F.col(f"_l_{c}").alias(c) for c in l_cols], F.col("_asof").alias(payload))
     )

@@ -202,8 +202,16 @@ def prefix_filter_pairs(documents: DataFrame,
         .withColumn("rn", F.row_number().over(w))
         .join(F.broadcast(sizes), "doc_id")
         .filter(
+            # ceil(t*sz - eps): when t*sz is mathematically an integer
+            # but the IEEE product rounds a hair ABOVE it (e.g. t=0.55,
+            # sz=20 -> 11.000000000000002), plain ceil would shorten
+            # the prefix by one token and silently break the complete-
+            # recall guarantee. The epsilon makes ceil land on the
+            # exact integer; the DuckDB oracle applies the same guard.
             F.col("rn")
-            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+            <= F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+            + 1
         )
         .select("doc_id", "t")
         # persist(), not localCheckpoint(): the candidate self-join

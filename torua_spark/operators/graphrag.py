@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from torua_spark.functions.compat import round4
+from torua_spark.functions.ranking import global_topk
 from torua_spark.operators.graph import copurchase_edges
 from torua_spark.operators.similarity import brute_force_topk
 
@@ -142,8 +143,6 @@ def personalized_pagerank(edges: DataFrame, seed_ids: DataFrame,
     scored = ranks.select(
         F.col("id").alias("vertex"), round4("rank").alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vertex").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
+    return global_topk(
+        scored, [F.col("score").desc(), F.col("vertex").asc()], topk
     )

@@ -40,11 +40,17 @@ def upsert(kv: DataFrame, updates: DataFrame) -> DataFrame:
     ``updates`` must carry (key, value). Batch semantics: any key in
     ``updates`` replaces the base row; new keys are inserted. Implemented
     as union + row_number window keyed on an explicit version column so
-    the winner is deterministic.
+    the winner is deterministic. A batch that repeats a key has no
+    arrival order (the reference's sequential-PUT order doesn't exist
+    in a set), so ties within the batch break on greatest value —
+    deterministic last-writer-wins; callers that care about intra-batch
+    ordering should pre-dedup with ``scd2_history``'s (ts, seq) keys.
     """
     base = kv.select("key", "value", F.lit(0).alias("_version"))
     upd = updates.select("key", "value", F.lit(1).alias("_version"))
-    w = Window.partitionBy("key").orderBy(F.col("_version").desc())
+    w = Window.partitionBy("key").orderBy(
+        F.col("_version").desc(), F.col("value").desc()
+    )
     return (
         base.unionByName(upd)
         .withColumn("_rn", F.row_number().over(w))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from torua_spark.functions.compat import round4
+from torua_spark.functions.ranking import global_topk
 from torua_spark.functions.text import STOPWORDS, tokens
 
 CHUNK_SIZE = 64
@@ -104,8 +105,9 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
     The per-term statistics (df, idf) and the scalars (N, avgdl) are
     broadcast; the corpus-sized shuffles are the per-(doc, term) count
     and the final per-doc sum. Documents containing none of the query
-    terms score 0 and are not emitted. The final global top-k window
-    runs over per-doc rows (already aggregated — corpus cardinality)."""
+    terms score 0 and are not emitted. The final global top-k is
+    ``TakeOrderedAndProject`` (O(k) heap per partition) — never a
+    single-partition sort of the matching corpus."""
     toks = documents.select("doc_id", tokens("text").alias("w"))
     dl = toks.select("doc_id", F.size("w").alias("dl"))
     corpus = dl.agg(
@@ -140,8 +142,4 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
         )
     )
     per_doc = scored.groupBy("doc_id").agg(round4(F.sum("c")).alias("score"))
-    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        per_doc.withColumn("rank", F.row_number().over(win).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return global_topk(per_doc, [F.col("score").desc(), F.col("doc_id").asc()], k)

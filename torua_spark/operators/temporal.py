@@ -115,19 +115,24 @@ def event_funnel(events: DataFrame,
 def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization — classic lag+cumsum session assignment (the
     batch equivalent of streaming session_window): a new session starts
-    when the gap to the previous event of the same user exceeds
-    ``gap_minutes``. Output: per-user session count and max session
-    length (events per session).
+    when the gap to the previous event of the same user reaches
+    ``gap_minutes``. Gap comparison is at MICROSECOND precision with
+    ``>=`` — exactly Spark's ``session_window`` semantics (a session
+    spans [start, last_event + gap); an event landing exactly on the
+    boundary opens a new session), so the batch and streaming session
+    queries sessionize identically even for sub-second gaps.
+    Output: per-user session count and max session length (events per
+    session).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(gap_minutes * 60)
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
     sessions = (
         events.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap)
+                | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) >= gap_us)
             ).cast("long"),
         )
         .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from torua_spark.functions.compat import round4
+from torua_spark.functions.ranking import global_topk
 from torua_spark.sources.catalog import load_table
 
 N_SALTS = 16
@@ -34,12 +35,9 @@ def q_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "revenue", "rank")
-    )
+    return global_topk(
+        joined, [F.col("revenue").desc(), F.col("o_orderkey")], 10
+    ).select("o_orderkey", "revenue", "rank")
 
 
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,6 +148,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["kv_scd2_history"] = q_scd2_history
 
+
+def q_binary_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7 over TRUE BinaryType values (VERDICT r1 #5): per-shard
+    stats of the binary KV view — key count, total value BYTES
+    (store.go:477-490 sums len(value) the same way), distinct value
+    count, an FNV-1a content checksum over every value's hex image
+    (any flipped byte anywhere changes the sum), and the min/max hex
+    images. All JVM expressions; the checksum is partial+final
+    aggregable — the shape that holds at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions.hashing import fnv1a32, shard_for_key
+    from torua_spark.sources.catalog import binary_kv_view
+
+    bkv = binary_kv_view(spark, sf_dir)
+    return (
+        bkv.select(
+            shard_for_key(F.col("key")).alias("shard_id"),
+            "value",
+            F.hex(F.col("value")).alias("hx"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.length("value")).alias("total_bytes"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.sum(fnv1a32(F.col("hx"))).alias("fnv_checksum"),
+            F.min("hx").alias("min_hex"),
+            F.max("hx").alias("max_hex"),
+        )
+    )
+
+
+QUERIES["kv_binary_values"] = q_binary_values
+
+def _binary_oracle() -> str:
+    from torua_spark.functions.hashing import fnv1a32_sql, shard_for_key_sql
+    from torua_spark.sources.catalog import BINARY_KV_VIEW_SQL
+
+    return f"""
+        WITH bkv AS ({BINARY_KV_VIEW_SQL})
+        SELECT {shard_for_key_sql("key")} AS shard_id,
+               count(*)::BIGINT AS n_keys,
+               sum(octet_length(value))::BIGINT AS total_bytes,
+               count(DISTINCT value)::BIGINT AS n_distinct,
+               sum({fnv1a32_sql("hex(value)")})::BIGINT AS fnv_checksum,
+               min(hex(value)) AS min_hex,
+               max(hex(value)) AS max_hex
+        FROM bkv GROUP BY 1
+    """
+
+
+ORACLE["kv_binary_values"] = _binary_oracle()
+
 ORACLE["kv_scd2_history"] = """
     SELECT user_id::VARCHAR AS key, value,
            CAST(ts AS TIMESTAMP) AS valid_from,

@@ -189,13 +189,43 @@ ORACLE = {
             SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM scored
         ) WHERE rank <= 10
     """,
+    # Learned hyperplane-band blocking (similarity.hyperplane_bands):
+    # exact-integer replica — quantized values, shared md5-derived ±1
+    # plane literals, integer dot, MSB-first band signature — so the
+    # candidate set is identical on both engines.
     "vector_neardup_pairs": f"""
+        WITH pos AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding)))::BIGINT AS i,
+                   CAST(floor(unnest(embedding)::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        plane(j, i, w) AS (VALUES {", ".join(f"({j}, {i}, {w})" for j, row in enumerate(sim.hyperplane_matrix()) for i, w in enumerate(row))}),
+        bits AS (
+            SELECT p.vec_id, pl.j, sum(pl.w * p.q) AS dot
+            FROM pos p JOIN plane pl ON pl.i = p.i
+            GROUP BY p.vec_id, pl.j
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(j // {sim.HYPERPLANE_BAND_BITS} AS INTEGER) AS band,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN CASE CAST(j % {sim.HYPERPLANE_BAND_BITS} AS INTEGER)
+                             WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+                        ELSE 0 END) AS BIGINT) AS sig
+            FROM bits GROUP BY vec_id, j // {sim.HYPERPLANE_BAND_BITS}
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
         SELECT vec_a, vec_b, sim FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[])) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            SELECT c.vec_a, c.vec_b,
+                   floor((list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[])) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+            FROM cands c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
         ) WHERE sim >= {NEARDUP_COS_THRESHOLD}
     """,
     "dedup_exact": """
@@ -408,7 +438,7 @@ ORACLE = {
                        ) AS rn
                 FROM tok JOIN dfreq ON tok.t = dfreq.t
                 JOIN sizes ON tok.doc_id = sizes.doc_id
-            ) WHERE rn <= sz - ceil({PREFIX_THRESHOLD} * sz) + 1
+            ) WHERE rn <= sz - ceil({PREFIX_THRESHOLD} * sz - 1e-9) + 1
         ),
         cands AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -35,13 +35,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # joins. Correctness is unaffected by disabling it.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-        # default; read nanos as long and truncate to Spark's native
-        # microsecond timestamps. `div` keeps the arithmetic in exact
-        # 64-bit integer space (no double rounding at 1e18 magnitudes).
+        # events.ts arrives as either parquet TIMESTAMP(NANOS) (which
+        # Spark 4 refuses by default — read nanos as long, truncate to
+        # native microseconds in exact 64-bit integer space) or plain
+        # TIMESTAMP(us)/NTZ. Normalize both to session-timezone
+        # TimestampType (UTC session => identical wall-clock instants)
+        # so every downstream window/unix_timestamp sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -67,5 +72,30 @@ def kv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 KV_VIEW_SQL = (
     "SELECT c_name AS key, "
     "concat(c_mktsegment, '|', printf('%.2f', c_acctbal)) AS value "
+    "FROM customer"
+)
+
+
+def binary_kv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV projection with a true ``BinaryType`` value column — the
+    reference's actual value model (opaque ``[]byte``,
+    store.go:51-103; "Accepts any byte sequence" cmd/node/main.go:
+    536-539). The value is a 16-byte raw MD5 digest (bytes spanning
+    the full 0-255 range, NOT valid UTF-8) followed by the UTF-8
+    payload — variable length, genuinely binary."""
+    c = load_table(spark, sf_dir, "customer")
+    payload = F.concat_ws(
+        "|", F.col("c_mktsegment"), F.format_string("%.2f", F.col("c_acctbal"))
+    )
+    return c.select(
+        F.col("c_name").alias("key"),
+        F.concat(F.unhex(F.md5(payload)), F.encode(payload, "UTF-8")).alias("value"),
+    )
+
+
+BINARY_KV_VIEW_SQL = (
+    "SELECT c_name AS key, "
+    "unhex(md5(concat(c_mktsegment, '|', printf('%.2f', c_acctbal)))) || "
+    "encode(concat(c_mktsegment, '|', printf('%.2f', c_acctbal))) AS value "
     "FROM customer"
 )

@@ -22,6 +22,26 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           cluster_cols: list[str] | None = None,
+                           mode: str = "overwrite") -> None:
+    """The 100 TB event-landing layout (reference B14 'index usage',
+    ARCHITECTURE.md:543, realized as file layout instead of per-shard
+    indexes): hive-style ``dt=YYYY-MM-DD`` directories for partition
+    pruning + an intra-partition sort on ``cluster_cols`` so parquet
+    row-group min/max statistics are tight on those columns (the
+    poor-man's Z-order — point/range predicates skip whole row groups
+    without any index structure). A time-range query touches only its
+    dt= directories; a (dt, event_type) query additionally skips
+    non-matching row groups inside them."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    if cluster_cols:
+        out = out.repartition("dt").sortWithinPartitions(*cluster_cols)
+    out.write.mode(mode).partitionBy("dt").parquet(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).option("header", "true").csv(path)
 

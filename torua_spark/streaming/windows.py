@@ -20,25 +20,35 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (catalog contract)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),  # nanos-as-long OR native timestamp
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirror the batch catalog's ts normalization (sources/catalog.py):
+    # the testdata's ts column has shipped both as TIMESTAMP(NANOS)
+    # (readable only as long) and as native TIMESTAMP(us). Peek at the
+    # footer with a batch read, then declare the matching stream schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def drain_to_batch(agg: DataFrame, mode: str = "complete") -> DataFrame:
