@@ -129,6 +129,8 @@ _PYTHON_OK = {
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin
     "vector_topk_cosine", "vector_ann_ivf", "vector_neardup_pairs",
+    # k-way broadcast centroid cross joins (k rows) in the Lloyd loop
+    "vector_kmeans_cells", "vector_ann_ivf_learned",
     "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
     "rag_tfidf_topk", "rag_bm25_topk", "text_unigram_logprob",

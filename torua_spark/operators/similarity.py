@@ -106,6 +106,131 @@ def ivf_topk(
     return topk.select("vec_id", "label", "sim", "rank")
 
 
+KMEANS_K = 16
+KMEANS_ITERATIONS = 2
+
+
+def _round6(c):
+    """Engine-portable 6-decimal rounding (same floor construction as
+    compat.round4) — applied to every centroid update so BOTH engines
+    feed later iterations byte-identical centroid values."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)) / F.lit(1e6)
+
+
+def seed_centroids(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Deterministic, hash-spread Lloyd seeds: the k vectors with the
+    smallest md5(vec_id) (uniform pseudo-random, identical in SQL);
+    cell id = rank within those k."""
+    from pyspark.sql import Window
+
+    seeds = (
+        embeddings.select(
+            "vec_id",
+            to_double_array("embedding").alias("centroid"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("h", "vec_id")
+    return seeds.withColumn("cell", (F.row_number().over(w) - 1).cast("int")).select(
+        "cell", "centroid"
+    )
+
+
+def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with PORTABLE hard decisions: the
+    squared L2 distance is rounded to 4 decimals before the argmin and
+    ties break on cell id, so Spark and the oracle pick the same cell
+    even when raw double sums differ in the last ulp. argmin is a
+    partial+final ``min(struct(dist, cell))`` aggregate — no window,
+    no shuffle beyond the k-way broadcast join."""
+    e = embeddings.select("vec_id", to_double_array("embedding").alias("e"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", round4(d2).alias("d4")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d4", "cell")).alias("m")
+    ).select("vec_id", F.col("m.cell").alias("cell"))
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = KMEANS_K,
+                     iterations: int = KMEANS_ITERATIONS) -> DataFrame:
+    """LEARNED IVF coarse quantizer: fixed-iteration Lloyd k-means
+    over the corpus — the unlabeled-data answer to ``centroids()``'s
+    trusted ``label`` column. Deterministic end-to-end (hash-spread
+    seeds, rounded distances, rounded centroid updates) so the DuckDB
+    oracle unrolls the exact loop (same strategy as PPR/CC). A cell
+    that loses every member simply disappears (k shrinks) — standard
+    Lloyd behavior, documented rather than patched.
+
+    Scale: per iteration one broadcast-join assignment pass (n·k·dim
+    multiply-adds, JVM) and one (cell, pos) partial+final average;
+    centroid relations are k·dim rows, checkpointed eagerly (tiny)."""
+    cents = seed_centroids(embeddings, k).localCheckpoint()
+    for _ in range(iterations):
+        assigned = assign_cells(embeddings, cents)
+        pos = (
+            embeddings.join(assigned, "vec_id")
+            .select("cell", F.posexplode(to_double_array("embedding")).alias("pos", "v"))
+        )
+        cents = (
+            pos.groupBy("cell", "pos")
+            .agg(_round6(F.avg("v")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_topk_learned(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    kmeans_k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+) -> DataFrame:
+    """``ivf_topk`` with the coarse quantizer LEARNED by k-means
+    instead of read from a label column — the full unlabeled-corpus
+    ANN path: train codebook -> assign cells -> probe nprobe cells ->
+    exact search inside. Recall vs brute force is pinned in
+    tests/test_rag.py."""
+    q = _query_vector(embeddings, query_vec_id)
+    cents = kmeans_centroids(embeddings, kmeans_k, iterations)
+    cells = assign_cells(embeddings, cents)
+    probed = global_topk(
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("centroid"), F.col("q")).alias("csim")),
+        [F.col("csim").desc(), F.col("cell")],
+        nprobe,
+        rank_col="crank",
+    ).select("cell")
+    scored = (
+        embeddings.join(cells, "vec_id")
+        .join(F.broadcast(probed), "cell", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            round4(cosine(to_double_array("embedding"), F.col("q"))).alias("sim"),
+        )
+    )
+    topk = global_topk(scored, [F.col("sim").desc(), F.col("vec_id")], k)
+    return topk.select("vec_id", "label", "sim", "rank")
+
+
 def centroid_inertia(embeddings: DataFrame,
                      cell_col: str = "label") -> DataFrame:
     """Cluster-quality report for the embedding space: per cell

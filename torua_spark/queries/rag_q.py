@@ -79,6 +79,13 @@ QUERIES = {
     ),
     "graphrag_ppr": lambda s, d: _q_graphrag_ppr(s, d),
     "graphrag_hops": lambda s, d: _q_graphrag_hops(s, d),
+    # Learned (unlabeled) IVF path: fixed-iteration Lloyd codebook.
+    "vector_kmeans_cells": lambda s, d: sim.assign_cells(
+        _emb(s, d), sim.kmeans_centroids(_emb(s, d))
+    ),
+    "vector_ann_ivf_learned": lambda s, d: sim.ivf_topk_learned(
+        _emb(s, d), 0, 10, nprobe=3
+    ),
 }
 
 GRAPHRAG_MAX_HOPS = 4
@@ -705,3 +712,56 @@ def _canonical_oracle_sql(rounds: int = dd.CANON_CC_ROUNDS) -> str:
 
 
 ORACLE["dedup_cluster_canonical"] = _canonical_oracle_sql()
+
+
+def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
+                       iters: int = sim.KMEANS_ITERATIONS) -> str:
+    """Loop-unrolled fixed-iteration Lloyd (same strategy as the PPR/CC
+    oracles). Portability comes from the operator's own contract:
+    hash-spread seeds, 4-decimal-rounded distances before every argmin
+    (cell-id tie-break), 6-decimal-rounded centroid updates — so both
+    engines walk identical hard decisions."""
+    ctes = [
+        """pos AS (
+            SELECT vec_id, unnest(range(len(embedding)))::INTEGER AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)""",
+        f"""cent0 AS (
+            SELECT sc.cell, p.pos, p.v AS m FROM (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
+            ) sc JOIN pos p USING (vec_id))""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d4, cell) AS rn
+                FROM (SELECT p.vec_id, c.cell,
+                             floor(sum((p.v - c.m) * (p.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                      FROM pos p JOIN cent{i} c ON p.pos = c.pos
+                      GROUP BY p.vec_id, c.cell)
+            ) WHERE rn = 1)""")
+        ctes.append(f"""cent{i + 1} AS (
+            SELECT a.cell, p.pos,
+                   floor(avg(p.v) * 1000000.0 + 0.5 + 1e-9) / 1000000.0 AS m
+            FROM a{i} a JOIN pos p USING (vec_id)
+            GROUP BY a.cell, p.pos)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d4, cell) AS rn
+            FROM (SELECT p.vec_id, c.cell,
+                         floor(sum((p.v - c.m) * (p.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                  FROM pos p JOIN cent{iters} c ON p.pos = c.pos
+                  GROUP BY p.vec_id, c.cell)
+        ) WHERE rn = 1"""
+    )
+
+
+ORACLE["vector_kmeans_cells"] = _kmeans_oracle_sql()
+# vector_ann_ivf_learned: no SQL oracle (pytest pins recall vs brute
+# force instead); extras without oracle get the rows-only check.
