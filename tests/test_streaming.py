@@ -37,13 +37,28 @@ def test_streaming_sessions_equal_batch_session_window(spark, sf_dir):
     assert stream == batch
 
 
-def test_frame_sample_is_documented_stub(spark, sf_dir):
+def test_frame_sample_plumbing(spark, sf_dir):
+    """Frame sampling with the fake demux: one row per every_n-th
+    frame, frame count derived from payload size, deterministic
+    digests — verifies the in-UDF explode plumbing (unsampled frames
+    never materialize) against an independently computed expectation."""
     from torua_spark.operators import multimodal
     from torua_spark.sources.catalog import load_table
 
     media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(media)
+    out = multimodal.frame_sample(media, every_n=4)
+    got = {(r["doc_id"], r["frame_idx"]): r["frame_digest"] for r in out.collect()}
+
+    import hashlib
+
+    expect = {}
+    for r in media.select("doc_id", "payload").collect():
+        n_frames = max(1, len(r["payload"]) // 1024)
+        for i in range(0, n_frames, 4):
+            expect[(r["doc_id"], i)] = hashlib.md5(
+                bytes(r["payload"]) + f"_f{i}".encode()
+            ).hexdigest()
+    assert got == expect
 
 
 def test_resize_specs_fit_box_and_preserve_aspect(spark, sf_dir):
@@ -65,12 +80,22 @@ def test_resize_specs_fit_box_and_preserve_aspect(spark, sf_dir):
             assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
 
 
-def test_resize_pixels_is_documented_stub(spark, sf_dir):
-    import pytest as _pytest
-
+def test_resize_pixels_prunes_then_resamples(spark, sf_dir):
+    """The pixel stage must only process needs_resize rows (the
+    geometry prune IS the 100 TB win), and the fake resample must
+    emit the planned dimensions with a bounded binary payload."""
     from torua_spark.operators import multimodal
     from torua_spark.sources.catalog import load_table
 
     media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_pixels(media)
+    specs = multimodal.resize_specs(media)
+    planned = {
+        r["doc_id"]: (r["new_width"], r["new_height"])
+        for r in specs.filter("needs_resize").collect()
+    }
+    out = multimodal.resize_pixels(media).collect()
+    assert {r["doc_id"] for r in out} == set(planned)
+    for r in out:
+        assert (r["new_width"], r["new_height"]) == planned[r["doc_id"]]
+        n = min(1024, r["new_width"] * r["new_height"] * 3)
+        assert len(r["pixels"]) == n

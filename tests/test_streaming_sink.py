@@ -39,3 +39,47 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert sunk == batch
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Crash-recovery contract: a restarted query with the same
+    checkpointLocation must NOT reprocess data it already committed —
+    the checkpoint (source offsets + sink commit log) is what makes
+    file-sink streaming exactly-once. Run to completion, stop, start
+    an identical query on the same checkpoint: zero new files, zero
+    duplicate rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_files_first = len(glob.glob(f"{out}/*.parquet"))
+    n_rows_first = spark.read.parquet(out).count()
+
+    run_once()  # restart from the same checkpoint — a no-op replay
+    assert len(glob.glob(f"{out}/*.parquet")) == n_files_first
+    n_expected = load_table(spark, sf_dir, "events").count()
+    assert n_rows_first == n_expected
+    assert spark.read.parquet(out).count() == n_expected  # no duplicates
+    assert (
+        spark.read.parquet(out).select(F.countDistinct("event_id")).collect()[0][0]
+        == n_expected
+    )

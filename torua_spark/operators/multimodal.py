@@ -97,21 +97,78 @@ def resize_specs(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, new_width int, new_height int, pixels binary"
+
+
+def _fake_resample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESAMPLE — deterministic fake pixels (md5 keystream tiled
+    to min(1 KiB, w*h*3) bytes). A real deployment replaces the body
+    with `PIL.Image.open(payload).resize((w, h))`; the operator
+    contract — Arrow batches of (payload, target geometry) in, binary
+    pixel column out — is unchanged."""
+    for pdf in batches:
+        pixels = []
+        for p, w, h in zip(pdf["payload"], pdf["new_width"], pdf["new_height"]):
+            n = min(1024, int(w) * int(h) * 3)
+            seed = hashlib.md5(bytes(p) + f"_{w}x{h}".encode()).digest()
+            pixels.append((seed * (n // 16 + 1))[:n])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "new_width": pdf["new_width"],
+                "new_height": pdf["new_height"],
+                "pixels": pixels,
+            }
+        )
+
+
 def resize_pixels(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
-    """Pixel resampling — requires a real image codec; the Spark-side
-    contract is resize_specs ⋈ payload -> mapInPandas(PIL resize).
-    Not implementable in this container."""
-    raise NotImplementedError(
-        "pixel resampling needs an image codec (PIL) absent from this "
-        "environment; target geometry comes from resize_specs"
+    """Pixel resampling with the REAL 100 TB plan shape: the JVM-side
+    geometry (`resize_specs`) prunes to `needs_resize` rows FIRST, so
+    only those payloads re-enter the expensive Arrow/codec stage —
+    the blob never travels for already-small images. Codec is the
+    clearly-marked deterministic fake above (no PIL in this image);
+    swap `_fake_resample`'s body for PIL in production."""
+    specs = resize_specs(media, box).filter(F.col("needs_resize"))
+    joined = specs.join(media.select("doc_id", "payload"), "doc_id").select(
+        "doc_id", "payload", "new_width", "new_height"
     )
+    return joined.mapInPandas(_fake_resample, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def _fake_frames(every_n: int):
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB DEMUX — deterministic fake: frame count is derived
+        from payload size (1 frame per KiB, min 1), each sampled
+        frame's digest from md5(payload ++ index). A real deployment
+        replaces the body with pyav/ffmpeg keyframe extraction; the
+        contract — Arrow batches in, one row per SAMPLED frame out
+        (the explode happens inside the UDF, so unsampled frames are
+        never materialized) — is unchanged."""
+        for pdf in batches:
+            ids, idxs, digs = [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(p) // 1024)
+                for i in range(0, n_frames, every_n):
+                    ids.append(d)
+                    idxs.append(i)
+                    digs.append(hashlib.md5(bytes(p) + f"_f{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digs}
+            )
+
+    return gen
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — requires a real codec; the Spark-side
-    contract is identical to extract_features (mapInPandas over binary
-    + frame index explode). Not implementable in this container."""
-    raise NotImplementedError(
-        "frame sampling needs a video codec (pyav/ffmpeg) absent from this "
-        "environment; plumbing contract documented in extract_features"
+    """Video frame sampling: mapInPandas over binary payloads, one
+    output row per every_n-th frame. Demux is the deterministic fake
+    above (no video codec in this image); the Spark-side plumbing —
+    batch iteration, in-UDF frame explode, narrow typed output — is
+    the production shape."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _fake_frames(every_n), FRAME_SCHEMA
     )
