@@ -187,6 +187,48 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     assert not failures, failures
 
 
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
+    """100 TB technique: when a fact-fact join is too big to
+    broadcast, Spark's InjectRuntimeFilter builds a bloom filter from
+    the SELECTIVE side's join keys and applies it on the big side's
+    scan — a runtime semi-join reduction that skips most of the probe
+    shuffle. Pin that the engine's session config permits the
+    injection (bloom_filter_agg + might_contain in the optimized
+    plan) for the canonical selective-orders ⋈ lineitem shape."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        # force the non-broadcast regime this optimization exists for
+        # (and drop the app-side size gate — sf-test tables are small)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1",
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_cached_plan_reuses_inmemory_scan(spark, sf_dir):
     """B15 (result cache): a cached aggregate is served from
     InMemoryTableScan on re-use instead of recomputing the scan."""
