@@ -119,3 +119,18 @@ def test_binary_values_roundtrip(spark):
     e.delete("big")
     assert e.get("big") is None
     assert sorted(e.list_keys()) == ["bin", "empty", "utf8"]
+
+
+def test_compact_for_serving_keeps_results_and_is_warm(spark):
+    e = ToruaEngine(spark)
+    e.put_many([(f"key-{i}", f"v{i}") for i in range(5000)])
+    e.compact_for_serving()
+    import time
+
+    assert e.get("key-42") == "v42"          # warm the path
+    t0 = time.perf_counter()
+    assert e.get("key-4711") == "v4711"
+    dt_ms = (time.perf_counter() - t0) * 1000
+    # generous bound: measured p50 ~51ms warm; allow heavy-host noise
+    assert dt_ms < 500, dt_ms
+    assert e.get("nope") is None

