@@ -42,14 +42,20 @@ def main() -> None:
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     (r.join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
      .groupBy("r_name").agg(F.count(F.lit(1)).alias("c")).count())
-    # Spin up the Python/Arrow worker pool so pandas-UDF queries don't
-    # pay per-executor interpreter startup inside their timing.
+    # Spin up the FULL Python/Arrow worker pool (one worker per core —
+    # a 25-row single-partition warmup only starts one) and make each
+    # import numpy/pandas, so pandas-UDF queries don't pay interpreter
+    # + library startup inside their timing (~7 s cold vs 3 s warm for
+    # the first Arrow query otherwise).
     import pandas as pd  # noqa: F401
 
-    def _id(it):
+    def _warm(it):
+        import numpy  # noqa: F401
+
         yield from it
 
-    n.mapInPandas(_id, schema=n.schema).count()
+    big = spark.range(0, cpus * 2, 1, cpus * 2)
+    big.mapInPandas(_warm, schema=big.schema).count()
 
     # Default 1 run per query (honest cold-plan timing); BENCH_RUNS=2
     # gives min-of-N warm numbers for A/B work.

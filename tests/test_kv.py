@@ -73,3 +73,18 @@ def test_scd2_intervals_chain_per_key(spark, sf_dir):
         assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"], key
+
+
+def test_upsert_intra_batch_ties_deterministic(spark):
+    """ADVICE r1: a batch repeating a key has no arrival order; the
+    documented contract is greatest-value-wins. Must be stable across
+    partitionings."""
+    from torua_spark.operators import kv as kvops
+
+    base = spark.createDataFrame([("a", "base")], "key string, value string")
+    updates = spark.createDataFrame(
+        [("a", "v1"), ("a", "v9"), ("a", "v5")], "key string, value string"
+    )
+    for parts in (1, 7):
+        out = kvops.upsert(base, updates.repartition(parts)).collect()
+        assert {(r["key"], r["value"]) for r in out} == {("a", "v9")}
