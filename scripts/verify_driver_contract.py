@@ -61,6 +61,10 @@ def main() -> int:
 
         qs.update(extra_queries())
         oracles.update(extra_oracle_sql())
+    only = os.environ.get("VERIFY_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     failures = []
     for name in sorted(qs):
         t0 = time.perf_counter()

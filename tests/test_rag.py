@@ -217,3 +217,46 @@ def test_learned_ivf_recall_vs_brute_force(spark, sf_dir):
     cells = sim.assign_cells(emb, sim.kmeans_centroids(emb))
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_repetition_scores_semantics(spark):
+    """Constructed docs pin the Gopher-rule arithmetic: an all-repeat
+    doc maxes both fractions, an all-distinct doc gets 1/n top-bigram
+    mass and zero duplicate-trigram mass, a one-word doc has no gram
+    mass to judge (NULLs)."""
+    from torua_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x x"), (2, "a b c d"), (3, "w")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ta.repetition_scores(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == 1.0       # 4x "x x"
+    assert rows[1]["dup_trigram_frac"] == 1.0      # 3x "x x x"
+    assert rows[2]["n_bigrams"] == 3
+    assert abs(rows[2]["top_bigram_frac"] - 0.3333) < 1e-9
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] is None
+    assert rows[3]["dup_trigram_frac"] is None
+
+
+def test_decontamination_semantics(spark):
+    """A training doc identical to an eval doc must be flagged with
+    jaccard 1.0; an unrelated doc must not appear. Pairs never join
+    within a corpus (train x train dups are the self-join tier's job)."""
+    from torua_spark.operators import dedup as dd
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(10, leak), (11, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(90, leak), (91, "red green blue cyan magenta yellow black")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["jaccard"]
+        for r in dd.cross_corpus_contamination(train, ev, 0.5).collect()
+    }
+    assert got == {(10, 90): 1.0}

@@ -113,9 +113,10 @@ def _band_key(i: int, rows: int) -> Column:
     return F.concat_ws("_", *[p.cast("string") for p in parts])
 
 
-def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+def _banded(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, key) rows: one row per signature band."""
     rows = n_hashes // n_bands
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -124,6 +125,10 @@ def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFr
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    banded = _banded(sigs, n_hashes, n_bands)
     left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
@@ -157,6 +162,16 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     cands = _lsh_pairs_from_sigs(
         _signatures_from_shingle_rows(sh_rows, n_hashes), n_hashes, n_bands
     )
+    return verify_jaccard(cands, sh_rows, threshold)
+
+
+def verify_jaccard(cands: DataFrame, sh_rows: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against
+    the shared (doc_id, shingle) relation — factored out so callers
+    that already hold the candidates (e.g. the declared composite
+    running the LSH and verify tiers together) attach the verify
+    without re-deriving shingles/signatures/bands."""
     # Distinct shingle sets (collect_set order is irrelevant:
     # array_intersect/size are order-insensitive).
     sh = sh_rows.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
@@ -165,6 +180,56 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
         .select(
             "doc_a", "doc_b",
+            round4(jaccard(F.col("sha"), F.col("shb"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cross_corpus_contamination(train_docs: DataFrame, eval_docs: DataFrame,
+                               threshold: float = 0.5,
+                               n_hashes: int = N_MINHASH,
+                               n_bands: int = N_BANDS) -> DataFrame:
+    """Train/eval decontamination — the cross-corpus variant of the
+    MinHash tier: find training documents whose word-3-gram Jaccard
+    with any eval/benchmark document clears ``threshold``. (The
+    reference dedups nothing; this is the LLM-pipeline north star —
+    removing benchmark leakage from a pretraining corpus.)
+
+    Returns (train_id, eval_id, jaccard), one row per contaminated
+    (train, eval) pair.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs,
+    not billions), so its banded signatures and shingle sets BROADCAST
+    — the train corpus does one signature aggregation and one
+    broadcast-join band probe; no corpus×corpus shuffle exists
+    anywhere. The exact-Jaccard verify then touches only candidate
+    train docs (semi-join pruned before the shingle-set join). This is
+    the same blocking geometry as the self-join tier but asymmetric:
+    band equality is the blocking key, the small side rides the
+    broadcast."""
+    tr_sh = _shingle_rows(train_docs, 3).localCheckpoint()
+    ev_sh = _shingle_rows(eval_docs, 3).localCheckpoint()
+    tr_band = _banded(
+        _signatures_from_shingle_rows(tr_sh, n_hashes), n_hashes, n_bands
+    )
+    ev_band = _banded(
+        _signatures_from_shingle_rows(ev_sh, n_hashes), n_hashes, n_bands
+    ).withColumnRenamed("doc_id", "eval_id")
+    cands = (
+        tr_band.join(F.broadcast(ev_band), ["band", "key"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    tr_sets = tr_sh.groupBy("doc_id").agg(F.collect_set("s").alias("sha"))
+    ev_sets = ev_sh.groupBy("doc_id").agg(F.collect_set("s").alias("shb"))
+    return (
+        cands.join(tr_sets.withColumnRenamed("doc_id", "train_id"), "train_id")
+        .join(
+            F.broadcast(ev_sets.withColumnRenamed("doc_id", "eval_id")), "eval_id"
+        )
+        .select(
+            "train_id", "eval_id",
             round4(jaccard(F.col("sha"), F.col("shb"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

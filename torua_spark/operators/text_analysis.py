@@ -119,6 +119,81 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition rules (Rae et al. 2021
+    §A1.1, the published heuristics — the line-based variants degenerate
+    on this single-line corpus, so the n-gram family carries the
+    signal): per doc,
+
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      2-gram / total 2-gram occurrences (Gopher drops docs > 0.18)
+    - ``dup_trigram_frac``: occurrences of 3-grams that appear more
+      than once / total 3-gram occurrences (Gopher's duplicate
+      n-gram-character rule reduced to token occurrences)
+
+    Plan shape: ONE tokenize+posexplode pass feeds both gram sizes via
+    lead windows partitioned by doc_id (no second scan); each rule is
+    a (doc_id, gram) partial+final count then a per-doc aggregate —
+    shuffle keys are (doc_id, gram) and doc_id, both corpus-scalable,
+    never a global key. Docs shorter than n words emit NULL fractions
+    (no gram mass to judge).
+    """
+    from pyspark.sql import Window
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = documents.repartition(parallelism, "doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    grams = (
+        tok.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("w1").isNotNull(), F.concat_ws(" ", "w", "w1")
+            ).alias("g2"),
+            F.when(
+                F.col("w2").isNotNull(), F.concat_ws(" ", "w", "w1", "w2")
+            ).alias("g3"),
+        )
+    )
+
+    def _rule(col: str, top: bool) -> DataFrame:
+        per_gram = (
+            grams.filter(F.col(col).isNotNull())
+            .groupBy("doc_id", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        num = F.max("c") if top else F.sum(F.when(F.col("c") > 1, F.col("c")))
+        return per_gram.groupBy("doc_id").agg(
+            round4(num / F.sum("c")).alias("frac"), F.sum("c").alias("n")
+        )
+
+    top2 = _rule("g2", top=True).withColumnsRenamed(
+        {"frac": "top_bigram_frac", "n": "n_bigrams"}
+    )
+    dup3 = _rule("g3", top=False).withColumnsRenamed(
+        {"frac": "dup_trigram_frac", "n": "n_trigrams"}
+    )
+    return (
+        documents.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "top_bigram_frac",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            # no duplicated gram -> 0.0; no grams at all -> NULL
+            F.when(
+                F.col("n_trigrams").isNotNull(),
+                F.coalesce("dup_trigram_frac", F.lit(0.0)),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min-hash over character 8-gram shingles
     (one-permutation rolling-hash fingerprint) + shingle cardinality.

@@ -278,3 +278,31 @@ def _q_cluster_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["cluster_ops"] = _q_cluster_ops
+
+
+def _q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_verified with the shingle->signature->band
+    pipeline computed ONCE: the generic composite ran
+    minhash_lsh_pairs and ngram_jaccard_pairs independently, each
+    deriving the same candidate relation (measured ~2x the work).
+    Shared here: one checkpointed shingle relation, one persisted
+    candidate set; the verify tier joins against both. Exactly the
+    shape a production dedup stack persists between tiers."""
+    from torua_spark.operators import dedup as dd
+    from torua_spark.queries.rag_q import JACCARD_THRESHOLD
+
+    docs = rag_q._docs(spark, sf_dir)
+    sh_rows = dd._shingle_rows(docs, 3).localCheckpoint()
+    cands = dd._lsh_pairs_from_sigs(
+        dd._signatures_from_shingle_rows(sh_rows, dd.N_MINHASH),
+        dd.N_MINHASH, dd.N_BANDS,
+    ).persist()
+    lsh = _slot(cands, "lsh", n=["doc_a", "doc_b"])
+    verified = _slot(
+        dd.verify_jaccard(cands, sh_rows, JACCARD_THRESHOLD),
+        "jaccard", n=["doc_a", "doc_b"], d=["jaccard"],
+    )
+    return lsh.unionByName(verified)
+
+
+QUERIES["dedup_minhash_verified"] = _q_dedup_minhash_verified

@@ -12,8 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from torua_spark.functions.compat import round4_sql
 from torua_spark.operators import dedup as dd
 from torua_spark.operators import graphrag as gr
+from torua_spark.operators import sampling as smp
 from torua_spark.operators import retrieval as rt
 from torua_spark.operators import similarity as sim
 from torua_spark.operators import text_analysis as ta
@@ -86,7 +88,28 @@ QUERIES = {
     "vector_ann_ivf_learned": lambda s, d: sim.ivf_topk_learned(
         _emb(s, d), 0, 10, nprobe=3
     ),
+    # Gopher-style repetition rules + benchmark decontamination — the
+    # two canonical pretraining-corpus filters.
+    "text_repetition_scores": lambda s, d: ta.repetition_scores(_docs(s, d)),
+    "dedup_decontaminate": lambda s, d: _q_decontaminate(s, d),
 }
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train side = the train_test_split 'train' band, eval side = its
+    'test' band (same salted hash as pipeline_q, so the corpora here
+    are exactly what the split query would write)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import sampling as smp
+
+    docs = _docs(spark, sf_dir)
+    u = smp.hash_unit(F.col("doc_id").cast("string"), "split:")
+    return dd.cross_corpus_contamination(
+        docs.filter(u < F.lit(smp.TRAIN_FRAC)),
+        docs.filter(u >= F.lit(smp.TRAIN_FRAC + smp.VAL_FRAC)),
+        JACCARD_THRESHOLD,
+    )
 
 GRAPHRAG_MAX_HOPS = 4
 
@@ -123,12 +146,16 @@ def _md5_32(x: str) -> str:
     return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
-_SHINGLES = """
+def _shingles_sql(src: str) -> str:
+    return f"""
     SELECT doc_id, list_distinct(list_transform(
         range(1, greatest(len(w) - 2, 0) + 1),
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
 """
+
+
+_SHINGLES = _shingles_sql("documents")
 
 _N_MH, _N_BANDS, _ROWS = dd.N_MINHASH, dd.N_BANDS, dd.N_MINHASH // dd.N_BANDS
 
@@ -137,18 +164,38 @@ _MH_EXPRS = ", ".join(
     f"min(({_A[i]} * hb + {_B[i]}) % {_P}) AS mh{i}" for i in range(_N_MH)
 )
 
-_SIGS = f"""SELECT doc_id, {_MH_EXPRS} FROM (
+
+def _sigs_sql(shingle_cte: str) -> str:
+    return f"""SELECT doc_id, {_MH_EXPRS} FROM (
         SELECT doc_id, ({_md5_32('s')} % {_P}) AS hb FROM (
-            SELECT doc_id, unnest(sh) AS s FROM shingles
+            SELECT doc_id, unnest(sh) AS s FROM {shingle_cte}
         )
     ) GROUP BY doc_id"""
 
-_BANDED = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, ".format(b=b)
-    + " || '_' || ".join(f"mh{b * _ROWS + j}::VARCHAR" for j in range(_ROWS))
-    + " AS key FROM sigs"
-    for b in range(_N_BANDS)
-)
+
+_SIGS = _sigs_sql("shingles")
+
+
+def _banded_sql(sigs_cte: str) -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(f"mh{b * _ROWS + j}::VARCHAR" for j in range(_ROWS))
+        + f" AS key FROM {sigs_cte}"
+        for b in range(_N_BANDS)
+    )
+
+
+_BANDED = _banded_sql("sigs")
+
+
+def _mh_ctes(sfx: str, src: str) -> str:
+    """The shingle->signature->band CTE chain, suffixed so two corpora
+    can coexist in one oracle (the decontamination cross-join)."""
+    return (
+        f"sh{sfx} AS ({_shingles_sql(src)}), "
+        f"sigs{sfx} AS ({_sigs_sql('sh' + sfx)}), "
+        f"banded{sfx} AS ({_banded_sql('sigs' + sfx)})"
+    )
 
 _CANDS = """
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -543,7 +590,73 @@ ORACLE = {
             FROM per_doc
         ) WHERE rank <= 10
     """,
+    "text_repetition_scores": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1]) AS g2,
+                   list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        b AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+        ),
+        bagg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                   {round4_sql('max(c)::DOUBLE / sum(c)')} AS top_bigram_frac
+            FROM b GROUP BY doc_id
+        ),
+        t AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2
+        ),
+        tagg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_trigrams,
+                   {round4_sql(
+                       'coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE / sum(c)'
+                   )} AS dup_trigram_frac
+            FROM t GROUP BY doc_id
+        )
+        SELECT d.doc_id, n_bigrams, top_bigram_frac, n_trigrams, dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
+    """,
+    "dedup_decontaminate": None,  # assigned below (needs split constants)
 }
+
+# Same salted-hash split bands as pipeline_q's train_test_split oracle.
+_U_SPLIT = (
+    "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+ORACLE["dedup_decontaminate"] = f"""
+    WITH tr AS (
+        SELECT doc_id, text FROM documents WHERE {_U_SPLIT} < {smp.TRAIN_FRAC}
+    ),
+    ev AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_U_SPLIT} >= {smp.TRAIN_FRAC + smp.VAL_FRAC}
+    ),
+    {_mh_ctes('_t', 'tr')},
+    {_mh_ctes('_e', 'ev')},
+    cands AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        FROM banded_t t JOIN banded_e e ON t.band = e.band AND t.key = e.key
+    )
+    SELECT train_id, eval_id, jaccard FROM (
+        SELECT c.train_id, c.eval_id,
+               {round4_sql(
+                   'len(list_intersect(sa.sh, sb.sh))::DOUBLE /'
+                   ' (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))'
+               )} AS jaccard
+        FROM cands c
+        JOIN sh_t sa ON sa.doc_id = c.train_id
+        JOIN sh_e sb ON sb.doc_id = c.eval_id
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
 
 
 def _ppr_oracle_sql(iterations: int = gr.PPR_ITERATIONS,
