@@ -67,3 +67,31 @@ def test_pagerank_vs_power_iteration(spark, sf_dir):
     assert set(got) == set(vertices)
     for v in vertices:
         assert abs(got[v] - ranks[v]) < 1e-3, (v, got[v], ranks[v])
+
+
+def test_state_modes_agree(spark, sf_dir):
+    """The broadcast and shuffle loop bodies are alternative physical
+    shapes of the SAME algorithm — results must be identical, so the
+    auto threshold can move without changing any answer."""
+    from torua_spark.operators.graph import (
+        connected_components,
+        copurchase_vertex_edges,
+        pagerank,
+    )
+    from torua_spark.sources.catalog import load_table
+
+    edges = copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+
+    cc = {
+        m: sorted(map(tuple, connected_components(edges, state_mode=m).collect()))
+        for m in ("broadcast", "chained")
+    }
+    assert cc["broadcast"] == cc["chained"]
+
+    pr = {
+        m: sorted(map(tuple, pagerank(edges, state_mode=m).collect()))
+        for m in ("broadcast", "chained")
+    }
+    assert pr["broadcast"] == pr["chained"]

@@ -260,3 +260,30 @@ def test_decontamination_semantics(spark):
         for r in dd.cross_corpus_contamination(train, ev, 0.5).collect()
     }
     assert got == {(10, 90): 1.0}
+
+
+def test_ngram_overlap_contamination_semantics(spark):
+    """The collision method must catch a benchmark passage QUOTED
+    inside a longer unrelated training doc — the case document-level
+    Jaccard dilutes below threshold — and stay silent on disjoint
+    text. n=4 here: the quoted passage contributes exactly
+    len(passage_words)-3 distinct 4-grams."""
+    from torua_spark.operators import dedup as dd
+
+    passage = "alpha beta gamma delta epsilon zeta"          # 6 words
+    train = spark.createDataFrame(
+        [
+            (10, "noise one two three " + passage + " four five six noise"),
+            (11, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(90, passage), (91, "red green blue cyan magenta yellow")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared_ngrams"]
+        for r in dd.ngram_overlap_contamination(train, ev, n=4, min_overlap=2).collect()
+    }
+    assert got == {(10, 90): 3}  # 6-word passage -> 3 distinct 4-grams

@@ -236,6 +236,41 @@ def cross_corpus_contamination(train_docs: DataFrame, eval_docs: DataFrame,
     )
 
 
+def ngram_overlap_contamination(train_docs: DataFrame, eval_docs: DataFrame,
+                                n: int = 8,
+                                min_overlap: int = 2) -> DataFrame:
+    """Exact n-gram collision decontamination — the GPT-3/PaLM family
+    of methods (published as 13-gram overlap against benchmark text;
+    `n` defaults to 8 here because this corpus averages ~54 words per
+    doc). Complements `cross_corpus_contamination`: MinHash-Jaccard
+    catches whole-document near-dups, n-gram collision catches a
+    benchmark QUOTED INSIDE an otherwise-unrelated training doc,
+    which document-level Jaccard dilutes below any threshold.
+
+    Returns (train_id, eval_id, n_shared_ngrams) for pairs sharing at
+    least ``min_overlap`` distinct word n-grams.
+
+    Scale shape: grams travel as 8-byte md5_32 digests, never strings;
+    the eval gram relation is benchmark-sized and BROADCAST, so the
+    train corpus is a single scan+explode with a map-side hash-join
+    filter — candidate rows surviving to the (pair) aggregation are
+    only actual collisions. No corpus-sized shuffle beyond the final
+    per-pair count."""
+    def gram_digests(docs: DataFrame) -> DataFrame:
+        return _shingle_rows(docs, n).select(
+            "doc_id", md5_32(F.col("s")).alias("g")
+        ).distinct()
+
+    tr = gram_digests(train_docs).withColumnRenamed("doc_id", "train_id")
+    ev = gram_digests(eval_docs).withColumnRenamed("doc_id", "eval_id")
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_overlap)
+    )
+
+
 def prefix_filter_pairs(documents: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the

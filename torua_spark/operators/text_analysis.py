@@ -119,6 +119,49 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def vocabulary_report(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary analytics (tokenizer/vocab design): the top-k
+    terms by occurrence count with document frequency, rank, and
+    cumulative corpus coverage — the Zipf head a BPE/vocab budget is
+    chosen against.
+
+    Scale shape: one (term) partial+final count aggregation (term
+    cardinality ≈ vocabulary, not corpus), doc frequency via
+    count_distinct in the same pass, corpus total as a broadcast
+    scalar; top-k is orderBy().limit() (TakeOrderedAndProject — O(k)
+    per partition, no global sort), and the cumulative-coverage window
+    runs over the k-row result only."""
+    from pyspark.sql import Window
+
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    counts = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("t").asc()
+    ).limit(top_k)
+    w = (
+        Window.orderBy(F.col("n_occurrences").desc(), F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("term"),
+            "n_occurrences",
+            "n_docs",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("t").asc())
+            ).cast("int").alias("rank"),
+            round4(
+                F.sum("n_occurrences").over(w) / F.col("total")
+            ).alias("coverage"),
+        )
+    )
+
+
 def repetition_scores(documents: DataFrame) -> DataFrame:
     """Gopher-style within-document repetition rules (Rae et al. 2021
     §A1.1, the published heuristics — the line-based variants degenerate

@@ -92,7 +92,12 @@ QUERIES = {
     # two canonical pretraining-corpus filters.
     "text_repetition_scores": lambda s, d: ta.repetition_scores(_docs(s, d)),
     "dedup_decontaminate": lambda s, d: _q_decontaminate(s, d),
+    "dedup_decontaminate_ngram": lambda s, d: _q_decontaminate_ngram(s, d),
+    "text_vocabulary": lambda s, d: ta.vocabulary_report(_docs(s, d)),
 }
+
+DECON_NGRAM = 8
+DECON_MIN_OVERLAP = 2
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -109,6 +114,21 @@ def _q_decontaminate(spark, sf_dir):
         docs.filter(u < F.lit(smp.TRAIN_FRAC)),
         docs.filter(u >= F.lit(smp.TRAIN_FRAC + smp.VAL_FRAC)),
         JACCARD_THRESHOLD,
+    )
+
+
+def _q_decontaminate_ngram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import sampling as smp
+
+    docs = _docs(spark, sf_dir)
+    u = smp.hash_unit(F.col("doc_id").cast("string"), "split:")
+    return dd.ngram_overlap_contamination(
+        docs.filter(u < F.lit(smp.TRAIN_FRAC)),
+        docs.filter(u >= F.lit(smp.TRAIN_FRAC + smp.VAL_FRAC)),
+        DECON_NGRAM,
+        DECON_MIN_OVERLAP,
     )
 
 GRAPHRAG_MAX_HOPS = 4
@@ -146,11 +166,14 @@ def _md5_32(x: str) -> str:
     return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
-def _shingles_sql(src: str) -> str:
+def _shingles_sql(src: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i+{j}]" for j in range(n)
+    )
     return f"""
     SELECT doc_id, list_distinct(list_transform(
-        range(1, greatest(len(w) - 2, 0) + 1),
-        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        range(1, greatest(len(w) - {n - 1}, 0) + 1),
+        i -> {gram})) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
 """
 
@@ -624,6 +647,29 @@ ORACLE = {
         LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
     """,
     "dedup_decontaminate": None,  # assigned below (needs split constants)
+    "text_vocabulary": f"""
+        WITH counts AS (
+            SELECT t AS term, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY t
+        ),
+        total AS (SELECT sum(n_occurrences)::BIGINT AS total FROM counts),
+        ranked AS (
+            SELECT term, n_occurrences, n_docs,
+                   row_number() OVER (
+                       ORDER BY n_occurrences DESC, term ASC) AS rank,
+                   sum(n_occurrences) OVER (
+                       ORDER BY n_occurrences DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM counts
+        )
+        SELECT term, n_occurrences, n_docs, CAST(rank AS INTEGER) AS rank,
+               {round4_sql('cum::DOUBLE / total')} AS coverage
+        FROM ranked, total WHERE rank <= 50
+    """,
 }
 
 # Same salted-hash split bands as pipeline_q's train_test_split oracle.
@@ -656,6 +702,26 @@ ORACLE["dedup_decontaminate"] = f"""
         JOIN sh_t sa ON sa.doc_id = c.train_id
         JOIN sh_e sb ON sb.doc_id = c.eval_id
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE["dedup_decontaminate_ngram"] = f"""
+    WITH tr AS (
+        SELECT doc_id, text FROM documents WHERE {_U_SPLIT} < {smp.TRAIN_FRAC}
+    ),
+    ev AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_U_SPLIT} >= {smp.TRAIN_FRAC + smp.VAL_FRAC}
+    ),
+    sh_t AS ({_shingles_sql('tr', DECON_NGRAM)}),
+    sh_e AS ({_shingles_sql('ev', DECON_NGRAM)}),
+    gt AS (SELECT doc_id AS train_id, {_md5_32('s')} AS g
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh_t)),
+    ge AS (SELECT doc_id AS eval_id, {_md5_32('s')} AS g
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh_e))
+    SELECT train_id, eval_id, count(*)::BIGINT AS n_shared_ngrams
+    FROM gt JOIN ge USING (g)
+    GROUP BY train_id, eval_id
+    HAVING count(*) >= {DECON_MIN_OVERLAP}
 """
 
 
