@@ -1,0 +1,50 @@
+"""CorpusPipeline facade: the end-to-end corpus chain a pretraining
+pipeline ships, driven at sf0.001."""
+
+from pyspark.sql import functions as F
+
+from torua_spark.pipeline import CorpusPipeline
+from torua_spark.sources.catalog import load_table
+
+
+def test_full_chain_monotone_and_schema_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    p0 = CorpusPipeline(spark, docs)
+    n0 = p0.df().count()
+
+    p1 = p0.quality_filter(min_chars=50, min_quality=0.3)
+    p2 = p1.repetition_filter()
+    p3 = p2.dedup_exact()
+    p4 = p3.dedup_near(threshold=0.5)
+    counts = [n0] + [p.df().count() for p in (p1, p2, p3, p4)]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[-1] > 0
+    assert p4.df().columns == docs.columns  # filters never reshape
+
+    split = p4.split()
+    assert set(r["split"] for r in split.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+
+def test_decontaminate_removes_flagged_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    u_col = F.col("doc_id") % 10
+    train, ev = docs.filter(u_col < 8), docs.filter(u_col >= 9)
+    p = CorpusPipeline(spark, train).decontaminate(ev, threshold=0.5)
+    kept = p.df()
+    # No kept doc may still collide with the eval corpus.
+    from torua_spark.operators import dedup as dd
+
+    assert dd.cross_corpus_contamination(kept, ev, 0.5).count() == 0
+    assert dd.ngram_overlap_contamination(kept, ev, 8, 2).count() == 0
+    assert kept.count() < train.count()  # fixture contains real leaks
+
+
+def test_sample_rates_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = CorpusPipeline(spark, docs).sample({"en": 0.5}).df()
+    b = CorpusPipeline(spark, docs).sample({"en": 0.5}).df()
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in b.select("doc_id").collect()
+    )

@@ -345,7 +345,8 @@ CANON_CC_ROUNDS = 12
 
 
 def canonicalize_near_dups(documents: DataFrame, threshold: float = 0.5,
-                           rounds: int = CANON_CC_ROUNDS) -> DataFrame:
+                           rounds: int = CANON_CC_ROUNDS,
+                           pairs: DataFrame | None = None) -> DataFrame:
     """The step AFTER near-dup detection: group verified pairs into
     duplicate CLUSTERS (fixed-round min-label propagation over the
     pair graph) and pick one canonical survivor per cluster (longest
@@ -359,31 +360,48 @@ def canonicalize_near_dups(documents: DataFrame, threshold: float = 0.5,
     only, never corpus-wide.
 
     Returns (cluster, n_docs, canonical_doc, chars_dropped)."""
-    pairs = (
-        ngram_jaccard_pairs(documents, threshold)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    from torua_spark.operators.graph import (
+        _iteration_partitions,
+        _use_broadcast_state,
     )
+
+    # ``pairs``: pass a precomputed/persisted (doc_a, doc_b) relation
+    # to share the detection tier with other consumers (CorpusPipeline
+    # materializes it once for cluster + membership use).
+    if pairs is None:
+        pairs = (
+            ngram_jaccard_pairs(documents, threshold)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
     und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     ).localCheckpoint()
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(rounds):
-        msgs = und.join(labels, und.a == labels.id).select(
-            F.col("b").alias("id"), F.col("label")
-        )
+    n_und = und.count()
+    # The pair graph is dup-docs only — usually minuscule next to the
+    # corpus, so the label loop gets loop-sized shuffle partitions and
+    # (while the label state fits the broadcast budget) a chained
+    # BroadcastExchange loop body, same regime logic as graph.py.
+    with _iteration_partitions(und, n_und):
         labels = (
-            msgs.unionByName(labels.select("id", "label"))
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint()
         )
-    labels = labels.localCheckpoint(eager=True)
+        bcast = _use_broadcast_state("auto", n_und, labels.count())
+        for _ in range(rounds):
+            state = F.broadcast(labels) if bcast else labels
+            msgs = und.join(state, und.a == state.id).select(
+                F.col("b").alias("id"), F.col("label")
+            )
+            labels = (
+                msgs.unionByName(labels.select("id", "label"))
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+        labels = labels.localCheckpoint(eager=True)
     mem = labels.join(
         documents.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )

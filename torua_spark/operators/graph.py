@@ -150,14 +150,22 @@ def triangle_pattern(customer: DataFrame, nation: DataFrame, region: DataFrame) 
     )
 
 
-def _undirected(edges: DataFrame) -> DataFrame:
+def _undirected(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Symmetrized edge list. ``dedup=False`` skips the distinct
+    shuffle over 2|E| rows — safe whenever reversal cannot create a
+    duplicate (e.g. a bipartite-encoded vertex space where src and dst
+    ids never overlap) AND the input is already distinct; min/Pregel
+    consumers stay CORRECT either way (idempotent messages), duplicate
+    edges only cost message volume per round."""
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    return fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    out = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return out.distinct() if dedup else out
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          check_every: int = 2,
-                         state_mode: str = "auto") -> DataFrame:
+                         state_mode: str = "auto",
+                         dedup_undirected: bool = True) -> DataFrame:
     """B6 — connected components by iterative min-label propagation.
 
     Vertices carry their own id as the initial label; each round every
@@ -179,7 +187,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # Materialize the (derived) edge list once — the loop body must join
     # against a checkpointed table, not re-derive orders ⋈ lineitem ⋈
     # distinct every iteration.
-    und = _undirected(edges).localCheckpoint()
+    und = _undirected(edges, dedup=dedup_undirected).localCheckpoint()
     n_edges = und.count()
     with _iteration_partitions(und, n_edges):
         labels = (
@@ -238,9 +246,11 @@ def bfs_hop_histogram(edges: DataFrame, seed_ids: DataFrame,
             .select("id", F.lit(0).cast("int").alias("hops"))
             .localCheckpoint()
         )
+        bcast = _use_broadcast_state("auto", n_edges, n_vertices)
         for _ in range(max_hops):
+            state = F.broadcast(dist) if bcast else dist
             msgs = (
-                und.join(dist, und.a == dist.id)
+                und.join(state, und.a == state.id)
                 .select(F.col("b").alias("id"), (F.col("hops") + F.lit(1)).alias("hops"))
             )
             dist = (

@@ -1,0 +1,154 @@
+"""CorpusPipeline — the user-facing facade for the LLM-training-data
+surface, `ToruaEngine`'s sibling: engine.py gives a torua user the
+reference's KV/topology HTTP surface 1:1; this gives the north-star
+corpus operations (README.md:315-320 "data pipelines", the reference's
+documented-but-unimplemented ambition) as one chainable object.
+
+Every stage is LAZY — a stage method returns a new CorpusPipeline
+whose `df()` is the filtered corpus plan; nothing executes until an
+action. The stage set mirrors what a pretraining pipeline actually
+ships, in its canonical order:
+
+    CorpusPipeline(spark, docs)
+        .quality_filter(min_chars=100, min_quality=0.45)
+        .repetition_filter(max_top_bigram_frac=0.18,
+                           max_dup_trigram_frac=0.30)
+        .dedup_exact()
+        .dedup_near(threshold=0.5)
+        .decontaminate(eval_docs)
+        .sample({"en": 1.0, "de": 0.5})
+        .df()
+
+Scale notes per stage live on the underlying operators
+(operators/text_analysis.py, operators/dedup.py,
+operators/sampling.py) — the facade adds no plan shape of its own;
+every filter is an anti-join against a key set the operator already
+computes bucketed/blocked (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from torua_spark.operators import dedup as dd
+from torua_spark.operators import sampling as smp
+from torua_spark.operators import text_analysis as ta
+
+
+class CorpusPipeline:
+    def __init__(self, spark: SparkSession, documents: DataFrame):
+        self.spark = spark
+        self._docs = documents
+
+    def df(self) -> DataFrame:
+        """The current corpus plan (lazy)."""
+        return self._docs
+
+    def _with(self, docs: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(self.spark, docs)
+
+    # ---------------------------------------------------------- quality
+    def quality_filter(self, min_chars: int = 100,
+                       min_quality: float = 0.45) -> "CorpusPipeline":
+        """Length + composite-quality gate (the corpus_funnel stages)."""
+        q = ta.quality_scores(self._docs).select("doc_id", "quality_score")
+        keep = q.filter(F.col("quality_score") >= min_quality).select("doc_id")
+        return self._with(
+            self._docs.filter(F.col("n_chars") >= min_chars)
+            .join(keep, "doc_id", "left_semi")
+        )
+
+    def repetition_filter(self, max_top_bigram_frac: float = 0.18,
+                          max_dup_trigram_frac: float = 0.30) -> "CorpusPipeline":
+        """Gopher-rule gate: drop docs whose top-2-gram or duplicate-
+        3-gram mass exceeds the published-style thresholds. Docs too
+        short to have gram mass (NULL fractions) are KEPT — no
+        repetition evidence is not repetition."""
+        r = ta.repetition_scores(self._docs)
+        drop = r.filter(
+            (F.col("top_bigram_frac") > max_top_bigram_frac)
+            | (F.col("dup_trigram_frac") > max_dup_trigram_frac)
+        ).select("doc_id")
+        return self._with(self._docs.join(drop, "doc_id", "left_anti"))
+
+    # ------------------------------------------------------------ dedup
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep one survivor (min doc_id) per exact text duplicate."""
+        keep = dd.exact_dedup(self._docs).select("doc_id")
+        return self._with(self._docs.join(keep, "doc_id", "left_semi"))
+
+    def dedup_near(self, threshold: float = 0.5) -> "CorpusPipeline":
+        """Near-dup removal: MinHash/LSH pairs -> clusters -> keep each
+        cluster's canonical survivor; docs in no cluster pass through.
+
+        The one MATERIALIZING stage (the verified pair relation is
+        localCheckpointed once and shared between the cluster and
+        membership consumers — at deployment scale this is the persist
+        of the detection tier's output)."""
+        pairs = (
+            dd.ngram_jaccard_pairs(self._docs, threshold)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        clusters = dd.canonicalize_near_dups(self._docs, threshold, pairs=pairs)
+        members = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        survivors = clusters.select(F.col("canonical_doc").alias("doc_id"))
+        drop = members.join(survivors, "doc_id", "left_anti")
+        return self._with(self._docs.join(drop, "doc_id", "left_anti"))
+
+    def decontaminate(self, eval_docs: DataFrame,
+                      threshold: float = 0.5,
+                      ngram: int | None = 8,
+                      min_overlap: int = 2) -> "CorpusPipeline":
+        """Drop training docs flagged by EITHER decontamination tier:
+        whole-document MinHash-Jaccard (near-dup of an eval doc) or
+        exact n-gram collision (benchmark text quoted inside). Pass
+        ``ngram=None`` to skip the collision tier."""
+        flagged = dd.cross_corpus_contamination(
+            self._docs, eval_docs, threshold
+        ).select(F.col("train_id").alias("doc_id"))
+        if ngram is not None:
+            flagged = flagged.unionByName(
+                dd.ngram_overlap_contamination(
+                    self._docs, eval_docs, ngram, min_overlap
+                ).select(F.col("train_id").alias("doc_id"))
+            )
+        return self._with(
+            self._docs.join(flagged.distinct(), "doc_id", "left_anti")
+        )
+
+    # ------------------------------------------------- sample / split
+    def sample(self, rates: dict[str, float],
+               default_rate: float = 1.0) -> "CorpusPipeline":
+        """Deterministic per-language Bernoulli resampling (pretraining
+        mix reweighting); rate 1.0 keeps a stratum whole."""
+        u = smp.hash_unit(F.col("doc_id").cast("string"), "sample:")
+        rate = F.lit(float(default_rate))
+        for lang, r in rates.items():
+            rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+        return self._with(self._docs.filter(u < rate))
+
+    def split(self) -> DataFrame:
+        """Hash-banded train/val/test assignment column attached to the
+        surviving corpus (the artifact a pipeline writes per doc)."""
+        u = smp.hash_unit(F.col("doc_id").cast("string"), "split:")
+        return self._docs.withColumn(
+            "split",
+            F.when(u < F.lit(smp.TRAIN_FRAC), F.lit("train"))
+            .when(u < F.lit(smp.TRAIN_FRAC + smp.VAL_FRAC), F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+
+    # ---------------------------------------------------------- report
+    def report(self) -> DataFrame:
+        """One-row corpus summary (docs, chars, languages) — the cheap
+        progress probe between stages."""
+        return self._docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )

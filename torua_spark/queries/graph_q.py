@@ -47,10 +47,15 @@ def q_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup_undirected=False: copurchase_vertex_edges is already
+    # distinct and bipartite-encoded (src even, dst odd), so reversal
+    # cannot create a duplicate — the 2|E| distinct shuffle is pure
+    # waste here.
     return g.connected_components(
         g.copurchase_vertex_edges(
             load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-        )
+        ),
+        dedup_undirected=False,
     )
 
 

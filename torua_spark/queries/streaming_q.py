@@ -27,6 +27,7 @@ from torua_spark.streaming.windows import (
     late_data_tumbling,
     stream_static_enrich_agg,
     stream_stream_attribution,
+    streaming_decontamination,
     streaming_sessions,
 )
 
@@ -60,6 +61,7 @@ QUERIES = {
     "streaming_enriched_agg": stream_static_enrich_agg,
     "streaming_sessions": streaming_sessions,
     "streaming_attribution_join": stream_stream_attribution,
+    "streaming_decontaminate": streaming_decontamination,
 }
 
 ORACLE = {
@@ -179,3 +181,9 @@ ORACLE = {
         )
     """,
 }
+
+# Same two-corpus collision oracle as the batch twin — the drained
+# streaming result must hash-match it exactly.
+from torua_spark.queries import rag_q as _rag_q  # noqa: E402
+
+ORACLE["streaming_decontaminate"] = _rag_q.ORACLE["dedup_decontaminate_ngram"]

@@ -253,6 +253,65 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hypertable_rollup"] = q_hypertable_rollup
 
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hypertable_rollup`'s sibling for the aggregate that is NOT
+    algebraic: distinct users. count/sum partials merge by addition;
+    distinct counts don't — the mergeable form is a SKETCH partial.
+    Each 1-day chunk materializes an HLL sketch of its user_ids (a
+    fixed ~KB binary, what a deployment persists next to the
+    count/sum partials); the serving query merges sketches with
+    `hll_union_agg` — register-wise max, order-insensitive — and
+    estimates, never re-reading raw events.
+
+    Sketch estimates can't hash-match another engine, so the declared
+    contract is the tolerance-oracle pattern (`approx_stats`): emit
+    the chunk count and exact distinct (deterministic) plus a boolean
+    pinning the merged estimate inside 5% of exact (default
+    lgConfigK=12 -> ~1.6% rsd, so 5% ≈ 3 sigma); the oracle emits
+    TRUE constants."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    chunks = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("chunk"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = chunks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_chunks",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("users_within_5pct"),
+    )
+
+
+QUERIES["sketch_rollup"] = q_sketch_rollup
+
+ORACLE["sketch_rollup"] = """
+    WITH n_chunks AS (
+        SELECT event_type, count(*)::BIGINT AS n_chunks FROM (
+            SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS chunk,
+                   event_type
+            FROM events
+        ) GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_chunks, exact_users, TRUE AS users_within_5pct
+    FROM exact JOIN n_chunks USING (event_type)
+"""
+
 ORACLE["hypertable_rollup"] = """
     WITH chunks AS (
         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS chunk, event_type,

@@ -207,3 +207,65 @@ def late_data_tumbling(spark: SparkSession, sf_dir: str,
     out = spark.table(name)
     out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus as a file stream (the ingest-time shape: a
+    crawler drops parquet files, the pipeline picks them up per
+    trigger)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def streaming_decontamination(spark: SparkSession, sf_dir: str,
+                              n: int = 8, min_overlap: int = 2) -> DataFrame:
+    """Declared `streaming_decontaminate` — benchmark-leak detection
+    IN-FLIGHT: incoming training documents are shredded to distinct
+    word n-gram digests per micro-batch and probed against the static
+    eval-corpus gram set (broadcast hash join per trigger — the eval
+    side never enters state); stream state holds only the
+    per-(train_id, eval_id) collision counters. The batch twin is
+    `dedup.ngram_overlap_contamination`, and the same two-corpus
+    DuckDB oracle hash-checks the drained result.
+
+    Stream-side shingling uses the pure-expression `word_shingles`
+    (row windows are illegal on streams; the HOF evaluates per batch —
+    the latency-bound trade a per-trigger pipeline accepts, while the
+    batch path keeps its faster explode+lead formulation)."""
+    from torua_spark.functions.text import md5_32, word_shingles
+    from torua_spark.operators.sampling import TRAIN_FRAC, VAL_FRAC, hash_unit
+
+    u = hash_unit(F.col("doc_id").cast("string"), "split:")
+    train = documents_stream(spark, sf_dir).filter(u < F.lit(TRAIN_FRAC))
+    ev_grams = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(u >= F.lit(TRAIN_FRAC + VAL_FRAC))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(word_shingles("text", n)).alias("s"),
+        )
+        .select("eval_id", md5_32(F.col("s")).alias("g"))
+    )
+    tr_grams = train.select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(word_shingles("text", n)).alias("s"),
+    ).select("train_id", md5_32(F.col("s")).alias("g"))
+    agg = (
+        tr_grams.join(F.broadcast(ev_grams), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return drain_to_batch(agg).filter(
+        F.col("n_shared_ngrams") >= F.lit(min_overlap)
+    )
