@@ -137,6 +137,12 @@ _NESTED_LOOP_OK = {
     "text_stats_tokens",        # composite leg shares the stats broadcast
     # 5-row stage list inequality-joined to a 5-row depth histogram
     "corpus_funnel",
+    # 1-row corpus-total broadcast under the coverage window
+    "text_vocabulary",
+    # generated hour spine x distinct-type grid (bounded, broadcast)
+    "temporal_gapfill",
+    # 1-row query-vector broadcast (ADC table + exact re-rank stage)
+    "vector_pq_ann",
 }
 
 

@@ -287,3 +287,56 @@ def test_ngram_overlap_contamination_semantics(spark):
         for r in dd.ngram_overlap_contamination(train, ev, n=4, min_overlap=2).collect()
     }
     assert got == {(10, 90): 3}  # 6-word passage -> 3 distinct 4-grams
+
+
+def test_pq_adc_recall_and_determinism(spark, sf_dir):
+    """Product quantization: codes are m 4-bit cells, reconstruction
+    error is finite and positive, ADC-only ranking clears a low floor
+    on this distance-concentrated corpus, and the DEPLOYED path
+    (ADC shortlist + exact re-rank) recovers near-exact recall.
+    Encoding twice gives identical codes (deterministic Lloyd +
+    rounded argmin)."""
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = sim.pq_codebooks(emb).localCheckpoint()
+    codes = sim.pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == sim.PQ_M for r in rows)
+    assert all(0 <= c < sim.PQ_K for r in rows for c in r["codes"])
+    assert all(r["recon_err"] >= 0 for r in rows)
+
+    again = {r["vec_id"]: r["codes"] for r in sim.pq_encode(emb, books).collect()}
+    assert {r["vec_id"]: r["codes"] for r in rows} == again
+
+    # ADC approximates EXACT L2 (embeddings are not normalized, so
+    # cosine top-k is a different ranking — not the comparison).
+    from pyspark.sql import functions as F
+    from torua_spark.functions.vectors import to_double_array
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("q")
+    )
+    d2 = F.aggregate(
+        F.zip_with(to_double_array("embedding"), F.col("q"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    truth = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    # ADC-only: quantization noise dominates on this corpus (top-10 d2
+    # spans ~10%) — low floor, documented in the PQ_M comment.
+    adc_only = [r["vec_id"] for r in sim.pq_topk(emb, 0, 10).collect()]
+    assert len(set(truth) & set(adc_only)) >= 2, (truth, adc_only)
+
+    # Shortlist + exact re-rank: the deployed read path (measured
+    # 10/10 here; floor at 8 absorbs corpus regeneration).
+    reranked = [r["vec_id"] for r in sim.pq_topk_reranked(emb, 0, 10).collect()]
+    assert len(set(truth) & set(reranked)) >= 8, (truth, reranked)

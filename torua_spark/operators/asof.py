@@ -30,11 +30,18 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach ``payload`` from the latest right row
-    with ``right.ts <= left.ts`` (inclusive), per key ``on``. Left rows
-    with no prior right row get NULL. Columns in the result: all left
-    columns + ``payload``.
+    """For every left row, attach ``payload`` from the nearest right
+    row per key ``on`` — ``direction='backward'`` (default): latest
+    right with ``right.ts <= left.ts``; ``direction='forward'``:
+    earliest right with ``right.ts >= left.ts`` (both inclusive, the
+    pandas ``merge_asof`` directions). ``tolerance_seconds`` NULLs the
+    payload when the matched row is further than the tolerance from
+    the left timestamp (the match itself is still the nearest row —
+    exactly merge_asof's tolerance semantics). Left rows with no match
+    get NULL. Columns in the result: all left columns + ``payload``.
 
     The carried value is wrapped in a single-field struct emitted only
     for right rows, so a right row whose payload is genuinely NULL
@@ -42,7 +49,14 @@ def asof_join(
     NULL returned) instead of being skipped by ``ignorenulls`` in
     favor of an older non-null payload. Ties among multiple right rows
     at the same (key, ts) are broken deterministically: the greatest
-    payload value wins (ascending struct order, last-wins)."""
+    payload value wins (ascending struct order, last-wins).
+
+    Plan shape is direction-independent: union both sides with a side
+    marker, ONE sort per key (forward just negates the sort key), one
+    unbounded-preceding carry — a single range-partitioned sort at
+    100 TB, no per-group pandas."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_cols = left.columns
     p_type = right.schema[payload].dataType
     marker_type = "struct<p:" + p_type.simpleString() + ">"
@@ -61,17 +75,36 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in l_cols],
     )
     # Right rows sort before left rows at equal ts (_side 0 < 1), which
-    # yields inclusive <= semantics; _marker orders right rows with
-    # equal (key, ts) so the carried payload is deterministic.
+    # yields inclusive semantics in both directions; _marker orders
+    # right rows with equal (key, ts) so the carried payload is
+    # deterministic. Forward = backward over the time-reversed axis.
+    both = lhs.unionByName(rhs).withColumn(
+        "_ord",
+        F.unix_micros(F.col("_ts").cast("timestamp"))
+        * F.lit(1 if direction == "backward" else -1),
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_marker")
+        .orderBy("_ord", "_side", "_marker")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out = both.withColumn(
+        "_asof", F.last("_marker", ignorenulls=True).over(w)["p"]
+    )
+    if tolerance_seconds is not None:
+        gap_ok = (
+            F.abs(
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.last(
+                    F.when(F.col("_side") == 0, F.unix_micros(F.col("_ts").cast("timestamp"))),
+                    ignorenulls=True,
+                ).over(w)
+            )
+            <= F.lit(int(tolerance_seconds) * 1_000_000)
+        )
+        out = out.withColumn("_asof", F.when(gap_ok, F.col("_asof")).otherwise(F.lit(None)))
     return (
-        lhs.unionByName(rhs)
-        .withColumn("_asof", F.last("_marker", ignorenulls=True).over(w)["p"])
-        .filter(F.col("_side") == 1)
+        out.filter(F.col("_side") == 1)
         .select(*[F.col(f"_l_{c}").alias(c) for c in l_cols], F.col("_asof").alias(payload))
     )
 

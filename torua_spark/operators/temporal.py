@@ -142,3 +142,39 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n").alias("max_session_events"),
     )
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Time-series densification: per-(event_type, hour) counts with
+    EXPLICIT zero rows for hours inside the corpus span that saw no
+    events of that type — the gap-fill join every dashboard/forecast
+    feed needs (sparse aggregates silently skip empty buckets).
+
+    Scale shape: the dense axis is GENERATED, not shuffled — the
+    corpus-wide (min, max) hour pair is a 1-row aggregate, `sequence`
+    explodes it into the hour spine, and the spine x type grid
+    (bounded: hours-in-span x |event_type|) broadcasts into the left
+    join against the real per-bucket aggregate. The only corpus-sized
+    work is the grouped count that existed anyway."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = events.groupBy(
+        hour.alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    grid = spine.crossJoin(events.select("event_type").distinct())
+    return (
+        grid.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

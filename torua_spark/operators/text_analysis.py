@@ -247,3 +247,39 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.array_min(F.transform(sh, lambda s: md5_32(s))).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009 — the
+    model-free embedding a pipeline can compute at ingest): token t
+    maps to bucket md5_32(t) % dim with sign from the hash's next bit;
+    bucket weights are signed counts, L2-normalized per document.
+    Emitted SPARSE — (doc_id, bucket, weight) rows for non-zero
+    buckets — which is both the scale-friendly storage form and an
+    exactly oracle-matchable relation; densifying is a client-side
+    transform.
+
+    Plan: one tokenize+explode pass, one (doc, bucket) partial+final
+    sum, the norm via a window over the doc's ≤dim bucket rows. No
+    vocabulary state anywhere — the whole point of the hashing trick
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    h = md5_32(F.col("t"))
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t")).select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        F.when(F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sign"),
+    )
+    s = tok.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("s"))
+    nz = s.filter(F.col("s") != 0)
+    w = Window.partitionBy("doc_id")
+    return nz.select(
+        "doc_id",
+        "bucket",
+        round4(F.col("s") / F.sqrt(F.sum(F.col("s") * F.col("s")).over(w))).alias(
+            "weight"
+        ),
+    )

@@ -56,8 +56,32 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEXT_ORDER_TOLERANCE_DAYS = 7
+
+
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each event, the user's NEXT
+    order date (>= event time) but only within 7 days — the
+    time-to-conversion attribution shape (pandas merge_asof
+    direction='forward', tolerance=7d)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    )
+    out = asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload="o_orderdate", direction="forward",
+        tolerance_seconds=NEXT_ORDER_TOLERANCE_DAYS * 86400,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_order_date"),
+    )
+
+
 QUERIES = {
     "asof_latest_order": q_asof_latest_order,
+    "asof_next_order": q_asof_next_order,
     "range_join_events": q_range_join_events,
 }
 
@@ -72,6 +96,21 @@ ORACLE = {
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
         ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    # Native forward ASOF; tolerance applied to the matched row's gap
+    # (the match is still the nearest — merge_asof semantics).
+    "asof_next_order": f"""
+        SELECT event_id, user_id,
+               CASE WHEN o_orderdate IS NOT NULL
+                         AND epoch_us(o_orderdate) - epoch_us(ts)
+                             <= {NEXT_ORDER_TOLERANCE_DAYS * 86400} * 1000000::BIGINT
+                    THEN strftime(o_orderdate, '%Y-%m-%d') END AS next_order_date
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        )
     """,
     "range_join_events": f"""
         WITH iv(w, start, "end") AS (VALUES {_IV_VALUES})

@@ -88,12 +88,17 @@ QUERIES = {
     "vector_ann_ivf_learned": lambda s, d: sim.ivf_topk_learned(
         _emb(s, d), 0, 10, nprobe=3
     ),
+    # PQ read path (codes scan + ADC shortlist + exact re-rank); like
+    # the learned-IVF entry it is recall-pinned in pytest, not
+    # SQL-matchable end-to-end (per-subspace Lloyd codebooks).
+    "vector_pq_ann": lambda s, d: sim.pq_topk_reranked(_emb(s, d), 0, 10),
     # Gopher-style repetition rules + benchmark decontamination — the
     # two canonical pretraining-corpus filters.
     "text_repetition_scores": lambda s, d: ta.repetition_scores(_docs(s, d)),
     "dedup_decontaminate": lambda s, d: _q_decontaminate(s, d),
     "dedup_decontaminate_ngram": lambda s, d: _q_decontaminate_ngram(s, d),
     "text_vocabulary": lambda s, d: ta.vocabulary_report(_docs(s, d)),
+    "text_feature_hashing": lambda s, d: ta.feature_hash_embed(_docs(s, d)),
 }
 
 DECON_NGRAM = 8
@@ -722,6 +727,22 @@ ORACLE["dedup_decontaminate_ngram"] = f"""
     FROM gt JOIN ge USING (g)
     GROUP BY train_id, eval_id
     HAVING count(*) >= {DECON_MIN_OVERLAP}
+"""
+
+ORACLE["text_feature_hashing"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {_md5_32('t')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    s AS (
+        SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS s
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket,
+           {round4_sql('s / sqrt(sum(s*s) OVER (PARTITION BY doc_id))')} AS weight
+    FROM s WHERE s != 0
 """
 
 

@@ -296,6 +296,38 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sketch_rollup"] = q_sketch_rollup
 
+
+def q_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators.temporal import gapfill_hourly
+
+    return gapfill_hourly(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["temporal_gapfill"] = q_temporal_gapfill
+
+ORACLE["temporal_gapfill"] = """
+    WITH counts AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+    ),
+    grid AS (
+        SELECT h, event_type
+        FROM spine, (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start, g.event_type,
+           coalesce(c.n, 0)::BIGINT AS n_events
+    FROM grid g LEFT JOIN counts c ON g.h = c.h AND g.event_type = c.event_type
+"""
+
 ORACLE["sketch_rollup"] = """
     WITH n_chunks AS (
         SELECT event_type, count(*)::BIGINT AS n_chunks FROM (
