@@ -143,6 +143,10 @@ _NESTED_LOOP_OK = {
     "temporal_gapfill",
     # 1-row query-vector broadcast (ADC table + exact re-rank stage)
     "vector_pq_ann",
+    # 1-row corpus [min,max] span broadcast under the binning expr
+    "value_histogram",
+    # inherits the hashed-retrieval 1-row query-embedding broadcast
+    "rag_hybrid_rrf",
 }
 
 

@@ -143,3 +143,96 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
     )
     per_doc = scored.groupBy("doc_id").agg(round4(F.sum("c")).alias("score"))
     return global_topk(per_doc, [F.col("score").desc(), F.col("doc_id").asc()], k)
+
+
+def hashed_retrieval(documents: DataFrame, query_text: str, k: int = 10,
+                     dim: int = 64, size: int = CHUNK_SIZE,
+                     stride: int = CHUNK_STRIDE) -> DataFrame:
+    """End-to-end MODEL-FREE retrieval: overlapping token-window
+    chunks -> hashing-trick sparse embeddings -> dot-product top-k
+    against the hashed query (both sides L2-normalized, so the dot IS
+    the cosine). Zero model state, fully deterministic, every stage a
+    Catalyst expression — the ingest-time retrieval baseline a
+    pipeline ships before any learned embedder exists, and the
+    plumbing (chunk -> embed -> score -> top-k) that a learned
+    embedder later slots into.
+
+    Scale shape: chunk token rows explode inside the scan stage; the
+    sparse chunk-embedding relation is ≤dim rows per chunk keyed by
+    (doc, chunk); the query embedding is ≤dim rows BROADCAST into the
+    bucket equi-join, so scoring touches only chunks sharing a bucket
+    with the query; top-k is TakeOrdered."""
+    from torua_spark.operators.text_analysis import hashed_sparse
+
+    w = tokens("text")
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.floor((F.size(w) - F.lit(1)) / F.lit(stride)).cast("long"),
+    )
+    chunk_tok = (
+        documents.select("doc_id", F.explode(starts).alias("chunk_id"), w.alias("w"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.explode(
+                F.slice(F.col("w"), (F.col("chunk_id") * stride + 1).cast("int"), size)
+            ).alias("t"),
+        )
+    )
+    chunk_emb = hashed_sparse(chunk_tok, ["doc_id", "chunk_id"], dim)
+    spark = documents.sparkSession
+    q_tok = spark.createDataFrame([(query_text,)], "text string").select(
+        F.lit(0).alias("qid"), F.explode(tokens("text")).alias("t")
+    )
+    q_emb = hashed_sparse(q_tok, ["qid"], dim).select(
+        "bucket", F.col("weight").alias("qw")
+    )
+    scored = (
+        chunk_emb.join(F.broadcast(q_emb), "bucket")
+        .groupBy("doc_id", "chunk_id")
+        .agg(round4(F.sum(F.col("weight") * F.col("qw"))).alias("score"))
+    )
+    return global_topk(
+        scored,
+        [F.col("score").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()],
+        k,
+    )
+
+
+RRF_C = 60  # Cormack et al. 2009's constant
+
+
+def hybrid_rrf(documents: DataFrame, query_terms: list[str], query_text: str,
+               k: int = 10, depth: int = 20, c: int = RRF_C) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical list
+    (BM25 over ``query_terms``) and the dense-proxy list (hashed-
+    embedding chunk retrieval over ``query_text``, reduced to doc
+    level by best chunk) each contribute 1/(c + rank); docs surface on
+    the fused score. RRF is the standard score-free fusion — it never
+    compares the two engines' incompatible score scales, only ranks.
+
+    Scale: both input lists are top-``depth`` (bounded); everything
+    after the two retrievals is ≤2·depth rows on the driver-free
+    fused aggregation. The expensive parts are exactly the two
+    retrieval plans, unchanged."""
+    lex = bm25_topk(documents, query_terms, depth).select(
+        "doc_id", F.col("rank").alias("r")
+    )
+    dense_doc = (
+        hashed_retrieval(documents, query_text, depth)
+        .groupBy("doc_id")
+        .agg(F.min("rank").alias("best"))
+    )
+    w = Window.orderBy(F.col("best").asc(), F.col("doc_id").asc())
+    dense = dense_doc.select(
+        "doc_id", F.row_number().over(w).alias("r")
+    )
+    fused = (
+        lex.unionByName(dense)
+        .select("doc_id", (F.lit(1.0) / (F.lit(float(c)) + F.col("r"))).alias("s"))
+        .groupBy("doc_id")
+        .agg(round4(F.sum("s")).alias("rrf_score"))
+    )
+    return global_topk(
+        fused, [F.col("rrf_score").desc(), F.col("doc_id").asc()], k
+    )

@@ -263,21 +263,30 @@ def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
     sum, the norm via a window over the doc's ≤dim bucket rows. No
     vocabulary state anywhere — the whole point of the hashing trick
     at 100 TB."""
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    return hashed_sparse(tok, ["doc_id"], dim)
+
+
+def hashed_sparse(tok: DataFrame, keys: list[str], dim: int = 64) -> DataFrame:
+    """Shared hashing-trick core: (keys..., t) token rows -> sparse
+    L2-normalized (keys..., bucket, weight). Used per document
+    (`feature_hash_embed`), per chunk and per query
+    (`retrieval.hashed_retrieval`)."""
     from pyspark.sql import Window
 
     h = md5_32(F.col("t"))
-    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t")).select(
-        "doc_id",
+    bucketed = tok.select(
+        *keys,
         F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
         F.when(F.pmod(F.floor(h / F.lit(dim)), F.lit(2)) == 0, F.lit(1.0))
         .otherwise(F.lit(-1.0))
         .alias("sign"),
     )
-    s = tok.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("s"))
+    s = bucketed.groupBy(*keys, "bucket").agg(F.sum("sign").alias("s"))
     nz = s.filter(F.col("s") != 0)
-    w = Window.partitionBy("doc_id")
+    w = Window.partitionBy(*keys)
     return nz.select(
-        "doc_id",
+        *keys,
         "bucket",
         round4(F.col("s") / F.sqrt(F.sum(F.col("s") * F.col("s")).over(w))).alias(
             "weight"

@@ -99,7 +99,15 @@ QUERIES = {
     "dedup_decontaminate_ngram": lambda s, d: _q_decontaminate_ngram(s, d),
     "text_vocabulary": lambda s, d: ta.vocabulary_report(_docs(s, d)),
     "text_feature_hashing": lambda s, d: ta.feature_hash_embed(_docs(s, d)),
+    "rag_hashed_retrieval": lambda s, d: rt.hashed_retrieval(
+        _docs(s, d), HASHED_QUERY_TEXT, 10
+    ),
+    "rag_hybrid_rrf": lambda s, d: rt.hybrid_rrf(
+        _docs(s, d), BM25_QUERY_TERMS, HASHED_QUERY_TEXT, 10
+    ),
 }
+
+HASHED_QUERY_TEXT = "vector stream merge table"
 
 DECON_NGRAM = 8
 DECON_MIN_OVERLAP = 2
@@ -591,33 +599,7 @@ ORACLE = {
                floor((max(d2)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_dist2
         FROM per_vec GROUP BY cell
     """,
-    # graphrag_ppr: generated below (loop-unrolled)
-    "rag_bm25_topk": f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
-        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        tf AS (
-            SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
-                SELECT doc_id, unnest(w) AS term FROM toks
-            ) WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
-            GROUP BY 1, 2
-        ),
-        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        per_doc AS (
-            SELECT tf.doc_id,
-                   floor((sum(
-                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * ({rt.BM25_K1} + 1))
-                       / (tf + {rt.BM25_K1} * (1 - {rt.BM25_B} + {rt.BM25_B} * dl / avgdl))
-                   )) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS score
-            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
-            GROUP BY tf.doc_id
-        )
-        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
-            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-            FROM per_doc
-        ) WHERE rank <= 10
-    """,
+    # graphrag_ppr, rag_bm25_topk: generated below
     "text_repetition_scores": f"""
         WITH g AS (
             SELECT doc_id,
@@ -743,6 +725,115 @@ ORACLE["text_feature_hashing"] = f"""
     SELECT doc_id, bucket,
            {round4_sql('s / sqrt(sum(s*s) OVER (PARTITION BY doc_id))')} AS weight
     FROM s WHERE s != 0
+"""
+
+def _bm25_ranked_sql(limit: int) -> str:
+    """Ranked BM25 list as a standalone SELECT (nested-WITH friendly);
+    shared by the rag_bm25_topk oracle and the RRF hybrid oracle."""
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
+        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id, unnest(w) AS term FROM toks
+            ) WHERE term IN ({terms})
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        per_doc AS (
+            SELECT tf.doc_id,
+                   floor((sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * ({rt.BM25_K1} + 1))
+                       / (tf + {rt.BM25_K1} * (1 - {rt.BM25_B} + {rt.BM25_B} * dl / avgdl))
+                   )) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM per_doc
+        ) WHERE rank <= {limit}
+    """
+
+
+ORACLE["rag_bm25_topk"] = _bm25_ranked_sql(10)
+
+def _hashed_ranked_sql(limit: int) -> str:
+    """Ranked hashed-retrieval chunk list as a standalone SELECT;
+    shared by the rag_hashed_retrieval oracle and the RRF hybrid."""
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, unnest(range(0, (len(w) - 1) // {rt.CHUNK_STRIDE} + 1)) AS i, w
+        FROM w
+    ),
+    ct AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               unnest(list_slice(w, i * {rt.CHUNK_STRIDE} + 1,
+                      least(i * {rt.CHUNK_STRIDE} + {rt.CHUNK_SIZE}, len(w)))) AS t
+        FROM c
+    ),
+    ch AS (SELECT doc_id, chunk_id, {_md5_32('t')} AS h FROM ct),
+    cs AS (
+        SELECT doc_id, chunk_id, CAST(h % 64 AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS s
+        FROM ch GROUP BY 1, 2, 3
+    ),
+    ce AS (
+        SELECT doc_id, chunk_id, bucket,
+               {round4_sql('s / sqrt(sum(s*s) OVER (PARTITION BY doc_id, chunk_id))')}
+                   AS weight
+        FROM cs WHERE s != 0
+    ),
+    qh AS (
+        SELECT {_md5_32('t')} AS h
+        FROM (SELECT unnest(string_split('[q]', ' ')) AS t)
+    ),
+    qs AS (
+        SELECT CAST(h % 64 AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS s
+        FROM qh GROUP BY 1
+    ),
+    qe AS (
+        SELECT bucket, {round4_sql('s / sqrt(sum(s*s) OVER ())')} AS qw
+        FROM qs WHERE s != 0
+    ),
+    sc AS (
+        SELECT ce.doc_id, ce.chunk_id,
+               {round4_sql('sum(ce.weight * qe.qw)')} AS score
+        FROM ce JOIN qe USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id, chunk_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rank
+        FROM sc
+    ) WHERE rank <= {limit}
+""".replace("[q]", HASHED_QUERY_TEXT)
+
+
+ORACLE["rag_hashed_retrieval"] = _hashed_ranked_sql(10)
+
+ORACLE["rag_hybrid_rrf"] = f"""
+    WITH lex AS ({_bm25_ranked_sql(20)}),
+    dense_c AS ({_hashed_ranked_sql(20)}),
+    dense AS (
+        SELECT doc_id, row_number() OVER (ORDER BY best ASC, doc_id ASC) AS r
+        FROM (SELECT doc_id, min(rank) AS best FROM dense_c GROUP BY doc_id)
+    ),
+    u AS (
+        SELECT doc_id, 1.0 / (60 + rank) AS s FROM lex
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + r) AS s FROM dense
+    ),
+    sc AS (
+        SELECT doc_id, {round4_sql('sum(s)')} AS rrf_score FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        FROM sc
+    ) WHERE rank <= 10
 """
 
 

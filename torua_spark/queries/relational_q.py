@@ -223,3 +223,105 @@ ORACLE["approx_stats"] = """
            TRUE AS p95_within_1pct_rank
     FROM events GROUP BY event_type
 """
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of event values per type over the
+    corpus-wide [min, max] span. The span is a 1-row broadcast
+    aggregate; binning is a pure expression inside the scan stage, so
+    the only shuffle is the (type, bin) partial+final count — the
+    dashboard-histogram shape at any corpus size. The bin edge uses an
+    epsilon-guarded floor, identical in the oracle, so engine ulp
+    differences can't flip a boundary value into the next bin."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.least(
+            F.greatest(
+                (
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        * F.lit(10.0)
+                        / (F.col("hi") - F.col("lo"))
+                        - F.lit(1e-9)
+                    )
+                    + F.lit(1)
+                ).cast("int"),
+                F.lit(1),
+            ),
+            F.lit(10),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+QUERIES["value_histogram"] = q_value_histogram
+
+ORACLE["value_histogram"] = """
+    WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT event_type,
+           CAST(least(greatest(
+               floor((value - lo) * 10.0 / (hi - lo) - 1e-9) + 1, 1), 10)
+               AS INTEGER) AS bin,
+           count(*)::BIGINT AS n_events
+    FROM events, span
+    GROUP BY 1, 2
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust training statistics: per event_type, clip values
+    to the exact interpolated [p01, p99] band and report the bounds,
+    the clipped mean, and the clip rate — the winsorization every
+    numeric-feature pipeline applies before normalization. The bounds
+    relation is |event_type| rows (broadcast back); both aggregations
+    are partial+final."""
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("cv"),
+        (
+            (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))
+        ).cast("long").alias("is_clipped"),
+    )
+    return clipped.groupBy("event_type").agg(
+        round4(F.min("p01")).alias("p01"),
+        round4(F.min("p99")).alias("p99"),
+        round4(F.avg("cv")).alias("clipped_mean"),
+        round4(F.sum("is_clipped") / F.count(F.lit(1))).alias("clip_rate"),
+    )
+
+
+QUERIES["winsorized_stats"] = q_winsorized_stats
+
+ORACLE["winsorized_stats"] = """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           floor((min(b.p01)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS p01,
+           floor((min(b.p99)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS p99,
+           floor((avg(least(greatest(e.value, b.p01), b.p99))) * 10000.0 + 0.5 + 1e-9) / 10000.0
+               AS clipped_mean,
+           floor((sum(CASE WHEN e.value < b.p01 OR e.value > b.p99 THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS clip_rate
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+"""
