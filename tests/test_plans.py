@@ -147,6 +147,8 @@ _NESTED_LOOP_OK = {
     "value_histogram",
     # inherits the hashed-retrieval 1-row query-embedding broadcast
     "rag_hybrid_rrf",
+    # 1-row percentile-cuts broadcast under the phase CASE
+    "curriculum_phases",
 }
 
 

@@ -340,3 +340,32 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
     # 10/10 here; floor at 8 absorbs corpus regeneration).
     reranked = [r["vec_id"] for r in sim.pq_topk_reranked(emb, 0, 10).collect()]
     assert len(set(truth) & set(reranked)) >= 8, (truth, reranked)
+
+
+def test_incremental_dedup_matches_cross_corpus(spark, sf_dir, tmp_path):
+    """The persisted-index incremental path must flag exactly the
+    pairs the from-scratch cross-corpus tier flags: signatures survive
+    a parquet round-trip (the index IS a table), and pruned verify
+    changes nothing."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    idx_path = str(tmp_path / "minhash_index")
+    dd.minhash_signatures(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["corpus_id"], r["new_id"]): r["jaccard"]
+        for r in dd.incremental_near_dups(new, corpus, index, 0.5).collect()
+    }
+    want = {
+        (r["train_id"], r["eval_id"]): r["jaccard"]
+        for r in dd.cross_corpus_contamination(corpus, new, 0.5).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain cross-batch near-dups"

@@ -102,3 +102,19 @@ def test_fixed_size_sample_exact_counts(spark, sf_dir):
     for lang, ranks in per_lang.items():
         want = min(pipeline_q.FIXED_SAMPLE_N, totals[lang])
         assert sorted(ranks) == list(range(1, want + 1)), lang
+
+
+def test_curriculum_phases_partition_corpus(spark, sf_dir):
+    """Phases tile the corpus: counts sum to |docs|, quality bands are
+    ordered and non-overlapping (q_hi of phase i <= q_lo of phase
+    i+1 up to 4-dp rounding), and the result matches its oracle."""
+    from tests.oracle import compare
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline_q.q_curriculum_phases(spark, sf_dir)
+    rows = sorted(out.collect(), key=lambda r: r["phase"])
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["q_hi"] <= b["q_lo"] + 1e-9
+    compare(out, pipeline_q.ORACLE["curriculum_phases"], sf_dir)

@@ -271,6 +271,54 @@ def ngram_overlap_contamination(train_docs: DataFrame, eval_docs: DataFrame,
     )
 
 
+def incremental_near_dups(new_docs: DataFrame, corpus_docs: DataFrame,
+                          index_sigs: DataFrame,
+                          threshold: float = 0.5,
+                          n_hashes: int = N_MINHASH,
+                          n_bands: int = N_BANDS) -> DataFrame:
+    """Incremental dedup of a NEW batch against a PERSISTED MinHash
+    index — the daily-ingest shape: the historical corpus is never
+    re-signatured (``index_sigs`` = `minhash_signatures` output loaded
+    from storage); only the new batch tokenizes, and only CANDIDATE
+    corpus docs (band collisions) re-tokenize for the exact-Jaccard
+    verify. Returns (corpus_id, new_id, jaccard) pairs >= threshold.
+
+    Scale: new batch ≪ corpus, so its banded signatures BROADCAST
+    into the index probe; the verify's corpus-side shingling is
+    semi-join pruned to candidates before the tokenizer runs — the
+    full corpus text is never touched."""
+    new_sh = _shingle_rows(new_docs, 3).localCheckpoint()
+    new_band = _banded(
+        _signatures_from_shingle_rows(new_sh, n_hashes), n_hashes, n_bands
+    ).withColumnRenamed("doc_id", "new_id")
+    idx_band = _banded(index_sigs, n_hashes, n_bands).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    cands = (
+        idx_band.join(F.broadcast(new_band), ["band", "key"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    cand_corpus = corpus_docs.join(
+        cands.select(F.col("corpus_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    corpus_sets = _shingle_rows(cand_corpus, 3).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sha")
+    )
+    new_sets = new_sh.groupBy("doc_id").agg(F.collect_set("s").alias("shb"))
+    return (
+        cands.join(corpus_sets.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        .join(F.broadcast(new_sets.withColumnRenamed("doc_id", "new_id")), "new_id")
+        .select(
+            "corpus_id", "new_id",
+            round4(jaccard(F.col("sha"), F.col("shb"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def prefix_filter_pairs(documents: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the

@@ -258,3 +258,40 @@ def pack_sequences(documents: DataFrame,
             F.sum("crosses").alias("n_crossing"),
         )
     )
+
+
+def curriculum_phases(documents: DataFrame, n_phases: int = 4) -> DataFrame:
+    """Quality-curriculum assignment: documents are banded into
+    ``n_phases`` quality quartile phases (phase 1 = lowest quality,
+    trained first in an easy->hard or filtered-out-entirely regime).
+    The phase cut points are PERCENTILE THRESHOLDS broadcast into a
+    CASE — never a global ntile window, which would funnel the whole
+    corpus through one task. Cuts and scores are both round4()-ed so
+    band membership is engine-portable at the boundaries.
+
+    Returns one row per phase: n_docs, quality band [lo, hi], char
+    mass — the summary a curriculum schedule is built from."""
+    from torua_spark.operators.text_analysis import quality_scores
+
+    q = quality_scores(documents).select("doc_id", "n_chars", "quality_score")
+    fracs = [i / n_phases for i in range(1, n_phases)]
+    cuts = q.agg(
+        *[
+            round4(F.percentile("quality_score", F.lit(f))).alias(f"c{i}")
+            for i, f in enumerate(fracs, 1)
+        ]
+    )
+    phase = F.lit(n_phases)
+    for i in range(len(fracs), 0, -1):
+        phase = F.when(F.col("quality_score") <= F.col(f"c{i}"), F.lit(i)).otherwise(phase)
+    return (
+        q.crossJoin(F.broadcast(cuts))
+        .select("n_chars", "quality_score", phase.cast("int").alias("phase"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round4(F.min("quality_score")).alias("q_lo"),
+            round4(F.max("quality_score")).alias("q_hi"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -182,3 +182,41 @@ def _funnel_oracle_sql() -> str:
 
 
 ORACLE["corpus_funnel"] = _funnel_oracle_sql()
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.curriculum_phases(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["curriculum_phases"] = q_curriculum_phases
+
+
+def _curriculum_oracle_sql() -> str:
+    from torua_spark.queries import rag_q
+
+    quality = rag_q.ORACLE["text_quality_scores"]
+    return f"""
+        WITH q AS (
+            SELECT doc_id, n_chars, quality_score FROM ({quality})
+        ),
+        cuts AS (
+            SELECT
+                floor((quantile_cont(quality_score, 0.25)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS c1,
+                floor((quantile_cont(quality_score, 0.50)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS c2,
+                floor((quantile_cont(quality_score, 0.75)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS c3
+            FROM q
+        )
+        SELECT CAST(CASE WHEN quality_score <= c1 THEN 1
+                         WHEN quality_score <= c2 THEN 2
+                         WHEN quality_score <= c3 THEN 3
+                         ELSE 4 END AS INTEGER) AS phase,
+               count(*)::BIGINT AS n_docs,
+               floor((min(quality_score)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS q_lo,
+               floor((max(quality_score)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS q_hi,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM q, cuts
+        GROUP BY 1
+    """
+
+
+ORACLE["curriculum_phases"] = _curriculum_oracle_sql()
