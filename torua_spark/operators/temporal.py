@@ -178,3 +178,33 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Period-over-period trend analytics: per (event_type, day) —
+    count, trailing 3-day moving average (bounded rowsBetween frame),
+    day-over-day delta (lag), and percent change. The moving-aggregate
+    family every metrics dashboard ships.
+
+    Scale: the window partitions by event_type over DAY-grain rows —
+    the windowed relation is (types x days), thousands of rows at any
+    corpus size; the only corpus-sized work is the day-grain count."""
+    from pyspark.sql import Window
+
+    day = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ma = w.rowsBetween(-2, 0)
+    from torua_spark.functions.compat import round4
+
+    prev = F.lag("n").over(w)
+    return day.select(
+        "event_type",
+        "day",
+        "n",
+        round4(F.avg("n").over(ma)).alias("ma3"),
+        (F.col("n") - prev).alias("dod_delta"),
+        round4((F.col("n") - prev) / prev).alias("pct_change"),
+    )

@@ -355,3 +355,30 @@ ORACLE["hypertable_rollup"] = """
            floor((sum(ps) / sum(pn)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value
     FROM chunks GROUP BY event_type
 """
+
+
+def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators.temporal import daily_trend
+
+    return daily_trend(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["temporal_trend"] = q_temporal_trend
+
+ORACLE["temporal_trend"] = """
+    WITH day AS (
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           floor((avg(n) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                 * 10000.0 + 0.5 + 1e-9) / 10000.0 AS ma3,
+           (n - lag(n) OVER (PARTITION BY event_type ORDER BY day))::BIGINT
+               AS dod_delta,
+           floor(((n - lag(n) OVER (PARTITION BY event_type ORDER BY day))::DOUBLE
+                  / lag(n) OVER (PARTITION BY event_type ORDER BY day))
+                 * 10000.0 + 0.5 + 1e-9) / 10000.0 AS pct_change
+    FROM day
+"""
