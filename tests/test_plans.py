@@ -149,6 +149,8 @@ _NESTED_LOOP_OK = {
     "rag_hybrid_rrf",
     # 1-row percentile-cuts broadcast under the phase CASE
     "curriculum_phases",
+    # 1-row totals broadcast under the share/skew columns
+    "skew_report",
 }
 
 

@@ -369,3 +369,28 @@ def test_incremental_dedup_matches_cross_corpus(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "fixture must contain cross-batch near-dups"
+
+
+def test_redact_pii_masks_constructed_docs(spark):
+    """Real masking on constructed docs: emails and URLs replaced,
+    counts exact, clean docs unchanged with changed=False."""
+    from torua_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://a.io/x now"),
+            (2, "plain text only"),
+            (3, "two mails a@b.co c.d@e.org and http://z.q"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ta.redact_pii(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
+    assert rows[1]["changed"] is True
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
+    assert rows[2]["changed"] is False
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_urls"] == 1
+    import hashlib
+
+    expect = "contact <EMAIL> or visit <URL> now"
+    assert rows[1]["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()

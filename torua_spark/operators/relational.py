@@ -80,3 +80,47 @@ def set_ops_demo(orders: DataFrame) -> DataFrame:
     return open_c.intersect(finished_c).exceptAll(urgent_c.distinct()).select(
         F.col("o_custkey").alias("custkey")
     )
+
+
+def skew_report(df, key_col: str, top_k: int = 10):
+    """Key-skew diagnostic for any relation: the ``top_k`` heaviest
+    keys with their share of the table, plus one summary row
+    (key = NULL) carrying distinct-key count and the max/avg skew
+    ratio — what you look at before choosing salting/AQE for a
+    troublesome join or aggregation key.
+
+    One partial+final count on the key, TakeOrdered for the head,
+    1-row broadcast totals; never a global sort."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions.compat import round4
+    from torua_spark.functions.ranking import global_topk
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("avg_n"),
+    )
+    head = (
+        global_topk(counts, [F.col("n").desc(), F.col("key").asc()], top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            round4(F.col("n") / F.col("total")).alias("share"),
+            F.lit(None).cast("long").alias("n_keys"),
+            F.lit(None).cast("double").alias("skew_ratio"),
+        )
+    )
+    summary = totals.select(
+        F.lit(None).cast("string").alias("key"),
+        F.col("total").alias("n"),
+        F.lit(None).cast("double").alias("share"),
+        "n_keys",
+        round4(F.col("max_n") / F.col("avg_n")).alias("skew_ratio"),
+    )
+    return head.drop("rank").unionByName(summary)

@@ -292,3 +292,32 @@ def hashed_sparse(tok: DataFrame, keys: list[str], dim: int = 64) -> DataFrame:
             "weight"
         ),
     )
+
+
+# Conservative patterns that parse identically in Spark (Java regex)
+# and DuckDB (RE2): no lookarounds, no \b.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_URL_RE = "https?://[^ ]+"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII-style masking pass (the pretraining-cleanup step that
+    rewrites text): emails then URLs replaced with fixed mask tokens,
+    reported as (doc_id, n_emails, n_urls, redacted_md5, changed).
+    The digest stands in for the rewritten body so the relation stays
+    32 B/doc; the masking expressions are pure regexp_replace inside
+    the scan stage — a rewrite pass costs exactly one corpus read.
+
+    Patterns avoid lookarounds/anchors so the Java and RE2 engines
+    agree; the oracle runs the same two-stage replace."""
+    emails = F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+    red1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    urls_in_red1 = F.regexp_count(red1, F.lit(PII_URL_RE))
+    red2 = F.regexp_replace(red1, PII_URL_RE, "<URL>")
+    return documents.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        urls_in_red1.cast("long").alias("n_urls"),
+        F.md5(red2).alias("redacted_md5"),
+        (red2 != F.col("text")).alias("changed"),
+    )

@@ -1056,3 +1056,21 @@ def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
 ORACLE["vector_kmeans_cells"] = _kmeans_oracle_sql()
 # vector_ann_ivf_learned: no SQL oracle (pytest pins recall vs brute
 # force instead); extras without oracle get the rows-only check.
+
+QUERIES["text_redact_pii"] = lambda s, d: ta.redact_pii(_docs(s, d))
+
+_PII_EMAIL_SQL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_URL_SQL = "https?://[^ ]+"
+
+ORACLE["text_redact_pii"] = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '__EM__'))::BIGINT AS n_emails,
+           len(regexp_extract_all(red1, '__UR__'))::BIGINT AS n_urls,
+           md5(regexp_replace(red1, '__UR__', '<URL>', 'g')) AS redacted_md5,
+           regexp_replace(red1, '__UR__', '<URL>', 'g') != text AS changed
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(text, '__EM__', '<EMAIL>', 'g') AS red1
+        FROM documents
+    )
+""".replace("__EM__", _PII_EMAIL_SQL).replace("__UR__", _PII_URL_SQL)

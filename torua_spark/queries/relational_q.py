@@ -325,3 +325,37 @@ ORACLE["winsorized_stats"] = """
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY e.event_type
 """
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators.relational import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id", 10)
+
+
+QUERIES["skew_report"] = q_skew_report
+
+ORACLE["skew_report"] = """
+    WITH counts AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ),
+    totals AS (
+        SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys,
+               max(n) AS max_n, avg(n) AS avg_n
+        FROM counts
+    ),
+    head AS (
+        SELECT key, n,
+               floor((n::DOUBLE / total) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS share,
+               CAST(NULL AS BIGINT) AS n_keys, CAST(NULL AS DOUBLE) AS skew_ratio
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY n DESC, key ASC) AS r FROM counts
+        ), totals WHERE r <= 10
+    )
+    SELECT key, n, share, n_keys, skew_ratio FROM head
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), total, CAST(NULL AS DOUBLE), n_keys,
+           floor((max_n / avg_n) * 10000.0 + 0.5 + 1e-9) / 10000.0
+    FROM totals
+"""
