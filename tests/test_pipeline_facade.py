@@ -48,3 +48,20 @@ def test_sample_rates_deterministic(spark, sf_dir):
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in b.select("doc_id").collect()
     )
+
+
+def test_pack_after_filters(spark, sf_dir):
+    """The terminal packing stage runs on the filtered corpus: token
+    mass in the packed sequences equals the surviving docs' token
+    count, and every sequence respects the budget on starts."""
+    from torua_spark.operators.sampling import PACK_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = CorpusPipeline(spark, docs).quality_filter(min_chars=50, min_quality=0.3)
+    packed = p.pack().collect()
+    total_tokens = p.df().select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["tok_mass"] for r in packed) == total_tokens
+    assert all(r["n_docs"] >= 1 for r in packed)
+    assert len(packed) >= total_tokens // PACK_BUDGET

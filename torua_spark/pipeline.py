@@ -143,6 +143,12 @@ class CorpusPipeline:
             .otherwise(F.lit("test")),
         )
 
+    def pack(self, budget: int = smp.PACK_BUDGET) -> DataFrame:
+        """Concat-then-chunk sequence packing of the SURVIVING corpus
+        (the final stage: what the training loader reads). Terminal —
+        returns the packed-sequence relation, not a pipeline."""
+        return smp.pack_sequences(self._docs, budget)
+
     # ---------------------------------------------------------- report
     def report(self) -> DataFrame:
         """One-row corpus summary (docs, chars, languages) — the cheap
