@@ -259,3 +259,49 @@ def test_cached_plan_reuses_inmemory_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan_string(df)
     finally:
         df.unpersist()
+
+
+def _broadcast_hints_not_on_scalar_agg(df):
+    """Walk the ANALYZED logical plan; return the broadcast
+    ResolvedHint nodes whose subtree is NOT a global (ungrouped,
+    hence 1-row) aggregate. Those are the only broadcasts an
+    operator may FORCE — anything else must be left to AQE, which
+    broadcasts iff the measured build side fits (VERDICT r2 #1)."""
+    def is_scalar_agg(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("Project", "SubqueryAlias", "Filter"):
+            return is_scalar_agg(node.children().apply(0))
+        return cls == "Aggregate" and node.groupingExpressions().isEmpty()
+
+    bad = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if not is_scalar_agg(node.children().apply(0)):
+                bad.append(node.getClass().getSimpleName())
+            return  # nested hints under a scalar agg are fine
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return bad
+
+
+def test_no_forced_broadcast_of_corpus_proportional_relations(spark, sf_dir):
+    """The 100x-scale contract for the vocabulary/corpus-statistics
+    family (VERDICT r2 #1): dedup_prefix_filter's df/size relations,
+    rag_tfidf_topk's document frequencies, and text_unigram_logprob's
+    unigram table all grow with the corpus, so none may carry a
+    forced broadcast hint — at 100 TB a forced broadcast of any of
+    them kills the job at plan time. The only hints allowed in these
+    plans are 1-row global aggregates (corpus size, token total)."""
+    from torua_spark.queries import all_queries
+
+    qs = all_queries()
+    failures = []
+    for name in ["dedup_prefix_filter", "rag_tfidf_topk", "text_unigram_logprob"]:
+        bad = _broadcast_hints_not_on_scalar_agg(qs[name](spark, sf_dir))
+        if bad:
+            failures.append(f"{name}: {len(bad)} forced non-scalar broadcast(s)")
+    assert not failures, failures

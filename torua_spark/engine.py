@@ -153,11 +153,17 @@ class ToruaEngine:
         `checkpoint_to`; this keeps interactive lookups snappy
         without leaving Spark."""
         if partitions is None:
+            # Cache BEFORE counting so the (possibly long) upsert-window
+            # lineage executes once: the sizing count materializes the
+            # cache, and the repartition below reads from it (ADVICE r2).
+            self._kv = self._kv.cache()
             partitions = max(1, self._kv.count() // 1_000_000)
+        old = self._kv
         self._kv = (
             self._kv.repartition(partitions).sortWithinPartitions("key").cache()
         )
-        self._kv.count()  # materialize
+        self._kv.count()  # materialize the serving cache
+        old.unpersist()  # drop the sizing cache; serving reads the sorted one
         return self
 
     # ---------------------------------------------------------- persistence

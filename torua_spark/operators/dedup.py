@@ -331,24 +331,45 @@ def prefix_filter_pairs(documents: DataFrame,
 
     Scale shape: rare tokens (the sort order) make tiny blocks — the
     candidate join is driven by the LEAST common set elements of each
-    doc. Global df is vocabulary-sized (broadcast); the only
-    corpus-sized shuffles are the (doc, element) relation and the
-    candidate join. The set representation is distinct word 3-gram
+    doc. The global-df relation is vocabulary-sized and the per-doc
+    size relation is corpus-sized (one row per document): NEITHER is
+    broadcast-hinted — at 100 TB a forced broadcast of either kills
+    the job at plan time, so AQE chooses (broadcast when the measured
+    build side fits, shuffle join otherwise). Candidates are pruned
+    before the verify join by PPJoin's length filter (a true pair
+    needs min(sz)/max(sz) >= t) and positional filter (the shared
+    prefix token's positions bound the best-case overlap: 1 +
+    min(sz_a - rn_a, sz_b - rn_b) >= t/(1+t) * (sz_a + sz_b)); both
+    are lossless — a pair with Jaccard >= t always survives via its
+    FIRST shared token in the df-ascending order, which sits inside
+    both prefixes. The set representation is distinct word 3-gram
     SHINGLES (same as the minhash tier — unigram sets degenerate on
     a shared-vocabulary corpus where every doc resembles every
     other), produced by the explode+lead `_shingle_rows` pipeline
     and shared by the prefix AND verify sides (one shingle pass
     total; the HOF word_shingles formulation measured ~2x slower).
     Returns (doc_a, doc_b, jaccard)."""
-    sh = _shingle_rows(documents, 3).distinct()
+    # One shingle pass, materialized: three consumers derive from it
+    # (the token side of the prefix index, the global df aggregate,
+    # and the verify-side sets) and Catalyst does no cross-branch
+    # common-subexpression elimination — unpersisted, the explode+lead
+    # pipeline ran 3x (measured ~2x the wall clock at sf0.1). A
+    # cluster deployment materializes this relation to parquet
+    # between tiers; MEMORY_AND_DISK persist is the local-mode
+    # equivalent and spills rather than OOMs at corpus scale.
+    sh = _shingle_rows(documents, 3).distinct().persist()
     tok = sh.select("doc_id", F.col("s").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "t")
+    # sz rides the SAME doc_id shuffle the row_number window needs —
+    # no separate per-doc aggregation + join (that relation is one
+    # row per document, exactly what must never be broadcast or
+    # re-shuffled at corpus scale).
+    wsz = Window.partitionBy("doc_id")
     prefix = (
-        tok.join(F.broadcast(dfreq), "t")
+        tok.join(dfreq, "t")
         .withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
         .filter(
             # ceil(t*sz - eps): when t*sz is mathematically an integer
             # but the IEEE product rounds a hair ABOVE it (e.g. t=0.55,
@@ -361,7 +382,7 @@ def prefix_filter_pairs(documents: DataFrame,
             - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
             + 1
         )
-        .select("doc_id", "t")
+        .select("doc_id", "t", "rn", "sz")
         # persist(), not localCheckpoint(): the candidate self-join
         # consumes this relation on both sides and Catalyst does NOT
         # reuse the exchange across them (8 FileScans without this).
@@ -371,10 +392,37 @@ def prefix_filter_pairs(documents: DataFrame,
         # The cache entry is prefix-relation-sized (tiny vs corpus).
         .persist()
     )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "t",
+        F.col("rn").alias("rn_a"), F.col("sz").alias("sz_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "t",
+        F.col("rn").alias("rn_b"), F.col("sz").alias("sz_b"),
+    )
+    thr = float(threshold)
     cands = (
-        prefix.withColumnRenamed("doc_id", "doc_a")
-        .join(prefix.withColumnRenamed("doc_id", "doc_b"), "t")
+        a.join(b, "t")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # PPJoin length filter: Jaccard >= t forces
+        # min(sz)/max(sz) >= t (overlap <= min and >= t*max).
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(thr) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        # PPJoin positional filter: via THIS shared token, best-case
+        # overlap = 1 (this match) + what remains after each side's
+        # position; a true pair needs overlap >= t/(1+t)*(sz_a+sz_b)
+        # and always passes at its first shared token, so keeping a
+        # pair when ANY generating row passes is lossless.
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+            )
+            >= F.lit(thr / (1.0 + thr)) * (F.col("sz_a") + F.col("sz_b"))
+            - F.lit(1e-9)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

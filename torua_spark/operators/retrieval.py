@@ -65,9 +65,12 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     (tf * ln((N+1)/(df+1))), stopwords excluded.
 
     Corpus-sized work: one (doc_id, term) count shuffle. The document
-    frequencies and corpus size are vocabulary-/scalar-sized and
-    broadcast. Ranking happens on the ROUNDED score with the term as a
-    total tie-break — deterministic across engines."""
+    frequency relation is vocabulary-sized — Heaps-law sublinear but
+    UNBOUNDED in the corpus, so it is NOT broadcast-hinted: AQE picks
+    a broadcast when the measured build side fits and a shuffle join
+    (the scale-safe plan) when it doesn't. Only the 1-row corpus size
+    is forced-broadcast. Ranking happens on the ROUNDED score with the
+    term as a total tie-break — deterministic across engines."""
     tok = documents.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(~F.col("term").isin(*STOPWORDS))
@@ -76,7 +79,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",

@@ -97,8 +97,10 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     fluent/common). The cheap proxy for perplexity-based filtering.
 
     Corpus-sized work is ONE (token) count shuffle; the unigram table
-    is vocabulary-sized and broadcast to score tokens in place, and
-    the corpus total is a broadcast scalar. Per-doc reduce is a
+    is vocabulary-sized — sublinear (Heaps' law) but unbounded, so it
+    carries NO broadcast hint: AQE broadcasts it when the measured
+    size fits and falls back to a shuffle join at scale. Only the
+    corpus total is a forced-broadcast scalar. Per-doc reduce is a
     partial+final aggregation."""
     spark_parallelism = documents.sparkSession.sparkContext.defaultParallelism
     tok = documents.repartition(spark_parallelism, "doc_id").select(
@@ -107,7 +109,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = uni.agg(F.sum("cnt").alias("total"))
     return (
-        tok.join(F.broadcast(uni), "t")
+        tok.join(uni, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -125,8 +125,23 @@ def _merged(attr: str) -> dict:
     return out
 
 
+def _check_declared(full: dict, attr: str) -> None:
+    """A declared name with no implementation means a registry module
+    was skipped (loud-skip path above) or a name is misspelled; either
+    way the caller must learn WHICH entries are dark, not get a bare
+    KeyError (ADVICE r2)."""
+    missing = [n for n in _DECLARED if n not in full]
+    if missing:
+        raise RuntimeError(
+            f"declared queries missing from merged {attr} registry: "
+            f"{missing} — a registry module failed to load (see stderr) "
+            f"or a _DECLARED name is misspelled"
+        )
+
+
 def all_queries() -> dict:
     full = _merged("QUERIES")
+    _check_declared(full, "QUERIES")
     return {n: full[n] for n in _DECLARED}
 
 

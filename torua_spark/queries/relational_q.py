@@ -245,7 +245,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(
                         (F.col("value") - F.col("lo"))
                         * F.lit(10.0)
-                        / (F.col("hi") - F.col("lo"))
+                        # greatest(span, eps): a degenerate corpus where
+                        # all values are equal must bin deterministically
+                        # (0/eps -> bin 1 on both engines), never 0/0=NaN
+                        # whose int cast differs across engines (ADVICE r2)
+                        / F.greatest(
+                            F.col("hi") - F.col("lo"), F.lit(1e-12)
+                        )
                         - F.lit(1e-9)
                     )
                     + F.lit(1)
@@ -266,7 +272,7 @@ ORACLE["value_histogram"] = """
     WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
     SELECT event_type,
            CAST(least(greatest(
-               floor((value - lo) * 10.0 / (hi - lo) - 1e-9) + 1, 1), 10)
+               floor((value - lo) * 10.0 / greatest(hi - lo, 1e-12) - 1e-9) + 1, 1), 10)
                AS INTEGER) AS bin,
            count(*)::BIGINT AS n_events
     FROM events, span

@@ -60,7 +60,7 @@ ORACLE = {
         flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR (epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT) > 1800
+                             OR (epoch_us(ts) - epoch_us(prev_ts)) >= 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM lagged
         ),
