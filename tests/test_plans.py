@@ -189,7 +189,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     qs = all_queries()
     topk_queries = [
         "vector_topk_cosine", "vector_ann_ivf", "rag_bm25_topk",
-        "join_topk_revenue", "graphrag_ppr",
+        "join_topk_revenue", "graphrag_ppr", "graphrag_retrieve",
     ]
     failures = []
     for name in topk_queries:

@@ -127,24 +127,76 @@ def _banded(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int,
+                         max_bucket: int | None = None) -> DataFrame:
     banded = _banded(sigs, n_hashes, n_bands)
-    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
-    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
-    return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "key"], "doc_id",
+                         "doc_a", "doc_b", max_bucket)
+
+
+def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
+                  a_col: str, b_col: str,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Distinct within-bucket id pairs (a < b) — the candidate join of
+    every banded blocking scheme (MinHash LSH, SimHash, hyperplane).
+
+    ``max_bucket`` is the band-skew cap (VERDICT r2 #5): a hot bucket
+    of B members — a near-duplicate FLOOD (one page boilerplate
+    crawled a million times) or an adversarial collision — makes the
+    self-join emit B^2 rows; at B=1e6 that is 1e12 candidates and no
+    amount of executor parallelism survives the OUTPUT volume (AQE
+    skew-split parallelizes the work, not the result). Buckets larger
+    than the cap therefore emit the STAR pairing instead — every
+    member against the bucket's minimum id, B-1 linear rows. The star
+    keeps exactly the connectivity the downstream duplicate-cluster
+    step (min-label connected components) needs: within a flood every
+    member verifies against the representative, so the CLUSTER is
+    identical; only the non-representative pair edges inside the
+    oversized bucket (quadratic, redundant for clustering) are
+    skipped. Default None = exact all-pairs (the declared-query
+    contract, hash-matched against the oracle's self-join)."""
+    left = rows.select(*bucket_cols, F.col(id_col).alias(a_col))
+    right = rows.select(*bucket_cols, F.col(id_col).alias(b_col))
+    if max_bucket is None:
+        pairs = (
+            left.join(right, bucket_cols)
+            .filter(F.col(a_col) < F.col(b_col))
+        )
+    else:
+        # One extra per-bucket aggregate (size + min id) — bucket-count
+        # sized, rides the same shuffle key as the join itself.
+        stats = rows.groupBy(*bucket_cols).agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_bmin")
+        )
+        tagged = rows.join(stats, bucket_cols)
+        small = tagged.filter(F.col("_bsz") <= max_bucket)
+        pairs_small = (
+            small.select(*bucket_cols, F.col(id_col).alias(a_col))
+            .join(small.select(*bucket_cols, F.col(id_col).alias(b_col)),
+                  bucket_cols)
+            .filter(F.col(a_col) < F.col(b_col))
+        )
+        pairs_big = (
+            tagged.filter(
+                (F.col("_bsz") > max_bucket) & (F.col(id_col) != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias(a_col), F.col(id_col).alias(b_col))
+        )
+        pairs = pairs_small.select(a_col, b_col).unionByName(
+            pairs_big.select(a_col, b_col)
+        )
+    return pairs.select(a_col, b_col).distinct()
 
 
 def minhash_lsh_pairs(documents: DataFrame,
-                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the signature.
-    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    Returns distinct (doc_a, doc_b), doc_a < doc_b. ``max_bucket``
+    star-links oversized buckets (see ``_bucket_pairs``) — the
+    flood-safe mode for raw crawls."""
     sigs = minhash_signatures(documents, n_hashes)
-    return _lsh_pairs_from_sigs(sigs, n_hashes, n_bands)
+    return _lsh_pairs_from_sigs(sigs, n_hashes, n_bands, max_bucket)
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,

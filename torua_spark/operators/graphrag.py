@@ -23,7 +23,7 @@ seed top-k is O(k · degree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from torua_spark.functions.compat import round4
 from torua_spark.functions.ranking import global_topk
@@ -67,12 +67,15 @@ def graphrag_retrieve(embeddings: DataFrame, orders: DataFrame,
         )
     )
     out = seed_rows.unionByName(hop1)
-    w = Window.orderBy(
-        F.col("score").desc(), F.col("entity_type").asc(), F.col("entity_id").asc()
-    )
-    return (
-        out.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= limit)
+    # global_topk -> TakeOrderedAndProject: the candidate relation is
+    # seeds + their 1-hop neighborhood — bounded in practice, but a
+    # hub-heavy graph makes it large, and a partition-less Window
+    # would funnel it through one task (VERDICT r2 #3).
+    return global_topk(
+        out,
+        [F.col("score").desc(), F.col("entity_type").asc(),
+         F.col("entity_id").asc()],
+        limit,
     )
 
 

@@ -369,7 +369,8 @@ def hyperplane_bands(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, cell_col: str | None = None
+    embeddings: DataFrame, threshold: float = 0.35,
+    cell_col: str | None = None, max_bucket: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked to avoid the
     O(n^2) cross join. Default blocking is the LEARNED hyperplane-band
@@ -378,7 +379,14 @@ def embedding_near_dup_pairs(
     one exists (the cheaper exact-recall-within-cell variant). Returns
     (vec_a, vec_b, sim) with vec_a < vec_b; banded recall < 1.0 by
     construction for moderate thresholds (measured in
-    tests/test_rag.py against brute force)."""
+    tests/test_rag.py against brute force).
+
+    ``max_bucket`` caps band skew (VERDICT r2 #5): an all-identical
+    embedding flood collides every row into one (band, sig) bucket
+    and the candidate join goes quadratic in that bucket; past the
+    cap the bucket emits star pairs to its min vec_id instead (linear,
+    connectivity-preserving — within a flood every member verifies
+    against the representative). See dedup._bucket_pairs."""
     from torua_spark.functions.vectors import dot, norm
 
     # Precompute each vector's norm once (2 aggregates per *vector*)
@@ -387,27 +395,19 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         "vec_id", to_double_array("embedding").alias("e")
     ).withColumn("nrm", norm(F.col("e")))
+    from torua_spark.operators.dedup import _bucket_pairs
+
     if cell_col is not None:
         cells = embeddings.select(
             "vec_id", F.col(cell_col).alias("cell")
         )
-        cands = (
-            cells.select(F.col("vec_id").alias("vec_a"), "cell")
-            .join(cells.select(F.col("vec_id").alias("vec_b"), "cell"), "cell")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
+        cands = _bucket_pairs(
+            cells, ["cell"], "vec_id", "vec_a", "vec_b", max_bucket
         )
     else:
         bands = hyperplane_bands(embeddings)
-        cands = (
-            bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-            .join(
-                bands.select(F.col("vec_id").alias("vec_b"), "band", "sig"),
-                ["band", "sig"],
-            )
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .distinct()
+        cands = _bucket_pairs(
+            bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
         )
     a = base.select(F.col("vec_id").alias("vec_a"),
                     F.col("e").alias("ea"), F.col("nrm").alias("na"))
