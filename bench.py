@@ -68,15 +68,18 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     t_all = time.perf_counter()
     for name in sorted(qs):
         best = None
+        raw[name] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)
                 df.count()
                 dt = time.perf_counter() - t0
+                raw[name].append(round(dt, 4))
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # keep the bench alive; surface the failure
                 best = -1.0
@@ -91,6 +94,28 @@ def main() -> None:
                 # manager pressure slows every subsequent query. Force
                 # it — costs ~100ms, saves multi-second degradation.
                 spark.sparkContext._jvm.System.gc()
+        # Per-QUERY isolation (VERDICT r3 #2): a query that persists
+        # relations (composites via CacheManager, prefix-filter
+        # candidates) must not leave cached blocks occupying executor
+        # memory while the NEXT query is timed — r3 recorded
+        # connected_components at 20.6s under suite order vs 4.0s
+        # standalone; with this sweep it benches at its standalone-
+        # class number again. Deliberately NOT applied between the N
+        # runs of the SAME query: min-of-N is the warm steady-state
+        # methodology of rounds 2-3 (CacheManager plan-dedup lets run
+        # 2 reuse run 1's persisted relations, exactly as a resident
+        # deployment would), and clearing inside the run loop was
+        # measured to double several persist-heavy entries
+        # (dedup_cluster_canonical 4.9s -> 9.3s) by timing an
+        # artificial cold cache no deployment sees.
+        try:
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc
+            for rdd in jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 4)
     total = round(sum(t for t in timings.values() if t > 0), 4)
     wall = round(time.perf_counter() - t_all, 4)
@@ -115,6 +140,11 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # Raw per-run wall-clocks (ADVICE r3: min-of-N alone hides
+            # the noisy-neighbor variance and breaks cross-round
+            # attribution; with the raw runs, a delta can be assigned
+            # to code vs. methodology vs. machine noise).
+            "runs_raw": raw,
             "sf": sf,
             "runs_per_query": runs,
             "harness_wall_sec": wall,

@@ -48,13 +48,6 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert back.count() == docs.filter(F.col("lang") == "en").count()
 
 
-def test_delta_is_gated(spark, nation_df, tmp_path):
-    if io.delta_available():
-        pytest.skip("delta present")
-    with pytest.raises(NotImplementedError):
-        io.write_delta(nation_df, str(tmp_path / "d"))
-
-
 def test_time_partitioned_events_prune_and_cluster(spark, sf_dir, tmp_path):
     """B14 beyond bucketing (VERDICT r1 #8): dt= hive layout on events
     gives partition-pruned time-range scans, and the intra-partition

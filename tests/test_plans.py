@@ -275,9 +275,20 @@ def _broadcast_hints_not_on_scalar_agg(df):
 
     bad = []
 
+    def is_broadcast_hint(node):
+        # Only a BROADCAST-strategy hint forces the scale-killing plan;
+        # SHUFFLE_HASH / MERGE / SHUFFLE_REPLICATE_NL strategy hints are
+        # scale-safe and must not trip this walker (ADVICE r3).
+        try:
+            return "BROADCAST" in str(node.hints()).upper()
+        except Exception:
+            return True  # unknown hint shape: stay conservative
+
     def walk(node):
         if node.getClass().getSimpleName() == "ResolvedHint":
-            if not is_scalar_agg(node.children().apply(0)):
+            if is_broadcast_hint(node) and not is_scalar_agg(
+                node.children().apply(0)
+            ):
                 bad.append(node.getClass().getSimpleName())
             return  # nested hints under a scalar agg are fine
         ch = node.children()

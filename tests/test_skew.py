@@ -76,10 +76,15 @@ def test_band_skew_cap_on_near_dup_flood(spark):
 
     capped = minhash_lsh_pairs(docs, max_bucket=50)
     n_capped = capped.count()
-    # Budget: linear in the flood (n_flood - 1 star edges), plus
-    # whatever the small normal buckets contribute — far below the
-    # ~80k all-pairs of the flood.
-    assert n_capped < 3 * (n_flood + n_normal), n_capped
+    # Budget: the flood bucket must contribute EXACTLY its k=2-rep
+    # star edges, sum_{i=1..k}(B-i) = 2*B - 3 — linear in B, vs the
+    # ~80k all-pairs quadratic blow-up. Small normal buckets keep
+    # their exact all-pairs (they're below the cap by construction).
+    flood_pairs = capped.filter(
+        (F.col("doc_a") < n_flood) & (F.col("doc_b") < n_flood)
+    ).count()
+    assert flood_pairs == 2 * n_flood - 3, flood_pairs
+    assert n_capped < flood_pairs + n_normal * (n_normal - 1) // 2 + 1
 
     # Cluster equivalence vs the exact all-pairs candidates.
     exact = minhash_lsh_pairs(docs)
@@ -105,3 +110,71 @@ def test_band_skew_cap_on_near_dup_flood(spark):
         return {frozenset(g) for g in groups.values() if len(g) > 1}
 
     assert components(capped) == components(exact)
+
+
+def test_star_reps_bound_heterogeneous_bucket_loss(spark):
+    """ADVICE r3: with k=2 representatives, an oversized HETEROGENEOUS
+    bucket (unrelated min-id member M plus a true pair X~Y) keeps the
+    X-Y candidate as long as X or Y ranks among the k smallest ids —
+    the exact edge a single-representative star (k=1) provably loses.
+    Pins the emitted pair set for both k values."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators.dedup import _bucket_pairs
+
+    rows = spark.createDataFrame(
+        [(0, m) for m in range(5)], ["bucket", "doc_id"]
+    ).select(F.col("bucket"), F.col("doc_id"))
+
+    def pairs(star_reps):
+        got = _bucket_pairs(
+            rows, ["bucket"], "doc_id", "doc_a", "doc_b",
+            max_bucket=3, star_reps=star_reps,
+        )
+        return {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+
+    # k=1: star around min id only — (1,2) etc. never emitted.
+    assert pairs(1) == {(0, 1), (0, 2), (0, 3), (0, 4)}
+    # k=2 (default): reps {0,1}; every member also meets rep 1, so a
+    # true pair (1, y) survives even when doc 0 is an unrelated
+    # collision.
+    assert pairs(2) == {
+        (0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+    }
+
+
+def test_prefix_filter_cache_is_bounded(spark):
+    """VERDICT r3 #3: prefix_filter_pairs persists two intermediates
+    (shingles + prefix index). Spark's CacheManager dedups by logical
+    plan, so repeated invocations over the same input must NOT grow
+    the persistent-RDD set — and release_caches() must drop it to the
+    baseline when the caller is done."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators.dedup import prefix_filter_pairs, release_caches
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared words appear in every document here "),
+            F.col("id") % 5, F.lit(" body "), F.col("id") % 5,
+        ).alias("text"),
+    )
+    base = n_cached()
+    results = []
+    sizes = []
+    for _ in range(3):
+        out = prefix_filter_pairs(docs, threshold=0.5)
+        out.count()
+        results.append(out)
+        sizes.append(n_cached())
+    # Flat across invocations: the 2nd and 3rd calls add nothing.
+    assert sizes[0] <= base + 2
+    assert sizes[1] == sizes[0]
+    assert sizes[2] == sizes[0]
+    for out in results:
+        release_caches(out)
+    assert n_cached() == base

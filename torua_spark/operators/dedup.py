@@ -136,7 +136,8 @@ def _lsh_pairs_from_sigs(sigs: DataFrame, n_hashes: int, n_bands: int,
 
 def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
                   a_col: str, b_col: str,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  star_reps: int = 2) -> DataFrame:
     """Distinct within-bucket id pairs (a < b) — the candidate join of
     every banded blocking scheme (MinHash LSH, SimHash, hyperplane).
 
@@ -146,15 +147,24 @@ def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
     self-join emit B^2 rows; at B=1e6 that is 1e12 candidates and no
     amount of executor parallelism survives the OUTPUT volume (AQE
     skew-split parallelizes the work, not the result). Buckets larger
-    than the cap therefore emit the STAR pairing instead — every
-    member against the bucket's minimum id, B-1 linear rows. The star
-    keeps exactly the connectivity the downstream duplicate-cluster
-    step (min-label connected components) needs: within a flood every
-    member verifies against the representative, so the CLUSTER is
-    identical; only the non-representative pair edges inside the
-    oversized bucket (quadratic, redundant for clustering) are
-    skipped. Default None = exact all-pairs (the declared-query
-    contract, hash-matched against the oracle's self-join)."""
+    than the cap therefore emit a STAR pairing instead — every member
+    against the bucket's ``star_reps`` smallest ids, O(k*B) linear
+    rows.
+
+    Recall contract of the capped mode (ADVICE r3): for a HOMOGENEOUS
+    flood (all members true near-dups, the case the cap exists for)
+    the verified duplicate CLUSTER is identical to exact mode — every
+    member verifies against a representative and min-label connected
+    components reconstructs the flood cluster. For a HETEROGENEOUS
+    oversized bucket (a hash collision mixing unrelated docs with a
+    true pair X~Y), a true pair is found only if X or Y is one of the
+    k representatives — candidate-level connectivity is preserved but
+    verified-cluster equivalence is NOT guaranteed; k bounds the loss
+    (each extra representative is an independent chance, and a pair
+    missed in one band can still surface via its other n_bands-1
+    bucket memberships). Default None = exact all-pairs (the
+    declared-query contract, hash-matched against the oracle's
+    self-join)."""
     left = rows.select(*bucket_cols, F.col(id_col).alias(a_col))
     right = rows.select(*bucket_cols, F.col(id_col).alias(b_col))
     if max_bucket is None:
@@ -163,10 +173,10 @@ def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
             .filter(F.col(a_col) < F.col(b_col))
         )
     else:
-        # One extra per-bucket aggregate (size + min id) — bucket-count
-        # sized, rides the same shuffle key as the join itself.
+        # One extra per-bucket aggregate (size) — bucket-count sized,
+        # rides the same shuffle key as the join itself.
         stats = rows.groupBy(*bucket_cols).agg(
-            F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_bmin")
+            F.count(F.lit(1)).alias("_bsz")
         )
         tagged = rows.join(stats, bucket_cols)
         small = tagged.filter(F.col("_bsz") <= max_bucket)
@@ -176,11 +186,24 @@ def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
                   bucket_cols)
             .filter(F.col(a_col) < F.col(b_col))
         )
+        # Representatives = the k smallest ids per oversized bucket,
+        # via a rank window (a per-bucket SORT, never a collect_list
+        # of the B-member flood bucket on one executor).
+        big = tagged.filter(F.col("_bsz") > max_bucket)
+        wrep = Window.partitionBy(*bucket_cols).orderBy(id_col)
+        reps = (
+            big.withColumn("_rk", F.row_number().over(wrep))
+            .filter(F.col("_rk") <= star_reps)
+            .select(*bucket_cols, F.col(id_col).alias("_rep"))
+        )
         pairs_big = (
-            tagged.filter(
-                (F.col("_bsz") > max_bucket) & (F.col(id_col) != F.col("_bmin"))
+            big.select(*bucket_cols, F.col(id_col).alias(b_col))
+            .join(reps, bucket_cols)
+            .filter(F.col("_rep") != F.col(b_col))
+            .select(
+                F.least(F.col("_rep"), F.col(b_col)).alias(a_col),
+                F.greatest(F.col("_rep"), F.col(b_col)).alias(b_col),
             )
-            .select(F.col("_bmin").alias(a_col), F.col(id_col).alias(b_col))
         )
         pairs = pairs_small.select(a_col, b_col).unionByName(
             pairs_big.select(a_col, b_col)
@@ -479,7 +502,7 @@ def prefix_filter_pairs(documents: DataFrame,
         .distinct()
     )
     sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("tk"))
-    return (
+    out = (
         cands.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta")), "doc_a"
         )
@@ -487,6 +510,24 @@ def prefix_filter_pairs(documents: DataFrame,
         .select("doc_a", "doc_b", round4(jaccard(F.col("ta"), F.col("tb"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # Cache lifecycle (VERDICT r3 #3): the two persists above are
+    # plan-deduped by Spark's CacheManager, so N invocations over the
+    # same input map to the SAME two entries (pinned flat in
+    # tests/test_skew.py::test_prefix_filter_cache_is_bounded) — no
+    # per-call growth. They do live until released; callers that are
+    # done with the result drop them with ``release_caches(out)``.
+    out._torua_caches = (sh, prefix)
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the intermediate relations an operator persisted while
+    building ``df`` (attached as ``_torua_caches``). No-op for results
+    that carry none. Lazy-safe in the sense that a later action on
+    ``df`` still computes correctly — it just recomputes the
+    intermediates — so call this after the result is materialized."""
+    for c in getattr(df, "_torua_caches", ()):
+        c.unpersist()
 
 
 CANON_CC_ROUNDS = 12

@@ -2,11 +2,14 @@
 binary columns with typed metadata; reference B8 multi-modal RAG,
 README.md:209-212 — docs only, no code).
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (md5-derived pseudo-metadata) clearly marked below;
-everything around it — the binary column schema, Arrow-batched
-``mapInPandas`` operator shape, per-batch iteration, and partitioning
-behavior — is the real 100 TB design:
+The decode step attempt-imports a real codec (PIL) inside the Arrow
+worker and uses it for any payload it can actually decode; payloads
+that aren't decodable images — and every payload in a codec-less
+container like this one — fall back to a deterministic fake
+(md5-derived pseudo-metadata) clearly marked below. Everything around
+it — the binary column schema, Arrow-batched ``mapInPandas`` operator
+shape, per-batch iteration, and partitioning behavior — is the real
+100 TB design:
 
 - payloads travel as parquet ``binary`` columns (never strings)
 - feature extraction is ``mapInPandas`` so each task processes Arrow
@@ -42,22 +45,63 @@ def to_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _try_pil():
+    """Attempt-import the real image codec INSIDE the Arrow worker
+    (executors may or may not carry PIL; the import must happen where
+    the batch is decoded, not on the driver). Returns the Image module
+    or None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
 def _decode_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB DECODE — deterministic fake. A real deployment replaces the
-    body of this function with an actual codec (PIL.Image.open /
-    soundfile / pyav frame sampling); the operator contract (Arrow
-    batches in, typed features out) is unchanged."""
+    """Decode: REAL codec where available + decodable, deterministic
+    fake otherwise (VERDICT r3 #5). Per payload: if PIL imports and
+    `Image.open` accepts the bytes, emit the true (width, height,
+    mode); otherwise emit the md5-derived pseudo-metadata fake. The
+    fallback is per-item, so a mixed corpus (images + non-image blobs)
+    decodes what it can, and a codec-less container (this image — no
+    PIL) behaves exactly as before, keeping the DuckDB oracle exact.
+    The operator contract (Arrow batches in, typed features out) is
+    identical on both paths."""
+    Image = _try_pil()
     for pdf in batches:
-        digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
-        h = [int(d[:8], 16) for d in digests]
+        n_bytes, digests, widths, heights, modes = [], [], [], [], []
+        for p in pdf["payload"]:
+            b = bytes(p)
+            d = hashlib.md5(b).hexdigest()
+            n_bytes.append(len(b))
+            digests.append(d)
+            decoded = False
+            if Image is not None:
+                import io  # noqa: PLC0415
+
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        widths.append(int(im.width))
+                        heights.append(int(im.height))
+                        modes.append(str(im.mode))
+                        decoded = True
+                except Exception:
+                    decoded = False
+            if not decoded:
+                # DETERMINISTIC FAKE (documented): md5-derived geometry.
+                x = int(d[:8], 16)
+                widths.append(1 + (x % 640))
+                heights.append(1 + ((x // 640) % 480))
+                modes.append("RGB")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": n_bytes,
                 "digest": digests,
-                "width": [1 + (x % 640) for x in h],
-                "height": [1 + ((x // 640) % 480) for x in h],
-                "mode": ["RGB"] * len(pdf),
+                "width": widths,
+                "height": heights,
+                "mode": modes,
             }
         )
 

@@ -39,10 +39,25 @@ _MODULES = [
 # The 50 driver-checked entries, in registry order. Keep this list at
 # EXACTLY 50 names (tests/test_properties.py pins it): the driver
 # verifies no further.
+#
+# Round-4 rotation (VERDICT r3 item #1): eight long-green composites
+# (driver-green rounds 1-3: kv_binary_values, stats_quartiles,
+# approx_stats, relational_shapes, temporal_joins, joins_composite,
+# python_udxf, scatter_gather_agg) rotate OUT to extra_queries() —
+# each keeps its pytest-vs-DuckDB verification — and the eight
+# strongest never-driver-proven extras rotate IN (learned-IVF ANN,
+# PQ+ADC ANN, hybrid RRF retrieval, MinHash + n-gram + streaming
+# decontamination, PII redaction, skew report). Two of the new
+# entries (vector_ann_ivf_learned, vector_pq_ann) are genuinely
+# non-SQL-expressible (per-subspace Lloyd codebooks); they ship
+# without an ORACLE entry and the driver records the documented
+# weaker rows-only check (_ROWS_ONLY below).
 _DECLARED = [
     # --- LLM data pipeline: vectors / dedup / text / RAG (B7, B17)
     "vector_topk_cosine",
     "vector_ann_ivf",
+    "vector_ann_ivf_learned",
+    "vector_pq_ann",
     "vector_neardup_pairs",
     "vector_quantization",
     "dedup_exact",
@@ -50,14 +65,18 @@ _DECLARED = [
     "dedup_cluster_canonical",
     "dedup_prefix_filter",
     "dedup_simhash_pairs",
+    "dedup_decontaminate",
+    "dedup_decontaminate_ngram",
     "text_stats_tokens",
     "text_quality_scores",
     "text_language_id",
     "text_unigram_logprob",
+    "text_redact_pii",
     "doc_fingerprint",
     "rag_chunk_documents",
     "rag_tfidf_topk",
     "rag_bm25_topk",
+    "rag_hybrid_rrf",
     "graphrag_retrieve",
     "graphrag_ppr",
     # --- graph (B1, B2, B3, B6)
@@ -77,11 +96,11 @@ _DECLARED = [
     "streaming_dedup",
     "streaming_enriched_agg",
     "streaming_attribution_join",
+    "streaming_decontaminate",
     "multimodal_pipeline",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",
     "kv_writes",
-    "kv_binary_values",
     "shard_routing",
     "topology_admin",
     "cluster_ops",
@@ -89,15 +108,15 @@ _DECLARED = [
     # --- temporal batch (B9)
     "temporal_windows",
     "temporal_analytics",
-    # --- relational / scatter-gather (B3-B5, §2.C)
-    "scatter_gather_agg",
-    "relational_shapes",
-    "stats_quartiles",
-    "approx_stats",
-    "joins_composite",
-    "temporal_joins",
-    "python_udxf",
+    # --- skew diagnostics (scale tooling)
+    "skew_report",
 ]
+
+# Declared entries with NO DuckDB oracle: the driver falls back to its
+# documented rows-only check. Only genuinely non-SQL-expressible ops
+# belong here (learned per-subspace k-means codebooks — recall vs
+# brute force is pinned in tests/test_rag.py instead).
+_ROWS_ONLY = {"vector_ann_ivf_learned", "vector_pq_ann"}
 
 
 def _load(name: str):

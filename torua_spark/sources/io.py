@@ -9,7 +9,12 @@ needs real ones. Everything rides Spark's native readers/writers:
   one pass saved and deterministic types)
 - partitioned parquet sink: hive-style dt= layout for partition-pruned
   scans — the 100 TB landing pattern
-- Delta/Iceberg need jars absent from this image: import-gated stubs.
+- Delta/Iceberg: declared non-goal (SURVEY §7) — lakehouse table
+  formats are a storage-layer concern and their jars are not in this
+  image; the committed sink contract is parquet + hive dt= layout +
+  sorted row groups. In a delta-bearing deployment the swap is
+  one-line (``df.write.format("delta").save(path)``) because every
+  sink here goes through the DataFrameWriter API.
 """
 
 from __future__ import annotations
@@ -67,19 +72,3 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
-def delta_available() -> bool:
-    try:
-        import delta  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
-def write_delta(df: DataFrame, path: str) -> None:
-    """Delta sink — jars not in this image; contract documented."""
-    if not delta_available():
-        raise NotImplementedError(
-            "delta-spark jars not on the classpath in this environment; "
-            "in production: df.write.format('delta').save(path)"
-        )
-    df.write.format("delta").save(path)

@@ -94,7 +94,19 @@ def streaming_consecutive_failures(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name)
-    # "update" mode appends one row per key per batch; keep the last
-    # emitted state per node (single batch here, but stay correct).
-    pdf = out.toPandas().groupby("node_id").tail(1)
-    return spark.createDataFrame(pdf, out.schema)
+    # "update" mode appends one row per key per batch; keep the LAST
+    # emitted state per node. The state's probe counter is strictly
+    # monotonic across a node's emissions (a group only fires when the
+    # batch delivered it rows, and every row increments probes), so
+    # keep-last == max(total_probes) per node — expressible as a
+    # row_number window in Spark rather than a driver-side pandas
+    # groupby (VERDICT r3 #6), and order-independent where the memory
+    # sink's row order is not contractual.
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("node_id").orderBy(F.desc("total_probes"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
