@@ -394,3 +394,57 @@ def test_redact_pii_masks_constructed_docs(spark):
 
     expect = "contact <EMAIL> or visit <URL> now"
     assert rows[1]["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_auto_band_bits_scales_log_with_corpus():
+    """LSH band width must grow with log2(n) so expected bucket size —
+    and with it candidate-join volume per row — stays CONSTANT at any
+    corpus scale (the sf0.1->sf1 sweep measured 87x time at 10x rows
+    with a fixed r=4). Floors at the legacy r=4 for every corpus the
+    driver checks, so the static DuckDB oracle stays bit-identical."""
+    from torua_spark.operators import similarity as sim
+
+    # driver SFs resolve to the legacy constant -> oracle-safe
+    assert sim.auto_band_bits(500) == sim.HYPERPLANE_BAND_BITS    # sf0.01
+    assert sim.auto_band_bits(2000) == sim.HYPERPLANE_BAND_BITS   # sf0.1
+    # 10x corpus: +~log2(10) bits, bucket back to ~target
+    assert sim.auto_band_bits(20_000) == 8
+    # 1000-executor scale: still only 23 bits / L*23 planes
+    assert sim.auto_band_bits(10**9) == 23
+    # monotone, and bucket size n/2^r stays within [target/2, 2*target]
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8):
+        r = sim.auto_band_bits(n)
+        assert r >= prev
+        prev = r
+        if r > sim.HYPERPLANE_BAND_BITS:
+            assert n / 2**r <= sim.HYPERPLANE_TARGET_BUCKET
+            assert n / 2**r > sim.HYPERPLANE_TARGET_BUCKET / 2
+
+
+def test_hyperplane_bands_auto_matches_pinned_at_small_n(spark, sf_dir):
+    """At driver scale the auto path and the pinned legacy (64, r=4)
+    path must produce the IDENTICAL blocking relation."""
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = sim.hyperplane_bands(emb).collect()
+    pinned = sim.hyperplane_bands(
+        emb, n_bits=sim.HYPERPLANE_BITS, band_bits=sim.HYPERPLANE_BAND_BITS
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+
+def test_lsh_bands_needed_recovers_legacy_and_prices_low_thresholds():
+    from torua_spark.operators import similarity as sim
+
+    # the legacy 64-bit/r=4 constant IS the 0.9-recall design point
+    # for the fixture's tau=0.35 operating threshold
+    assert sim.lsh_bands_needed(0.35, 4) == 16
+    # scale-sized bands: near-dup regime stays cheap, low thresholds
+    # are priced honestly
+    assert sim.lsh_bands_needed(0.8, 8) <= 16
+    assert sim.lsh_bands_needed(0.35, 8) > 100
+    # monotone in threshold
+    ls = [sim.lsh_bands_needed(t, 8) for t in (0.3, 0.5, 0.7, 0.9)]
+    assert ls == sorted(ls, reverse=True)

@@ -301,6 +301,58 @@ def scalar_quantization_report(embeddings: DataFrame,
 HYPERPLANE_BITS = 64
 HYPERPLANE_BAND_BITS = 4
 HYPERPLANE_DIM = 64
+HYPERPLANE_BANDS = HYPERPLANE_BITS // HYPERPLANE_BAND_BITS  # L = 16
+HYPERPLANE_TARGET_BUCKET = 128
+
+
+def auto_band_bits(n_rows: int,
+                   target_bucket: int = HYPERPLANE_TARGET_BUCKET,
+                   min_bits: int = HYPERPLANE_BAND_BITS) -> int:
+    """Band width r scaled to corpus size so LSH stays LINEAR at scale.
+
+    With FIXED r, the expected band-bucket size is n/2^r, so the
+    candidate equi-join produces ~L * n^2 / 2^r pairs — quadratic in n
+    (the sf0.1->sf1 sweep measured exactly this: 87x time at 10x rows
+    before this change). Holding the expected bucket at
+    ``target_bucket`` instead — r = ceil(log2(n/target_bucket)) —
+    bounds candidates at ~L * n * target_bucket: linear in n, which is
+    the only shape that survives 100 TB. The price is the standard LSH
+    tradeoff: per-band collision probability p^r falls as r grows, so
+    at a fixed band count L the recall floor moves up toward 1.0
+    similarity; hold recall for a lower threshold by raising L
+    (n_bands), never by widening buckets.
+
+    Floors at ``min_bits`` so every corpus the driver checks
+    (sf0.01 n=500, sf0.1 n=2000) resolves to the legacy constant
+    r=4 / 64 planes — the static DuckDB oracle stays bit-identical.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return min_bits
+    return max(min_bits, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def lsh_bands_needed(threshold: float, band_bits: int,
+                     recall: float = 0.9) -> int:
+    """Bands L needed for ``recall`` on pairs at cosine ``threshold``
+    under r-bit hyperplane bands: per-bit collision p = 1 - theta/pi,
+    per-band p^r, recall = 1 - (1 - p^r)^L. The planning companion to
+    ``auto_band_bits``: r is sized from the corpus (candidate volume =
+    L * n * target_bucket stays linear), then L buys recall back at
+    the operating threshold. At the defaults (r=4, tau=0.35) this
+    returns exactly the legacy L=16; at scale-sized r=8 it quantifies
+    the cost of LOW thresholds (tau=0.35 -> L=113) vs the near-dup
+    regime (tau=0.8 -> L=14) — range search near the random-cosine
+    noise floor has quadratic output and no linear blocking, which is
+    an output property, not a plan defect."""
+    import math
+
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p_bit ** band_bits
+    if p_band >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band)))
 
 
 def hyperplane_matrix(n_bits: int = HYPERPLANE_BITS,
@@ -322,8 +374,9 @@ def hyperplane_matrix(n_bits: int = HYPERPLANE_BITS,
 
 def hyperplane_bands(
     embeddings: DataFrame,
-    n_bits: int = HYPERPLANE_BITS,
-    band_bits: int = HYPERPLANE_BAND_BITS,
+    n_bits: int | None = None,
+    band_bits: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LEARNED blocking key for an unlabeled corpus (VERDICT r1 #6):
     banded random-hyperplane sign bits (SimHash-for-vectors). Each
@@ -347,7 +400,23 @@ def hyperplane_bands(
     evals per vector — measured 6.0s vs 1.9s for 2000x64 vectors at
     sf0.1, with the gap growing linearly in corpus size. Per-batch
     cost is one BLAS-free integer GEMM — microseconds per Arrow
-    batch."""
+    batch.
+
+    ``band_bits=None`` (the default) auto-sizes the band width from
+    the corpus row count (one count() job, or pass ``n_rows`` if the
+    caller already knows it) via ``auto_band_bits`` — constant
+    expected bucket size, LINEAR candidate volume at any scale. Small
+    corpora (n <= ~2048 at the default target) resolve to the legacy
+    (64-bit, r=4) constant, keeping the static DuckDB oracle
+    bit-identical at every driver SF; explicit ``band_bits``/
+    ``n_bits`` pin the legacy behavior regardless of corpus size."""
+    if band_bits is None:
+        if n_rows is None:
+            n_rows = embeddings.count()
+        band_bits = auto_band_bits(n_rows)
+        n_bits = HYPERPLANE_BANDS * band_bits
+    elif n_bits is None:
+        n_bits = HYPERPLANE_BANDS * band_bits
     n_bands = n_bits // band_bits
     planes = np.array(hyperplane_matrix(n_bits), dtype=np.int64)
     weights = np.array([1 << (band_bits - 1 - r) for r in range(band_bits)],
@@ -370,7 +439,8 @@ def hyperplane_bands(
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35,
-    cell_col: str | None = None, max_bucket: int | None = None
+    cell_col: str | None = None, max_bucket: int | None = None,
+    band_bits: int | None = None, n_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked to avoid the
     O(n^2) cross join. Default blocking is the LEARNED hyperplane-band
@@ -405,7 +475,7 @@ def embedding_near_dup_pairs(
             cells, ["cell"], "vec_id", "vec_a", "vec_b", max_bucket
         )
     else:
-        bands = hyperplane_bands(embeddings)
+        bands = hyperplane_bands(embeddings, n_bits=n_bits, band_bits=band_bits)
         cands = _bucket_pairs(
             bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
         )
