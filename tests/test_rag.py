@@ -448,3 +448,26 @@ def test_lsh_bands_needed_recovers_legacy_and_prices_low_thresholds():
     # monotone in threshold
     ls = [sim.lsh_bands_needed(t, 8) for t in (0.3, 0.5, 0.7, 0.9)]
     assert ls == sorted(ls, reverse=True)
+
+
+def test_semantic_dedup_keeps_min_id_and_covers_corpus(spark, sf_dir):
+    """Every vector gets exactly one row; the min-id member of every
+    cell always survives; every dropped vector really has a smaller-id
+    kept-or-dropped neighbor above threshold in its cell (star rule)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+    from torua_spark.queries.rag_q import NEARDUP_COS_THRESHOLD, _emb
+
+    emb = _emb(spark, sf_dir)
+    res = sim.semantic_dedup(emb, NEARDUP_COS_THRESHOLD)
+    assert res.count() == emb.count()
+    mins = res.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    assert res.join(mins, ["cell", "vec_id"]).filter(~F.col("kept")).count() == 0
+    dropped = res.filter(~F.col("kept")).select("vec_id")
+    pairs = sim.embedding_near_dup_pairs(
+        emb, NEARDUP_COS_THRESHOLD, cell_col="label"
+    )
+    witnessed = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    assert dropped.exceptAll(witnessed).count() == 0
+    assert witnessed.exceptAll(dropped).count() == 0

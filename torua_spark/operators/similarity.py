@@ -494,6 +494,37 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
+                   cell_col: str = "label") -> DataFrame:
+    """SemDeDup-style semantic deduplication (published recipe:
+    cluster the embedding space, then prune within-cluster cosine
+    duplicates — Abbas et al. 2023, arXiv:2303.09540). Blocking is a
+    cluster column (`cell_col`, default the data's `label`; swap in
+    `assign_cells`/k-means output for an unlabeled corpus), so the
+    pairwise cosine pass runs per cluster, never across the corpus.
+
+    Keep rule (deterministic, SQL-checkable): a vector is DROPPED iff
+    some SMALLER-vec_id vector in its cell sits at cosine >=
+    ``threshold`` — i.e. the minimum id of every semantic-duplicate
+    star survives as the representative. (The paper keeps a
+    centroid-distance-ranked member per group; min-id is the same
+    candidate-graph pruning with a deterministic tie-break the DuckDB
+    oracle can replicate exactly.)
+
+    Returns one row per vector: (vec_id, cell, kept). At 100 TB the
+    shape is: cluster assignment (broadcast centroid join) + the
+    within-cell candidate join of `embedding_near_dup_pairs` (skew-
+    capped via _bucket_pairs) + one anti-join — no global shuffle
+    beyond the cell key, linear in corpus size for bounded cells."""
+    pairs = embedding_near_dup_pairs(embeddings, threshold, cell_col=cell_col)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        embeddings.select("vec_id", F.col(cell_col).alias("cell"))
+        .join(dropped.withColumn("hit", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cell", F.col("hit").isNull().alias("kept"))
+    )
+
+
 # ---------------------------------------------------------------- PQ
 # m=16 subspaces of 4 dims: this corpus concentrates distances (exact
 # top-10 d2 spans ~10%), so coarser m ranks noise — measured ADC-only

@@ -69,6 +69,9 @@ QUERIES = {
     "text_token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
     "text_unigram_logprob": lambda s, d: ta.unigram_logprob(_docs(s, d)),
     "vector_quantize_report": lambda s, d: sim.scalar_quantization_report(_emb(s, d)),
+    "semantic_dedup": lambda s, d: sim.semantic_dedup(
+        _emb(s, d), NEARDUP_COS_THRESHOLD
+    ),
     "vector_centroid_inertia": lambda s, d: sim.centroid_inertia(_emb(s, d)),
     "doc_fingerprint": lambda s, d: ta.fingerprints(_docs(s, d)),
     "rag_chunk_documents": lambda s, d: rt.chunk_documents(_docs(s, d)),
@@ -557,6 +560,20 @@ ORACLE = {
                    AS avg_nll
         FROM tok JOIN uni USING (t), tot
         GROUP BY doc_id
+    """,
+    "semantic_dedup": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])
+                        * 10000.0 + 0.5 + 1e-9) / 10000.0
+                  >= {NEARDUP_COS_THRESHOLD}
+        )
+        SELECT e.vec_id, e.label AS cell,
+               e.vec_id NOT IN (SELECT vec_b FROM pairs) AS kept
+        FROM embeddings e
     """,
     "vector_quantize_report": """
         WITH pos AS (
