@@ -471,3 +471,63 @@ def test_semantic_dedup_keeps_min_id_and_covers_corpus(spark, sf_dir):
     witnessed = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     assert dropped.exceptAll(witnessed).count() == 0
     assert witnessed.exceptAll(dropped).count() == 0
+
+
+def test_simhash_block_generalization_matches_legacy(spark, sf_dir):
+    """Auto-sized blocking at driver scale must reproduce the legacy
+    two-16-bit-halves candidate set and verified pairs exactly."""
+    from torua_spark.operators import dedup as dd
+    from torua_spark.queries.rag_q import _docs
+
+    docs = _docs(spark, sf_dir)
+    auto = dd.simhash_near_dup_pairs(docs, 6).collect()
+    pinned = dd.simhash_near_dup_pairs(docs, 6, sig_bits=32, block_bits=16).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+
+def test_simhash64_scale_path(spark, sf_dir):
+    """64-bit signatures: high bits are exercised, blocked pairs are a
+    subset of brute-force hamming pairs, and recall is EXACT for
+    hamming <= n_blocks-1 (pigeonhole: 4 blocks of 16 bits)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.queries.rag_q import _docs
+
+    docs = _docs(spark, sf_dir).limit(200)
+    sigs = dd.simhash_signatures(docs, bits=64)
+    assert sigs.filter(
+        (F.col("simhash") < 0) | (F.col("simhash") >= 2**32)
+    ).count() > 0, "64-bit signatures must populate the high half"
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(docs, 12, sig_bits=64).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .collect()
+    }
+    assert set(got) <= set(brute)
+    assert all(brute[k] == v for k, v in got.items())
+    # pigeonhole recall: every true pair within hamming 3 is found
+    close = {k for k, v in brute.items() if v <= 3}
+    assert close <= set(got)
+
+
+def test_simhash_32bit_raises_past_block_capacity():
+    from torua_spark.operators import dedup as dd
+    import pytest as _pt
+
+    # 20M docs -> auto block width 18 -> one 32-bit block only
+    with _pt.raises(ValueError, match="sig_bits=64"):
+        dd.simhash_near_dup_pairs(None, 6, sig_bits=32, n_rows=20_000_000)

@@ -608,55 +608,103 @@ def canonicalize_near_dups(documents: DataFrame, threshold: float = 0.5,
     )
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """32-bit SimHash over distinct tokens: bit j of the signature is
-    the sign of sum over tokens of (+1 if bit j of md5_32(token) else
-    -1).
+def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over distinct tokens: bit j of the signature is the
+    sign of sum over tokens of (+1 if bit j of hash(token) else -1).
 
-    Plan shape: one token row per (doc, distinct token), then 32
+    ``bits=32`` (default, the declared/oracle contract) hashes tokens
+    with md5_32 — portable to DuckDB bit-for-bit. ``bits=64`` (the
+    scale path — see simhash_near_dup_pairs on why 32 bits saturate
+    around ~8M docs) hashes with the JVM-side xxhash64; same plan
+    shape, pytest-verified against brute-force hamming rather than a
+    SQL oracle. Bit 63 of the packed signature is the sign bit —
+    encoded as the two's-complement term -2^63, so the full 64-bit
+    pattern rides in one BIGINT.
+
+    Plan shape: one token row per (doc, distinct token), then ``bits``
     sum(CASE ...) aggregates in a SINGLE partial+final aggregation on
     doc_id — not an explode over bit positions (which multiplies the
-    token relation x32 and needs a second shuffle). The shift amounts
-    are literals, so every branch stays in whole-stage codegen.
+    token relation x``bits`` and needs a second shuffle). The shift
+    amounts are literals, so every branch stays in whole-stage
+    codegen.
 
     Same explicit repartition rationale as `_shingle_rows`: the corpus
-    arrives in file-sized partitions but the md5+aggregate work is
+    arrives in file-sized partitions but the hash+aggregate work is
     CPU-bound per token — spread it over the full parallelism."""
+    if bits not in (32, 64):
+        raise ValueError(f"simhash bits must be 32 or 64, got {bits}")
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    h = md5_32(F.col("t")) if bits == 32 else F.xxhash64(F.col("t"))
     tok = documents.repartition(parallelism, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
-    ).withColumn("h", md5_32(F.col("t")))
+    ).withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"s{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     per_doc = tok.groupBy("doc_id").agg(*aggs)
     sig = None
-    for j in range(32):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+    for j in range(bits):
+        one = -(2 ** 63) if j == 63 else (1 << j)
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(one).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6,
+                           sig_bits: int = 32, block_bits: int | None = None,
+                           n_rows: int | None = None) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming,
-    blocked on 16-bit signature halves (any pair within hamming 16
-    shares at least one half... pigeonhole guarantees recall only for
-    max_hamming < 2, so this is a *candidate* blocker like LSH bands —
-    standard practice; verified pairs are exact on the hamming check)."""
-    sigs = simhash_signatures(documents)
+    blocked on equal signature blocks (any pair sharing one block key
+    becomes a candidate; pigeonhole guarantees FULL recall only for
+    max_hamming < n_blocks, so this is a *candidate* blocker like LSH
+    bands — standard practice; verified pairs are exact on the
+    hamming check).
+
+    Defaults — (sig_bits=32, two 16-bit halves) — are the declared/
+    oracle contract, byte-identical to the original formulation. At
+    scale the same sizing law as similarity.auto_band_bits applies:
+    random-pair collisions per block grow as n^2 / 2^block_bits, so
+    ``block_bits=None`` auto-sizes the block to
+    max(16, ceil(log2(n/128))) — constant expected bucket, linear
+    candidates. A 32-bit signature fits two >=16-bit blocks only up
+    to ~8M docs (block width 17+ leaves just one block and zero
+    hamming tolerance); past that pass ``sig_bits=64`` (xxhash64
+    token hashes, 4x16-bit blocks at small n, and e.g. 3x21-bit at
+    0.3B docs) — recall for hamming <= n_blocks-1 stays exact, the
+    tail is bought back with a second rotated table if needed
+    (Manku et al., WWW'07)."""
+    if block_bits is None:
+        from torua_spark.operators.similarity import auto_band_bits
+
+        if n_rows is None:
+            n_rows = documents.count()
+        block_bits = max(16, auto_band_bits(n_rows, min_bits=16))
+    n_blocks = sig_bits // block_bits
+    if n_blocks < 2:
+        raise ValueError(
+            f"sig_bits={sig_bits} with block_bits={block_bits} leaves "
+            f"{n_blocks} block(s) — no hamming tolerance; use sig_bits=64 "
+            f"(or longer signatures) at this corpus size"
+        )
+    sigs = simhash_signatures(documents, bits=sig_bits)
+    mask = (1 << block_bits) - 1
     halves = sigs.select(
         "doc_id", "simhash",
         F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("key")),
-                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("simhash"), 16).alias("key")),
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("part"),
+                    F.shiftright(F.col("simhash"), i * block_bits)
+                    .bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(n_blocks)
+            ])
         ).alias("pk"),
     ).select("doc_id", "simhash", F.col("pk.part").alias("part"), F.col("pk.key").alias("key"))
     left = halves.select("part", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
