@@ -125,6 +125,10 @@ _PYTHON_OK = {
     "streaming_health_state",   # applyInPandasWithState
     "vector_neardup_pairs",     # hyperplane banding = Arrow int64 GEMM
                                 # (measured 3x+ over interpreted HOFs)
+    "vector_kmeans_cells",      # Arrow nearest-centroid assignment
+                                # (bit-identical to the HOF fold; 4x at sf1)
+    "vector_ann_ivf_learned",   # same assignment inside the Lloyd loop
+    "vector_pq_ann",            # same assignment, per-subspace codebooks
 }
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin

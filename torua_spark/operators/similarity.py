@@ -142,21 +142,46 @@ def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment with PORTABLE hard decisions: the
     squared L2 distance is rounded to 4 decimals before the argmin and
     ties break on cell id, so Spark and the oracle pick the same cell
-    even when raw double sums differ in the last ulp. argmin is a
-    partial+final ``min(struct(dist, cell))`` aggregate — no window,
-    no shuffle beyond the k-way broadcast join."""
-    e = embeddings.select("vec_id", to_double_array("embedding").alias("e"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    even when raw double sums differ in the last ulp.
+
+    Execution is an Arrow ``mapInPandas`` pass with the (index-sized)
+    centroid matrix closed over per worker — the same batch-level-
+    Python rationale as ``hyperplane_bands``: the equivalent Catalyst
+    formulation (broadcast crossJoin + zip_with/aggregate fold +
+    min(struct)) runs n·k 64-element lambda folds through the
+    INTERPRETED higher-order evaluator (no codegen for HOFs), measured
+    2.75s vs 0.70s at sf1 with the gap linear in n·k. Arithmetic is
+    BIT-IDENTICAL to both that formulation and the DuckDB oracle
+    (`vector_kmeans_cells`): float64 left-fold accumulation dim by
+    dim, the exact round4 expression order ((d2*1e4)+0.5)+1e-9, and
+    first-min argmin over ascending cell ids == min(struct(d4, cell));
+    parity verified at sf0.01/0.1/1 in tests and by the oracle row."""
+    crows = cents.select("cell", "centroid").collect()
+    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cmat = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    order = np.argsort(cell_ids)
+    cell_ids, cmat = cell_ids[order], cmat[order]
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            acc = np.zeros((emat.shape[0], cmat.shape[0]), dtype=np.float64)
+            for j in range(emat.shape[1]):  # exact left-fold per dim
+                diff = emat[:, j : j + 1] - cmat[:, j][None, :]
+                acc += diff * diff
+            d4 = np.floor(acc * 10000.0 + 0.5 + 1e-9) / 10000.0
+            best = np.argmin(d4, axis=1)  # first min = smallest cell id
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell_ids[best].astype(np.int32)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign, "vec_id long, cell int"
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", round4(d2).alias("d4")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("d4", "cell")).alias("m")
-    ).select("vec_id", F.col("m.cell").alias("cell"))
 
 
 def kmeans_centroids(embeddings: DataFrame, k: int = KMEANS_K,
@@ -536,6 +561,66 @@ PQ_K = 16   # codewords per subspace -> 4-bit codes
 PQ_SHORTLIST = 100
 
 
+def _pq_codebook_arrays(cents: DataFrame, m: int):
+    """Collect the (index-sized) codebook relation into per-subspace
+    (ascending cell ids, centroid matrix) numpy pairs."""
+    by_sub: dict[int, list] = {j: [] for j in range(m)}
+    for r in cents.select("subspace", "cell", "centroid").collect():
+        by_sub[r["subspace"]].append((r["cell"], np.asarray(r["centroid"], dtype=np.float64)))
+    out = {}
+    for j, rows in by_sub.items():
+        rows.sort(key=lambda t: t[0])
+        out[j] = (
+            np.array([c for c, _ in rows], dtype=np.int64),
+            np.stack([v for _, v in rows]) if rows else np.zeros((0, 0)),
+        )
+    return out
+
+
+def _pq_assign(embeddings: DataFrame, cents: DataFrame, m: int,
+               sub: int, with_dist: bool = False) -> DataFrame:
+    """Arrow nearest-codeword assignment for every (vector, subspace):
+    one ``mapInPandas`` pass computing all m subspace argmins per
+    batch. Bit-identical to the Catalyst broadcast-join formulation:
+    float64 left-fold distance over the subspace slice, round4 in the
+    exact ((d2*1e4)+0.5)+1e-9 order, first-min argmin over ascending
+    cell ids."""
+    books = _pq_codebook_arrays(cents, m)
+    schema = "subspace int, vec_id long, cell int" + (
+        ", d4 double" if with_dist else ""
+    )
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            frames = []
+            for j in range(m):
+                cell_ids, cmat = books[j]
+                if cmat.size == 0:
+                    continue
+                sl = emat[:, j * sub:(j + 1) * sub]
+                acc = np.zeros((sl.shape[0], cmat.shape[0]), dtype=np.float64)
+                for p in range(sl.shape[1]):
+                    diff = sl[:, p:p + 1] - cmat[:, p][None, :]
+                    acc += diff * diff
+                d4 = np.floor(acc * 10000.0 + 0.5 + 1e-9) / 10000.0
+                best = np.argmin(d4, axis=1)
+                cols = {
+                    "subspace": np.full(len(sl), j, dtype=np.int32),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_ids[best].astype(np.int32),
+                }
+                if with_dist:
+                    cols["d4"] = d4[np.arange(len(sl)), best]
+                frames.append(pd.DataFrame(cols))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(_assign, schema)
+
+
 def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
                  iterations: int = KMEANS_ITERATIONS) -> DataFrame:
     """Product-quantization codebooks: the embedding axis is split
@@ -593,20 +678,13 @@ def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
         .select("subspace", "cell", F.col("e").alias("centroid"))
         .localCheckpoint()
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     for _ in range(iterations):
-        scored = sub_rows.join(F.broadcast(cents), "subspace").select(
-            "subspace", "vec_id", round4(d2).alias("d4"), "cell"
-        )
-        assigned = (
-            scored.groupBy("subspace", "vec_id")
-            .agg(F.min(F.struct("d4", "cell")).alias("mn"))
-            .select("subspace", "vec_id", F.col("mn.cell").alias("cell"))
-        )
+        # Arrow per-subspace nearest-codeword assignment — same
+        # batch-level-Python rationale and bit-identical arithmetic as
+        # assign_cells (left-fold float64 distance, round4, first-min
+        # argmin over ascending cell ids), all m subspaces in one pass
+        # over the corpus.
+        assigned = _pq_assign(embeddings, cents, m, sub)
         cents = (
             sub_rows.join(assigned, ["subspace", "vec_id"])
             .select("subspace", "cell", F.posexplode("e").alias("pos", "v"))
@@ -634,28 +712,33 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
     no window, no per-vector loop."""
     dim = len(embeddings.select("embedding").first()[0])
     sub = dim // m
-    e = embeddings.select("vec_id", to_double_array("embedding").alias("e"))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("e"), F.col("subspace") * sub + 1, sub),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = e.crossJoin(F.broadcast(codebooks)).select(
-        "vec_id", "subspace", "cell", round4(d2).alias("d4")
-    )
-    per_sub = scored.groupBy("vec_id", "subspace").agg(
-        F.min(F.struct("d4", "cell")).alias("mn")
-    )
-    return per_sub.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subspace", "mn"))),
-            lambda s: s.getField("mn").getField("cell"),
-        ).alias("codes"),
-        round4(F.sum("mn.d4")).alias("recon_err"),
+    books = _pq_codebook_arrays(codebooks, m)
+
+    def _encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            codes = np.zeros((len(pdf), m), dtype=np.int32)
+            err = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):  # subspace-order left-fold of the d4 sum
+                cell_ids, cmat = books[j]
+                sl = emat[:, j * sub:(j + 1) * sub]
+                acc = np.zeros((sl.shape[0], cmat.shape[0]), dtype=np.float64)
+                for p in range(sl.shape[1]):
+                    diff = sl[:, p:p + 1] - cmat[:, p][None, :]
+                    acc += diff * diff
+                d4 = np.floor(acc * 10000.0 + 0.5 + 1e-9) / 10000.0
+                best = np.argmin(d4, axis=1)
+                codes[:, j] = cell_ids[best]
+                err += d4[np.arange(len(sl)), best]
+            err = np.floor(err * 10000.0 + 0.5 + 1e-9) / 10000.0
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes), "recon_err": err}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _encode, "vec_id long, codes array<int>, recon_err double"
     )
 
 
