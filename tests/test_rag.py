@@ -531,3 +531,20 @@ def test_simhash_32bit_raises_past_block_capacity():
     # 20M docs -> auto block width 18 -> one 32-bit block only
     with _pt.raises(ValueError, match="sig_bits=64"):
         dd.simhash_near_dup_pairs(None, 6, sig_bits=32, n_rows=20_000_000)
+
+
+def test_semantic_dedup_auto_kmeans_blocking(spark, sf_dir):
+    """cell_col=None: corpus-sized k-means blocking (k ~ n/target).
+    One row per vector, deterministic across invocations, min-id per
+    cell kept — the scale path for unlabeled corpora."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r1 = sim.semantic_dedup(emb, 0.35, cell_col=None)
+    assert r1.count() == emb.count()
+    mins = r1.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    assert r1.join(mins, ["cell", "vec_id"]).filter(~F.col("kept")).count() == 0
+    r2 = sim.semantic_dedup(emb, 0.35, cell_col=None)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))

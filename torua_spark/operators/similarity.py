@@ -520,7 +520,8 @@ def embedding_near_dup_pairs(
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
-                   cell_col: str = "label") -> DataFrame:
+                   cell_col: str | None = "label",
+                   target_cell: int = 128) -> DataFrame:
     """SemDeDup-style semantic deduplication (published recipe:
     cluster the embedding space, then prune within-cluster cosine
     duplicates — Abbas et al. 2023, arXiv:2303.09540). Blocking is a
@@ -537,14 +538,32 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
     oracle can replicate exactly.)
 
     Returns one row per vector: (vec_id, cell, kept). At 100 TB the
-    shape is: cluster assignment (broadcast centroid join) + the
+    shape is: cluster assignment (Arrow nearest-centroid pass) + the
     within-cell candidate join of `embedding_near_dup_pairs` (skew-
     capped via _bucket_pairs) + one anti-join — no global shuffle
-    beyond the cell key, linear in corpus size for bounded cells."""
-    pairs = embedding_near_dup_pairs(embeddings, threshold, cell_col=cell_col)
+    beyond the cell key, linear in corpus size for bounded cells.
+
+    A FIXED cell vocabulary is NOT bounded-cell: with c constant
+    cells, within-cell pairs grow as n²/c (the same law as fixed-width
+    LSH bands). ``cell_col=None`` is the scale path: k-means blocking
+    with k = max(16, ceil(n/target_cell)) clusters — the paper's own
+    recipe (50k clusters for LAION) under the repo's one sizing
+    principle: the BLOCK COUNT grows with the corpus so the per-block
+    population stays constant."""
+    if cell_col is None:
+        n = embeddings.count()
+        k = max(KMEANS_K, -(-n // target_cell))
+        cents = kmeans_centroids(embeddings, k)
+        cells = assign_cells(embeddings, cents)
+        base = embeddings.join(cells, "vec_id")
+    else:
+        base = embeddings.select(
+            "vec_id", "embedding", F.col(cell_col).alias("cell")
+        )
+    pairs = embedding_near_dup_pairs(base, threshold, cell_col="cell")
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return (
-        embeddings.select("vec_id", F.col(cell_col).alias("cell"))
+        base.select("vec_id", "cell")
         .join(dropped.withColumn("hit", F.lit(True)), "vec_id", "left")
         .select("vec_id", "cell", F.col("hit").isNull().alias("kept"))
     )
