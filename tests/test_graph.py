@@ -95,3 +95,43 @@ def test_state_modes_agree(spark, sf_dir):
         for m in ("broadcast", "chained")
     }
     assert pr["broadcast"] == pr["chained"]
+
+
+def test_recommend_items_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare
+    from torua_spark.queries import graph_q
+
+    compare(
+        graph_q.QUERIES["recommend_items"](spark, sf_dir),
+        graph_q.ORACLE["recommend_items"],
+        sf_dir,
+    )
+
+
+def test_recommend_items_semantics(spark, sf_dir):
+    """Never recommends an already-bought item; ranks are a prefix
+    ordered by score desc; scores positive."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import recommend as rec
+    from torua_spark.queries import graph_q
+    from torua_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = graph_q.QUERIES["recommend_items"](spark, sf_dir).collect()
+    assert out, "custkey 0 must receive recommendations"
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+    ordered = sorted(out, key=lambda r: r["rank"])
+    scores = [r["rec_score"] for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    bought = {
+        r["part"]
+        for r in rec.order_baskets(orders, lineitem)
+        .filter(F.col("o_custkey") == graph_q.REC_CUSTKEY)
+        .select("part")
+        .distinct()
+        .collect()
+    }
+    assert not ({r["part"] for r in out} & bought)

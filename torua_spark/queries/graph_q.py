@@ -214,3 +214,67 @@ ORACLE["graph_copurchase_degree"] = """
     )
     SELECT c1 AS custkey, count(*) AS n_partners FROM pairs GROUP BY c1
 """
+
+
+# ---- Recommendation (reference README.md:221-224 use case 4:
+# "Recommendation Systems — collaborative filtering queries") ----
+
+REC_CUSTKEY = 0   # smallest custkey; present at every SF
+REC_K = 10
+REC_MIN_COOC = 1
+
+
+def q_recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators import recommend as rec
+
+    return rec.recommend_for_customer(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        REC_CUSTKEY,
+        REC_K,
+        REC_MIN_COOC,
+    )
+
+
+QUERIES["recommend_items"] = q_recommend_items
+
+ORACLE["recommend_items"] = f"""
+    WITH baskets AS (
+        SELECT DISTINCT o.o_orderkey, o.o_custkey, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pop AS (SELECT part, count(*)::BIGINT AS pop FROM baskets GROUP BY part),
+    cooc AS (
+        SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS cooc
+        FROM baskets a JOIN baskets b
+          ON a.o_orderkey = b.o_orderkey AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING count(*) >= {REC_MIN_COOC}
+    ),
+    sims AS (
+        SELECT part_a, part_b,
+               cooc / sqrt(pa.pop * pb.pop) AS score
+        FROM cooc
+        JOIN pop pa ON pa.part = cooc.part_a
+        JOIN pop pb ON pb.part = cooc.part_b
+    ),
+    nbrs AS (
+        SELECT part_a AS src, part_b AS dst, score FROM sims
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst, score FROM sims
+    ),
+    bought AS (
+        SELECT DISTINCT part FROM baskets WHERE o_custkey = {REC_CUSTKEY}
+    ),
+    cands AS (
+        SELECT n.dst AS part,
+               floor(sum(n.score) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS rec_score
+        FROM nbrs n JOIN bought ON bought.part = n.src
+        WHERE n.dst NOT IN (SELECT part FROM bought)
+        GROUP BY n.dst
+    )
+    SELECT part, rec_score, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY rec_score DESC, part) AS rank
+        FROM cands
+    ) WHERE rank <= {REC_K}
+"""
