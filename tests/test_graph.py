@@ -135,3 +135,14 @@ def test_recommend_items_semantics(spark, sf_dir):
         .collect()
     }
     assert not ({r["part"] for r in out} & bought)
+
+
+def test_temporal_graph_evolution_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare
+    from torua_spark.queries import graph_q
+
+    compare(
+        graph_q.QUERIES["temporal_graph_evolution"](spark, sf_dir),
+        graph_q.ORACLE["temporal_graph_evolution"],
+        sf_dir,
+    )

@@ -278,3 +278,72 @@ ORACLE["recommend_items"] = f"""
         FROM cands
     ) WHERE rank <= {REC_K}
 """
+
+
+# ---- Temporal graph analysis (reference README.md:216-219 use case
+# 3: "store time-series graph data, execute temporal queries, and
+# aggregate at the coordinator") ----
+
+
+def q_temporal_graph_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly snapshots of the co-purchase graph: distinct edges,
+    endpoint counts, average out-degree, and month-over-month edge
+    delta. Scale shape: one distinct over (month, src, dst) — the
+    month key rides the same shuffle as the edge key — then a
+    per-month partial+final aggregate; the trend window orders the
+    month-count relation (≈ corpus months, tiny)."""
+    from pyspark.sql import Window, functions as F
+
+    from torua_spark.functions.compat import round4
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("month", F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    per = e.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_customers"),
+        F.countDistinct("dst").alias("n_suppliers"),
+    )
+    w = Window.orderBy("month")
+    return per.select(
+        "month",
+        "n_edges",
+        "n_customers",
+        "n_suppliers",
+        round4(F.col("n_edges") / F.col("n_customers")).alias("avg_out_degree"),
+        (F.col("n_edges") - F.lag("n_edges").over(w)).alias("edge_delta"),
+    )
+
+
+QUERIES["temporal_graph_evolution"] = q_temporal_graph_evolution
+
+ORACLE["temporal_graph_evolution"] = """
+    WITH e AS (
+        SELECT DISTINCT strftime(date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+               o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+        SELECT month, count(*)::BIGINT AS n_edges,
+               count(DISTINCT src)::BIGINT AS n_customers,
+               count(DISTINCT dst)::BIGINT AS n_suppliers
+        FROM e GROUP BY month
+    )
+    SELECT month, n_edges, n_customers, n_suppliers,
+           floor((n_edges::DOUBLE / n_customers) * 10000.0 + 0.5 + 1e-9) / 10000.0
+               AS avg_out_degree,
+           (n_edges - lag(n_edges) OVER (ORDER BY month))::BIGINT AS edge_delta
+    FROM per
+"""
