@@ -50,7 +50,12 @@ KEY_SHIFTS = {
         ("l_partkey", 30_000),
         ("l_suppkey", 2_000),
     ],
-    "events": [("event_id", 200_000), ("user_id", 1_000_000)],
+    # user_id MUST shift by the custkey shift: events join customers on
+    # user_id == c_custkey (streaming enrichment), so a replica's users
+    # must land inside the same replica's customer key range or the
+    # sf1 join becomes degenerate (90% of events matching nothing) and
+    # the enrichment sweep row measures an artifact.
+    "events": [("event_id", 200_000), ("user_id", 20_000)],
 }
 
 
@@ -116,6 +121,29 @@ def main() -> int:
         con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}")
+    # Isometry invariant: every replica's events must join its own
+    # replica's customers exactly the way sf0.1 does (a shift mismatch
+    # here once made the sf1 enrichment join 90% degenerate and the
+    # sweep row an artifact).
+    orphans = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{out}/events.parquet') e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{out}/customer.parquet') c
+            WHERE c.c_custkey = e.user_id
+        )
+    """).fetchone()[0]
+    src_orphans = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{SRC}/events.parquet') e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{SRC}/customer.parquet') c
+            WHERE c.c_custkey = e.user_id
+        )
+    """).fetchone()[0]
+    assert orphans == src_orphans * mult, (
+        f"events->customer join broke in replication: {orphans} orphan "
+        f"events at {mult}x vs {src_orphans} at 1x — check KEY_SHIFTS"
+    )
+    print(f"join invariant OK: {orphans} orphan events ({src_orphans} x {mult})")
     return 0
 
 

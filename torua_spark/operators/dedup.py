@@ -675,10 +675,11 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6,
     candidates. A 32-bit signature fits two >=16-bit blocks only up
     to ~8M docs (block width 17+ leaves just one block and zero
     hamming tolerance); past that pass ``sig_bits=64`` (xxhash64
-    token hashes, 4x16-bit blocks at small n, and e.g. 3x21-bit at
-    0.3B docs) — recall for hamming <= n_blocks-1 stays exact, the
-    tail is bought back with a second rotated table if needed
-    (Manku et al., WWW'07)."""
+    token hashes: 4x16-bit blocks at small n, 3x20-bit at 0.1B docs,
+    down to 2x22-bit — pigeonhole tolerance 1 — at 0.3B) — recall for
+    hamming <= n_blocks-1 stays exact, the tail past that is bought
+    back with a second rotated table (Manku et al., WWW'07), or with
+    128-bit signatures once two blocks is too few."""
     if block_bits is None:
         from torua_spark.operators.similarity import auto_band_bits
 

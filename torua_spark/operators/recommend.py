@@ -82,7 +82,11 @@ def recommend_for_customer(orders: DataFrame, lineitem: DataFrame,
     The bought set is per-customer tiny (predicate pushes to the
     orders scan); the neighbor expansion is bought x avg-neighbor-list
     — index-shaped, not corpus-shaped."""
-    baskets = order_baskets(orders, lineitem)
+    # Materialize the baskets ONCE: four consumers (both cooc self-
+    # join sides, item_popularity, bought) would otherwise each re-run
+    # the corpus-sized orders ⋈ lineitem ⋈ distinct subtree —
+    # ReuseExchange dedups only the identical self-join sides.
+    baskets = order_baskets(orders, lineitem).localCheckpoint()
     sims = item_item_cosine(baskets, min_cooc)
     # symmetric neighbor list
     nbrs = sims.select(

@@ -434,12 +434,18 @@ def hyperplane_bands(
     corpora (n <= ~2048 at the default target) resolve to the legacy
     (64-bit, r=4) constant, keeping the static DuckDB oracle
     bit-identical at every driver SF; explicit ``band_bits``/
-    ``n_bits`` pin the legacy behavior regardless of corpus size."""
+    ``n_bits`` pin the legacy behavior regardless of corpus size
+    (an explicit ``n_bits`` alone keeps the legacy band width and
+    derives the band count from it — it is never silently ignored)."""
     if band_bits is None:
-        if n_rows is None:
-            n_rows = embeddings.count()
-        band_bits = auto_band_bits(n_rows)
-        n_bits = HYPERPLANE_BANDS * band_bits
+        if n_bits is not None:
+            # caller fixed the plane budget: legacy width, more bands
+            band_bits = HYPERPLANE_BAND_BITS
+        else:
+            if n_rows is None:
+                n_rows = embeddings.count()
+            band_bits = auto_band_bits(n_rows)
+            n_bits = HYPERPLANE_BANDS * band_bits
     elif n_bits is None:
         n_bits = HYPERPLANE_BANDS * band_bits
     n_bands = n_bits // band_bits
@@ -500,7 +506,33 @@ def embedding_near_dup_pairs(
             cells, ["cell"], "vec_id", "vec_a", "vec_b", max_bucket
         )
     else:
-        bands = hyperplane_bands(embeddings, n_bits=n_bits, band_bits=band_bits)
+        if band_bits is None and n_bits is None:
+            # Auto path: size the band width from the corpus, then
+            # CHECK the recall budget at the caller's threshold. L is
+            # never raised silently (candidate volume — and the bench
+            # cost a deployment pays — is linear in L, so spending it
+            # is the caller's call via n_bits = L_wanted * r); what is
+            # never silent is the collapse: warn the moment the legacy
+            # L=16 stops covering 0.9 recall at this (threshold, r).
+            n_rows = embeddings.count()
+            r = auto_band_bits(n_rows)
+            needed = lsh_bands_needed(threshold, r)
+            if needed > HYPERPLANE_BANDS:
+                import warnings
+
+                warnings.warn(
+                    f"hyperplane LSH at band width r={r} (n={n_rows}) needs "
+                    f"L={needed} bands for 0.9 recall at threshold="
+                    f"{threshold}; running with L={HYPERPLANE_BANDS}. Pass "
+                    f"n_bits={needed * r} to buy the recall back (candidate "
+                    f"volume scales linearly in L), or raise the threshold "
+                    f"— see SCALE.md on why low-threshold range search has "
+                    f"no linear blocking.",
+                    stacklevel=2,
+                )
+            bands = hyperplane_bands(embeddings, band_bits=r, n_rows=n_rows)
+        else:
+            bands = hyperplane_bands(embeddings, n_bits=n_bits, band_bits=band_bits)
         cands = _bucket_pairs(
             bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
         )
@@ -517,6 +549,9 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+SEMANTIC_MAX_K = 65_536
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
@@ -545,14 +580,22 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
 
     A FIXED cell vocabulary is NOT bounded-cell: with c constant
     cells, within-cell pairs grow as n²/c (the same law as fixed-width
-    LSH bands). ``cell_col=None`` is the scale path: k-means blocking
-    with k = max(16, ceil(n/target_cell)) clusters — the paper's own
+    LSH bands). ``cell_col=None`` is the unlabeled path: k-means
+    blocking with k = ceil(n/target_cell) clusters — the paper's own
     recipe (50k clusters for LAION) under the repo's one sizing
     principle: the BLOCK COUNT grows with the corpus so the per-block
-    population stays constant."""
+    population stays constant. k is CAPPED at ``SEMANTIC_MAX_K``
+    (65,536 centroids ≈ 32 MB at 64 float64 dims): the flat assignment
+    pass closes the centroid matrix over every worker and costs n·k
+    distance rows, so an uncapped k = n/128 would be O(n²/128) — the
+    very law this module exists to avoid. Within the cap (n ≲ 8.4M
+    vectors at the default target) the pass is linear; past it, cells
+    grow as n/65,536 and the honest extension is hierarchical
+    clustering (coarse k=4096 split, then this operator per coarse
+    cell — each sub-problem back under the cap), not a bigger flat k."""
     if cell_col is None:
         n = embeddings.count()
-        k = max(KMEANS_K, -(-n // target_cell))
+        k = min(max(KMEANS_K, -(-n // target_cell)), SEMANTIC_MAX_K)
         cents = kmeans_centroids(embeddings, k)
         cells = assign_cells(embeddings, cents)
         base = embeddings.join(cells, "vec_id")

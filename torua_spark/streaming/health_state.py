@@ -38,8 +38,15 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     streak, transitions, failures, probes = (
         state.get if state.exists else (0, 0, 0, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # The group's batch rows arrive as MULTIPLE Arrow chunks in
+    # nondeterministic fetch order (the source repartition spreads the
+    # file across tasks); a per-chunk sort is only a global ts order if
+    # chunks happen to arrive ordered. Concat first, sort ONCE — the
+    # group is one node's probes for one micro-batch, bounded by the
+    # batch, so the concat is small by construction.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for fail in pdf["fail"]:
             probes += 1
             if fail:
