@@ -548,3 +548,33 @@ def test_semantic_dedup_auto_kmeans_blocking(spark, sf_dir):
     assert r1.join(mins, ["cell", "vec_id"]).filter(~F.col("kept")).count() == 0
     r2 = sim.semantic_dedup(emb, 0.35, cell_col=None)
     assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_neardup_warns_when_recall_budget_collapses(spark):
+    """Auto-banded near-dup must WARN (never silently) when the fixed
+    L=16 band count stops covering 0.9 recall at the caller's
+    threshold and the corpus-sized band width; no warning at driver
+    scale where L=16 IS the 0.9-recall design point."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    big = spark.range(0, 3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.embedding_near_dup_pairs(big, 0.35)  # lazy: only the count runs
+        assert any("recall" in str(x.message) for x in w), "expected warning"
+
+    small = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.embedding_near_dup_pairs(small, 0.35)
+        assert not any("recall" in str(x.message) for x in w)
