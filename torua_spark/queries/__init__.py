@@ -52,6 +52,12 @@ _MODULES = [
 # non-SQL-expressible (per-subspace Lloyd codebooks); they ship
 # without an ORACLE entry and the driver records the documented
 # weaker rows-only check (_ROWS_ONLY below).
+#
+# Round-4 second swap: the round's three new fully-oracled operators
+# (semantic_dedup, recommend_items, temporal_graph_evolution —
+# reference use cases 3/4 + SemDeDup) rotate IN; three round-1-green
+# micro-entries (doc_fingerprint, sample_strata, train_test_split —
+# driver-proven rounds 1-3, pytest-oracled forever) rotate OUT.
 _DECLARED = [
     # --- LLM data pipeline: vectors / dedup / text / RAG (B7, B17)
     "vector_topk_cosine",
@@ -72,7 +78,6 @@ _DECLARED = [
     "text_language_id",
     "text_unigram_logprob",
     "text_redact_pii",
-    "doc_fingerprint",
     "rag_chunk_documents",
     "rag_tfidf_topk",
     "rag_bm25_topk",
@@ -85,9 +90,10 @@ _DECLARED = [
     "graph_pagerank",
     "graph_copurchase_degree",
     "graph_2hop",
-    # --- training-data pipeline (sampling / packing)
-    "sample_strata",
-    "train_test_split",
+    "temporal_graph_evolution",
+    "recommend_items",
+    # --- training-data pipeline (dedup / packing)
+    "semantic_dedup",
     "pack_sequences",
     "corpus_funnel",
     # --- streaming (B9 streaming half) + multimodal (B8)
