@@ -578,3 +578,41 @@ def test_neardup_warns_when_recall_budget_collapses(spark):
         warnings.simplefilter("always")
         sim.embedding_near_dup_pairs(small, 0.35)
         assert not any("recall" in str(x.message) for x in w)
+
+
+def test_semantic_dedup_refined_blocking_past_cap(spark, sf_dir):
+    """Past the centroid cap the blocking key refines to
+    (cell, band, sig): the dropped set must be a SUBSET of the
+    cell-only dropped set (bands partition cells — refinement only
+    removes candidates), every vector still gets one row, and min-id
+    per cell still survives."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # max_k=4 forces the cap at this corpus size -> refined path
+    refined = sim.semantic_dedup(emb, 0.35, cell_col=None, max_k=4)
+    cellonly = sim.semantic_dedup(emb, 0.35, cell_col=None, max_k=4_000_000)
+    assert refined.count() == emb.count()
+    mins = refined.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    assert refined.join(mins, ["cell", "vec_id"]).filter(~F.col("kept")).count() == 0
+    # NOTE: refined uses k=4 cells, cellonly uses k=n/128 cells — the
+    # subset property must be checked against the SAME cells, so
+    # re-run cell-only at k=4 via the label-free internals:
+    from torua_spark.operators.similarity import (
+        _cell_band_pairs, assign_cells, kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, 4)
+    base = emb.join(assign_cells(emb, cents), "vec_id")
+    ref_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in _cell_band_pairs(base, 0.35).collect()
+    }
+    cell_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_near_dup_pairs(base, 0.35, cell_col="cell").collect()
+    }
+    assert ref_pairs <= cell_pairs
+    assert ref_pairs, "refined blocking must still find pairs"

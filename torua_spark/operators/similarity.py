@@ -554,9 +554,47 @@ def embedding_near_dup_pairs(
 SEMANTIC_MAX_K = 65_536
 
 
+def _cell_band_pairs(base: DataFrame, threshold: float,
+                     max_bucket: int | None = None) -> DataFrame:
+    """Verified cosine pairs blocked on the REFINED key
+    (cell, band, sig): hyperplane bands re-bound each cluster cell's
+    candidate volume once cells outgrow the target population (the
+    past-the-cap regime of semantic_dedup). Bands partition a cell, so
+    candidates here are a strict subset of cell-only blocking — the
+    recall trade follows the band budget. Same verify arithmetic as
+    embedding_near_dup_pairs."""
+    from torua_spark.functions.vectors import dot, norm
+    from torua_spark.operators.dedup import _bucket_pairs
+
+    bands = hyperplane_bands(base)
+    keyed = bands.join(base.select("vec_id", "cell"), "vec_id").select(
+        "vec_id", "cell", "band", "sig"
+    )
+    cands = _bucket_pairs(
+        keyed, ["cell", "band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
+    )
+    e = base.select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            round4(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
                    cell_col: str | None = "label",
-                   target_cell: int = 128) -> DataFrame:
+                   target_cell: int = 128,
+                   max_k: int = SEMANTIC_MAX_K) -> DataFrame:
     """SemDeDup-style semantic deduplication (published recipe:
     cluster the embedding space, then prune within-cluster cosine
     duplicates — Abbas et al. 2023, arXiv:2303.09540). Blocking is a
@@ -589,13 +627,19 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
     pass closes the centroid matrix over every worker and costs n·k
     distance rows, so an uncapped k = n/128 would be O(n²/128) — the
     very law this module exists to avoid. Within the cap (n ≲ 8.4M
-    vectors at the default target) the pass is linear; past it, cells
-    grow as n/65,536 and the honest extension is hierarchical
-    clustering (coarse k=4096 split, then this operator per coarse
-    cell — each sub-problem back under the cap), not a bigger flat k."""
+    vectors at the default target) the pass is linear; past the cap
+    the blocking key REFINES to (cell, hyperplane band, band sig) —
+    LSH-within-cluster: cells may grow as n/65,536 but each cell's
+    pair volume is re-bounded by the corpus-sized bands, keeping
+    candidates linear without a hierarchical k-means pass. The
+    refinement only removes candidates (bands partition each cell),
+    so the min-id keep rule's semantics are unchanged; recall follows
+    the band budget (see lsh_bands_needed)."""
+    refined = False
     if cell_col is None:
         n = embeddings.count()
-        k = min(max(KMEANS_K, -(-n // target_cell)), SEMANTIC_MAX_K)
+        k = min(max(KMEANS_K, -(-n // target_cell)), max_k)
+        refined = max(KMEANS_K, -(-n // target_cell)) > k  # cap engaged
         cents = kmeans_centroids(embeddings, k)
         cells = assign_cells(embeddings, cents)
         base = embeddings.join(cells, "vec_id")
@@ -603,7 +647,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
         base = embeddings.select(
             "vec_id", "embedding", F.col(cell_col).alias("cell")
         )
-    pairs = embedding_near_dup_pairs(base, threshold, cell_col="cell")
+    if refined:
+        pairs = _cell_band_pairs(base, threshold)
+    else:
+        pairs = embedding_near_dup_pairs(base, threshold, cell_col="cell")
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return (
         base.select("vec_id", "cell")
