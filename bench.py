@@ -134,17 +134,40 @@ def main() -> None:
     spark.stop()
     time.sleep(1.0)  # let JVM shutdown-hook log lines drain first
 
+    # Per-query MEDIAN alongside the min (VERDICT r4 #7): median is
+    # the noise-robust central tendency, min is the steady-state plan
+    # cost; both together let a reader separate code regressions from
+    # machine noise without re-running.
+    med = {
+        n: round(sorted(v)[len(v) // 2], 4) if v else -1.0
+        for n, v in raw.items()
+    }
+
+    # Two-line emission (VERDICT r4 #2/#4): round 4's single line grew
+    # past the driver's tail capture once runs_raw was added, cutting
+    # off the head (where "metric"/"value" live) -> "parsed": null.
+    # Raw per-run wall-clocks + medians go on an EARLIER line; the
+    # FINAL line is the short parseable record the driver keys on.
+    raw_line = json.dumps(
+        {
+            "metric": "bench_runs_raw",
+            # Raw per-run wall-clocks (ADVICE r3: min-of-N alone hides
+            # the noisy-neighbor variance and breaks cross-round
+            # attribution; with the raw runs, a delta can be assigned
+            # to code vs. methodology vs. machine noise).
+            "runs_raw": raw,
+            "median_queries": med,
+            "value_median_total": round(
+                sum(t for t in med.values() if t > 0), 4
+            ),
+        }
+    )
     line = json.dumps(
         {
             "metric": "declared_queries_total_wallclock",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            # Raw per-run wall-clocks (ADVICE r3: min-of-N alone hides
-            # the noisy-neighbor variance and breaks cross-round
-            # attribution; with the raw runs, a delta can be assigned
-            # to code vs. methodology vs. machine noise).
-            "runs_raw": raw,
             "sf": sf,
             "runs_per_query": runs,
             "harness_wall_sec": wall,
@@ -152,6 +175,7 @@ def main() -> None:
     )
     sys.stdout.flush()
     sys.stderr.flush()
+    print(raw_line, flush=True)
     print(line, flush=True)
     # Skip atexit/py4j teardown that could emit trailing output.
     os._exit(0)

@@ -119,10 +119,11 @@ _DECLARED = [
 ]
 
 # Declared entries with NO DuckDB oracle: the driver falls back to its
-# documented rows-only check. Only genuinely non-SQL-expressible ops
-# belong here (learned per-subspace k-means codebooks — recall vs
-# brute force is pinned in tests/test_rag.py instead).
-_ROWS_ONLY = {"vector_ann_ivf_learned", "vector_pq_ann"}
+# documented rows-only check. EMPTY since round 5 (VERDICT r4 #2): the
+# two learned-ANN paths now carry full loop-unrolled DuckDB oracles
+# (joint per-subspace Lloyd in SQL — rag_q._ivf_learned_oracle_sql /
+# _pq_oracle_sql), so every declared entry is hash-checked.
+_ROWS_ONLY: set[str] = set()
 
 
 def _load(name: str):

@@ -1022,10 +1022,12 @@ def _canonical_oracle_sql(rounds: int = dd.CANON_CC_ROUNDS) -> str:
 ORACLE["dedup_cluster_canonical"] = _canonical_oracle_sql()
 
 
-def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
-                       iters: int = sim.KMEANS_ITERATIONS) -> str:
-    """Loop-unrolled fixed-iteration Lloyd (same strategy as the PPR/CC
-    oracles). Portability comes from the operator's own contract:
+def _kmeans_ctes(k: int = sim.KMEANS_K,
+                 iters: int = sim.KMEANS_ITERATIONS) -> list[str]:
+    """CTE chain for the loop-unrolled fixed-iteration Lloyd (same
+    strategy as the PPR/CC oracles), ending at ``cent{iters}`` —
+    shared by the kmeans-assignment, learned-IVF, and auto-semantic-
+    dedup oracles. Portability comes from the operator's own contract:
     hash-spread seeds, 4-decimal-rounded distances before every argmin
     (cell-id tie-break), 6-decimal-rounded centroid updates — so both
     engines walk identical hard decisions."""
@@ -1057,8 +1059,14 @@ def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
                    floor(avg(p.v) * 1000000.0 + 0.5 + 1e-9) / 1000000.0 AS m
             FROM a{i} a JOIN pos p USING (vec_id)
             GROUP BY a.cell, p.pos)""")
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
+    return ctes
+
+
+def _kmeans_assign_select(iters: int = sim.KMEANS_ITERATIONS) -> str:
+    """Final nearest-centroid assignment against ``cent{iters}`` —
+    the body of vector_kmeans_cells and the cell relation inside the
+    learned-IVF / auto-semantic-dedup oracles."""
+    return f"""
         SELECT vec_id, cell FROM (
             SELECT vec_id, cell,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d4, cell) AS rn
@@ -1067,12 +1075,154 @@ def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
                   FROM pos p JOIN cent{iters} c ON p.pos = c.pos
                   GROUP BY p.vec_id, c.cell)
         ) WHERE rn = 1"""
-    )
+
+
+def _kmeans_oracle_sql(k: int = sim.KMEANS_K,
+                       iters: int = sim.KMEANS_ITERATIONS) -> str:
+    return "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + _kmeans_assign_select(iters)
 
 
 ORACLE["vector_kmeans_cells"] = _kmeans_oracle_sql()
-# vector_ann_ivf_learned: no SQL oracle (pytest pins recall vs brute
-# force instead); extras without oracle get the rows-only check.
+
+
+def _ivf_learned_oracle_sql(k: int = sim.KMEANS_K,
+                            iters: int = sim.KMEANS_ITERATIONS,
+                            nprobe: int = 3, topk: int = 10) -> str:
+    """Full DuckDB oracle for the learned-IVF ANN path (VERDICT r4
+    #2): the SAME loop-unrolled Lloyd CTEs as vector_kmeans_cells
+    compose with the label-IVF probe/score/rank tail — codebook CTE →
+    assignment → nprobe centroid probe → exact cosine inside probed
+    cells → global top-k. Every hard decision the Spark side makes
+    (seed choice, per-iteration argmin, final assignment) is rounded
+    before comparison; the probe ordering follows the label-IVF
+    convention (raw centroid cosine, cell-id tie-break) which has
+    been hash-green since round 1."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
+    ctes.append(f"q AS ({_QVEC})")
+    ctes.append(f"""centlist AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid
+        FROM cent{iters} GROUP BY cell)""")
+    ctes.append(f"""probed AS (
+        SELECT cell FROM (
+            SELECT cell, row_number() OVER (
+                ORDER BY list_cosine_similarity(centroid, qe) DESC, cell) AS crank
+            FROM centlist, q
+        ) WHERE crank <= {nprobe})""")
+    ctes.append("""scored AS (
+        SELECT e.vec_id, e.label,
+               floor((list_cosine_similarity(e.embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+        FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+        WHERE e.vec_id != 0 AND a.cell IN (SELECT cell FROM probed))""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, label, sim, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM scored
+        ) WHERE rank <= {topk}"""
+    )
+
+
+ORACLE["vector_ann_ivf_learned"] = _ivf_learned_oracle_sql()
+
+
+def _pq_oracle_sql(m: int = sim.PQ_M, k: int = sim.PQ_K,
+                   iters: int = sim.KMEANS_ITERATIONS,
+                   dim: int = 64,
+                   shortlist: int = sim.PQ_SHORTLIST,
+                   topk: int = 10) -> str:
+    """Full DuckDB oracle for the PQ+ADC re-ranked ANN path (VERDICT
+    r4 #2): all ``m`` per-subspace Lloyd codebooks train in ONE
+    unrolled loop keyed by (subspace, cell) — the SQL mirror of
+    pq_codebooks' joint training — then encode → ADC distance table →
+    shortlist by rounded ADC distance → exact L2 re-rank of the
+    shortlist. Hard decisions (seeds, per-(vec, subspace) argmin,
+    shortlist cut, final rank) all happen on rounded values with id
+    tie-breaks, identical on both engines."""
+    sub = dim // m
+    ctes = [
+        """pos AS (
+            SELECT vec_id, unnest(range(len(embedding)))::INTEGER AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)""",
+        f"""spos AS (
+            SELECT vec_id, CAST(pos // {sub} AS INTEGER) AS sub,
+                   CAST(pos % {sub} AS INTEGER) AS sp, v
+            FROM pos)""",
+        f"""seeds AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell
+            FROM (SELECT vec_id FROM embeddings
+                  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}))""",
+        """pc0 AS (
+            SELECT s.sub, sd.cell, s.sp, s.v AS m
+            FROM spos s JOIN seeds sd USING (vec_id))""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""pa{i} AS (
+            SELECT vec_id, sub, cell FROM (
+                SELECT vec_id, sub, cell,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d4, cell) AS rn
+                FROM (SELECT s.vec_id, s.sub, c.cell,
+                             floor(sum((s.v - c.m) * (s.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                      FROM spos s JOIN pc{i} c ON s.sub = c.sub AND s.sp = c.sp
+                      GROUP BY s.vec_id, s.sub, c.cell)
+            ) WHERE rn = 1)""")
+        ctes.append(f"""pc{i + 1} AS (
+            SELECT a.sub, a.cell, s.sp,
+                   floor(avg(s.v) * 1000000.0 + 0.5 + 1e-9) / 1000000.0 AS m
+            FROM pa{i} a JOIN spos s ON s.vec_id = a.vec_id AND s.sub = a.sub
+            GROUP BY a.sub, a.cell, s.sp)""")
+    ctes += [
+        # Final encode: nearest codeword per (vector, subspace) vs the
+        # trained pc{iters} — pq_encode's argmin (round4 first-min).
+        f"""enc AS (
+            SELECT vec_id, sub, cell FROM (
+                SELECT vec_id, sub, cell,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d4, cell) AS rn
+                FROM (SELECT s.vec_id, s.sub, c.cell,
+                             floor(sum((s.v - c.m) * (s.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                      FROM spos s JOIN pc{iters} c ON s.sub = c.sub AND s.sp = c.sp
+                      GROUP BY s.vec_id, s.sub, c.cell)
+            ) WHERE rn = 1)""",
+        "qpos AS (SELECT sub, sp, v FROM spos WHERE vec_id = 0)",
+        # ADC lookup table: raw per-subspace codeword->query distance
+        # (matches pq_topk's unrounded zip_with fold) ...
+        f"""dtab AS (
+            SELECT c.sub, c.cell, sum((c.m - qp.v) * (c.m - qp.v)) AS d2
+            FROM pc{iters} c JOIN qpos qp ON c.sub = qp.sub AND c.sp = qp.sp
+            GROUP BY c.sub, c.cell)""",
+        # ... summed over the m codes per vector and rounded BEFORE the
+        # shortlist cut (the hard decision).
+        """adc AS (
+            SELECT e.vec_id,
+                   floor(sum(d.d2) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS adc_dist
+            FROM enc e JOIN dtab d ON e.sub = d.sub AND e.cell = d.cell
+            WHERE e.vec_id != 0
+            GROUP BY e.vec_id)""",
+        f"""sl AS (
+            SELECT vec_id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+                FROM adc
+            ) WHERE rn <= {shortlist})""",
+        # Exact L2 re-rank of the shortlist (pq_topk_reranked tail).
+        """exact AS (
+            SELECT p.vec_id, e.label,
+                   floor(sum((p.v - qf.v) * (p.v - qf.v)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS l2_dist
+            FROM pos p
+            JOIN sl USING (vec_id)
+            JOIN embeddings e ON e.vec_id = p.vec_id
+            JOIN (SELECT pos, v FROM pos WHERE vec_id = 0) qf ON qf.pos = p.pos
+            GROUP BY p.vec_id, e.label)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, label, l2_dist, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY l2_dist, vec_id) AS rank FROM exact
+        ) WHERE rank <= {topk}"""
+    )
+
+
+ORACLE["vector_pq_ann"] = _pq_oracle_sql()
 
 QUERIES["text_redact_pii"] = lambda s, d: ta.redact_pii(_docs(s, d))
 
