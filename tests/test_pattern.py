@@ -1,0 +1,135 @@
+"""Graph-pattern front-end (plans/pattern.py): the three reference
+shapes (single edge, k-hop chain, cycle close) compile onto the same
+joins the hand-written builders use (reference ARCHITECTURE.md:
+327-339 Cypher aspiration)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from torua_spark.operators import graph as g
+from torua_spark.plans.pattern import PropertyGraph
+from torua_spark.plans import plan_string
+from torua_spark.queries import graph_q
+from torua_spark.sources.catalog import load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _pg_star(spark, sf_dir):
+    return (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey")
+        .add_edge(
+            "SOLD_TO",
+            g.copurchase_edges(
+                load_table(spark, sf_dir, "orders"),
+                load_table(spark, sf_dir, "lineitem"),
+            ),
+            "src",
+            "dst",
+        )
+    )
+
+
+def test_single_edge_shape_matches_builder(spark, sf_dir):
+    """(a)-[e]->(b) over the copurchase edge == two_hop's result."""
+    b = _pg_star(spark, sf_dir).match(
+        "MATCH (a:customer)-[:SOLD_TO]->(b:supplier)"
+    )
+    got = _rows(b.select("a", "b").distinct(), ["a", "b"])
+    want = _rows(
+        g.two_hop(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "supplier"),
+        ),
+        ["c_custkey", "s_suppkey"],
+    )
+    assert got == want
+
+
+def test_two_hop_query_matches_builder(spark, sf_dir):
+    """The declared graph_2hop (routed through the compiler) equals
+    the hand-written two_hop builder row-for-row."""
+    got = _rows(
+        graph_q.QUERIES["graph_2hop"](spark, sf_dir),
+        ["c_custkey", "s_suppkey"],
+    )
+    want = _rows(
+        g.two_hop(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "supplier"),
+        ),
+        ["c_custkey", "s_suppkey"],
+    )
+    assert got == want
+
+
+def test_triangle_query_matches_builder(spark, sf_dir):
+    """The declared graph_triangle_agg (pattern-routed, FK edges)
+    equals the hand-written broadcast star join, and the FK hops add
+    no joins: the binding plan still broadcasts both dims."""
+    got = _rows(
+        graph_q.QUERIES["graph_triangle_agg"](spark, sf_dir),
+        ["region", "nation", "n_customers", "sum_acctbal"],
+    )
+    want = _rows(
+        g.triangle_pattern(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        ),
+        ["region", "nation", "n_customers", "sum_acctbal"],
+    )
+    assert got == want
+    plan = plan_string(graph_q.QUERIES["graph_triangle_agg"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cycle_close_filters_to_equal_ids(spark, sf_dir):
+    """(a)-[:TO]->(b)-[:BACK]->(a) keeps only rows whose second hop
+    lands back on a — the triangle/cycle predicate."""
+    e = g.copurchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    rev = e.select(F.col("dst").alias("rsrc"), F.col("src").alias("rdst"))
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("TO", e, "src", "dst")
+        .add_edge("BACK", rev, "rsrc", "rdst")
+    )
+    b = pg.match("MATCH (a:customer)-[:TO]->(s)-[:BACK]->(a)")
+    rows = b.select("a", "s").distinct()
+    # every copurchase pair closes its own cycle through the reversed
+    # edge, so the cycle binding equals the forward edge set filtered
+    # to customer sources
+    want = _rows(
+        e.join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("src")
+            ),
+            "src",
+            "left_semi",
+        ),
+        ["src", "dst"],
+    )
+    assert _rows(rows, ["a", "s"]) == want
+
+
+def test_malformed_patterns_raise(spark, sf_dir):
+    pg = _pg_star(spark, sf_dir)
+    with pytest.raises(ValueError, match="malformed"):
+        pg.match("MATCH (a:customer)-[:SOLD_TO]->")
+    with pytest.raises(ValueError, match="unknown vertex label"):
+        pg.match("MATCH (a:nope)-[:SOLD_TO]->(b)")
+    with pytest.raises(ValueError, match="unknown edge relation"):
+        pg.match("MATCH (a:customer)-[:NOPE]->(b)")
+    with pytest.raises(ValueError, match="must be labeled"):
+        pg.match("MATCH (a)-[:SOLD_TO]->(b:supplier)")

@@ -311,9 +311,9 @@ def test_no_forced_broadcast_of_corpus_proportional_relations(spark, sf_dir):
     forced broadcast hint — at 100 TB a forced broadcast of any of
     them kills the job at plan time. The only hints allowed in these
     plans are 1-row global aggregates (corpus size, token total)."""
-    from torua_spark.queries import all_queries
+    from torua_spark.queries import all_queries, extra_queries
 
-    qs = all_queries()
+    qs = {**extra_queries(), **all_queries()}
     failures = []
     for name in ["dedup_prefix_filter", "rag_tfidf_topk", "text_unigram_logprob"]:
         bad = _broadcast_hints_not_on_scalar_agg(qs[name](spark, sf_dir))

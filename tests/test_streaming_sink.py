@@ -83,3 +83,40 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
         spark.read.parquet(out).select(F.countDistinct("event_id")).collect()[0][0]
         == n_expected
     )
+
+
+def test_drain_to_files_matches_memory_sink(spark, sf_dir, tmp_path):
+    """The production parquet-sink drain (drain_to_files) emits
+    exactly the rows the memory-sink drain emits under the same
+    append mode — and that set is the finalized subset of the
+    complete-mode result (trailing windows stay open on a finite
+    source; see drain_to_files docstring)."""
+    from torua_spark.streaming.windows import drain_to_batch, drain_to_files
+
+    def agg():
+        return (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    filed = drain_to_files(
+        agg(), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    memd = drain_to_batch(agg(), mode="append")
+    complete = drain_to_batch(agg(), mode="complete")
+
+    key = lambda r: (r["hour_start"], r["event_type"], r["n_events"])
+    got = sorted(key(r) for r in filed.collect())
+    want = sorted(key(r) for r in memd.collect())
+    assert got == want and len(got) > 0
+    full = {key(r) for r in complete.collect()}
+    assert set(got) <= full

@@ -58,32 +58,40 @@ _MODULES = [
 # reference use cases 3/4 + SemDeDup) rotate IN; three round-1-green
 # micro-entries (doc_fingerprint, sample_strata, train_test_split —
 # driver-proven rounds 1-3, pytest-oracled forever) rotate OUT.
+#
+# Round-5 rotation (VERDICT r4 #1/#3/#5): the 14 never-driver-proven
+# standalone extras rotate IN (finishing the cumulative proof — after
+# this window every standalone registry entry has sat in a driver
+# window at least once), plus the two NEW round-5 entries:
+# semantic_dedup_auto (the scale-honest k-means-blocked SemDeDup, k
+# sized from the corpus — clears r4's only perf_weak) and
+# shard_migration (the resharding placement matrix under the FNV
+# contract). Sixteen long-green entries rotate OUT (each driver-green
+# in r4 and pytest-vs-DuckDB verified every run): vector_topk_cosine,
+# vector_ann_ivf, dedup_exact, dedup_simhash_pairs,
+# dedup_prefix_filter, dedup_decontaminate, text_stats_tokens,
+# text_quality_scores, text_language_id, text_unigram_logprob,
+# text_redact_pii, rag_chunk_documents, rag_tfidf_topk, rag_bm25_topk,
+# skew_report, temporal_windows.
 _DECLARED = [
     # --- LLM data pipeline: vectors / dedup / text / RAG (B7, B17)
-    "vector_topk_cosine",
-    "vector_ann_ivf",
+    "vector_kmeans_cells",
     "vector_ann_ivf_learned",
     "vector_pq_ann",
     "vector_neardup_pairs",
     "vector_quantization",
-    "dedup_exact",
+    "dedup_simhash",
     "dedup_minhash_verified",
     "dedup_cluster_canonical",
-    "dedup_prefix_filter",
-    "dedup_simhash_pairs",
-    "dedup_decontaminate",
     "dedup_decontaminate_ngram",
-    "text_stats_tokens",
-    "text_quality_scores",
-    "text_language_id",
-    "text_unigram_logprob",
-    "text_redact_pii",
-    "rag_chunk_documents",
-    "rag_tfidf_topk",
-    "rag_bm25_topk",
+    "text_repetition_scores",
+    "text_vocabulary",
+    "text_feature_hashing",
+    "rag_hashed_retrieval",
     "rag_hybrid_rrf",
     "graphrag_retrieve",
     "graphrag_ppr",
+    "graphrag_hops",
     # --- graph (B1, B2, B3, B6)
     "graph_triangle_agg",
     "connected_components",
@@ -92,10 +100,12 @@ _DECLARED = [
     "graph_2hop",
     "temporal_graph_evolution",
     "recommend_items",
-    # --- training-data pipeline (dedup / packing)
+    # --- training-data pipeline (dedup / packing / curriculum)
     "semantic_dedup",
+    "semantic_dedup_auto",
     "pack_sequences",
     "corpus_funnel",
+    "curriculum_phases",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_windows",
     "streaming_health_state",
@@ -108,14 +118,19 @@ _DECLARED = [
     "kv_reads",
     "kv_writes",
     "shard_routing",
+    "shard_migration",
     "topology_admin",
     "cluster_ops",
     "routing_health",
-    # --- temporal batch (B9)
-    "temporal_windows",
+    # --- temporal batch (B9) + as-of
     "temporal_analytics",
-    # --- skew diagnostics (scale tooling)
-    "skew_report",
+    "temporal_gapfill",
+    "temporal_trend",
+    "asof_next_order",
+    # --- stats / sketch tooling
+    "sketch_rollup",
+    "value_histogram",
+    "winsorized_stats",
 ]
 
 # Declared entries with NO DuckDB oracle: the driver falls back to its

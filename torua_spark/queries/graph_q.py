@@ -22,12 +22,31 @@ EDGES_SQL = """
 
 
 def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return g.two_hop(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
+    """B2 `MATCH (c)-[*2]->(s)` — routed through the Cypher-style
+    pattern front-end (plans/pattern.py; reference ARCHITECTURE.md:
+    327-339) so the declared entry driver-proves the compiler: the
+    2-hop chain compiles to the same orders/lineitem joins with
+    unique-key endpoint verification that operators/graph.two_hop
+    hand-writes (equality pinned in tests/test_pattern.py)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.plans.pattern import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey")
+        .add_edge("PLACED", orders.select("o_custkey", "o_orderkey"),
+                  "o_custkey", "o_orderkey")
+        .add_edge("HAS_SUPP", lineitem.select("l_orderkey", "l_suppkey"),
+                  "l_orderkey", "l_suppkey")
     )
+    b = pg.match("MATCH (c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier)")
+    return b.select(
+        F.col("c").alias("c_custkey"), F.col("s").alias("s_suppkey")
+    ).distinct()
 
 
 def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,10 +58,34 @@ def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return g.triangle_pattern(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
+    """B1/B3 pattern + aggregate — routed through the pattern
+    front-end. The FK edges compile to ZERO extra joins (the
+    star-schema fast path), so the binding's join tree is exactly
+    operators/graph.triangle_pattern's broadcast star join; the
+    RETURN aggregate stays an ordinary DataFrame groupBy."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions.compat import round4
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("nation", load_table(spark, sf_dir, "nation"),
+                    "n_nationkey", broadcast=True)
+        .add_vertex("region", load_table(spark, sf_dir, "region"),
+                    "r_regionkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+        .add_edge("IN_REGION", None, "n_nationkey", "n_regionkey")
+    )
+    b = pg.match(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region)"
+    )
+    return b.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round4(F.sum("c_acctbal")).alias("sum_acctbal"),
     )
 
 

@@ -211,3 +211,40 @@ ORACLE["kv_scd2_history"] = """
     FROM events WHERE event_type = 'purchase'
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 """
+
+
+def q_shard_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding placement matrix (reference migrating-state handoff,
+    internal/shard/doc.go:62-82, ARCHITECTURE.md:454-468): every key's
+    (from_shard, to_shard) flow under the FNV contract when the shard
+    count changes 4 -> 6, with per-flow counts and the FNV checksum a
+    receiver re-verifies after handoff. The physical rewrite half of
+    the story (hive `shard=` layout n -> m with the same checksums
+    asserted end-to-end) is operators/migration.rewrite_sharded_table,
+    exercised in tests/test_migration.py."""
+    from torua_spark.operators.migration import migration_plan
+
+    return migration_plan(_kv(spark, sf_dir))
+
+
+QUERIES["shard_migration"] = q_shard_migration
+
+
+def _migration_oracle() -> str:
+    from torua_spark.functions.hashing import fnv1a32_sql
+    from torua_spark.operators.migration import MIGRATION_TARGET_SHARDS
+    from torua_spark.constants import NUM_SHARDS
+
+    return f"""
+        WITH kv AS ({KV_VIEW_SQL}),
+        h AS (SELECT {fnv1a32_sql("key")} AS h FROM kv)
+        SELECT CAST(h % {NUM_SHARDS} AS INTEGER) AS from_shard,
+               CAST(h % {MIGRATION_TARGET_SHARDS} AS INTEGER) AS to_shard,
+               count(*)::BIGINT AS n_keys,
+               CAST(sum(h) AS BIGINT) AS keys_checksum,
+               CAST(h % {NUM_SHARDS} AS INTEGER) != CAST(h % {MIGRATION_TARGET_SHARDS} AS INTEGER) AS moved
+        FROM h GROUP BY 1, 2
+    """
+
+
+ORACLE["shard_migration"] = _migration_oracle()

@@ -1023,26 +1023,44 @@ ORACLE["dedup_cluster_canonical"] = _canonical_oracle_sql()
 
 
 def _kmeans_ctes(k: int = sim.KMEANS_K,
-                 iters: int = sim.KMEANS_ITERATIONS) -> list[str]:
+                 iters: int = sim.KMEANS_ITERATIONS,
+                 k_sql: str | None = None) -> list[str]:
     """CTE chain for the loop-unrolled fixed-iteration Lloyd (same
     strategy as the PPR/CC oracles), ending at ``cent{iters}`` —
     shared by the kmeans-assignment, learned-IVF, and auto-semantic-
     dedup oracles. Portability comes from the operator's own contract:
     hash-spread seeds, 4-decimal-rounded distances before every argmin
     (cell-id tie-break), 6-decimal-rounded centroid updates — so both
-    engines walk identical hard decisions."""
+    engines walk identical hard decisions.
+
+    ``k_sql`` replaces the constant seed count with a scalar SQL
+    expression (the auto-semantic-dedup path sizes k from the corpus:
+    block count grows with the data, per-block population constant) —
+    the seed CTE switches from LIMIT to a row_number filter so the
+    count can be data-dependent."""
+    if k_sql is None:
+        seed_src = f"""(
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
+            )"""
+    else:
+        seed_src = f"""(
+                SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cell FROM (
+                    SELECT vec_id,
+                           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+                    FROM embeddings
+                ) WHERE rn <= ({k_sql})
+            )"""
     ctes = [
         """pos AS (
             SELECT vec_id, unnest(range(len(embedding)))::INTEGER AS pos,
                    unnest(embedding)::DOUBLE AS v
             FROM embeddings)""",
         f"""cent0 AS (
-            SELECT sc.cell, p.pos, p.v AS m FROM (
-                SELECT vec_id,
-                       CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell
-                FROM (SELECT vec_id FROM embeddings
-                      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
-            ) sc JOIN pos p USING (vec_id))""",
+            SELECT sc.cell, p.pos, p.v AS m
+            FROM {seed_src} sc JOIN pos p USING (vec_id))""",
     ]
     for i in range(iters):
         ctes.append(f"""a{i} AS (
@@ -1223,6 +1241,49 @@ def _pq_oracle_sql(m: int = sim.PQ_M, k: int = sim.PQ_K,
 
 
 ORACLE["vector_pq_ann"] = _pq_oracle_sql()
+
+# Scale-honest SemDeDup (VERDICT r4 #3): the declared label-path
+# semantic_dedup blocks on a FIXED 16-label vocabulary — the one shape
+# the repo's sizing law forbids at 100x (within-cell pairs grow n²/c).
+# This entry drives the auto path: k-means blocking with
+# k = clamp(ceil(n/128), 16, 65536) clusters, sized from the corpus so
+# per-cell population stays constant. The oracle unrolls the same
+# fixed-seed fixed-iteration Lloyd with k computed IN SQL from the
+# same clamp, then verifies all within-cell pairs and applies the
+# min-id keep rule.
+QUERIES["semantic_dedup_auto"] = lambda s, d: sim.semantic_dedup(
+    _emb(s, d), NEARDUP_COS_THRESHOLD, cell_col=None
+)
+
+_AUTO_K_SQL = (
+    f"SELECT least(greatest({sim.KMEANS_K}, "
+    f"CAST(ceil(count(*) / 128.0) AS BIGINT)), {sim.SEMANTIC_MAX_K}) "
+    f"FROM embeddings"
+)
+
+
+def _semantic_auto_oracle_sql(threshold: float = NEARDUP_COS_THRESHOLD,
+                              iters: int = sim.KMEANS_ITERATIONS) -> str:
+    ctes = _kmeans_ctes(iters=iters, k_sql=f"({_AUTO_K_SQL})")
+    ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
+    ctes.append(f"""pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[])
+                    * 10000.0 + 0.5 + 1e-9) / 10000.0 >= {threshold})""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT e.vec_id, a.cell,
+               e.vec_id NOT IN (SELECT vec_b FROM pairs) AS kept
+        FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id"""
+    )
+
+
+ORACLE["semantic_dedup_auto"] = _semantic_auto_oracle_sql()
 
 QUERIES["text_redact_pii"] = lambda s, d: ta.redact_pii(_docs(s, d))
 
