@@ -133,3 +133,25 @@ def test_malformed_patterns_raise(spark, sf_dir):
         pg.match("MATCH (a:customer)-[:NOPE]->(b)")
     with pytest.raises(ValueError, match="must be labeled"):
         pg.match("MATCH (a)-[:SOLD_TO]->(b:supplier)")
+
+
+def test_variable_length_hop_desugars(spark, sf_dir):
+    """(a)-[:KNOWS*2]->(b) == the explicit 2-hop chain — the
+    reference's `MATCH (n:Person)-[:KNOWS*2]->(m)` sugar
+    (ARCHITECTURE.md:327-339)."""
+    people = spark.createDataFrame([(i,) for i in range(6)], "pid long")
+    knows = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "ksrc long, kdst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    sugar = pg.match("MATCH (a:person)-[:KNOWS*2]->(b)")
+    explicit = pg.match("MATCH (a:person)-[:KNOWS]->(m)-[:KNOWS]->(b)")
+    got = _rows(sugar.select("a", "b").distinct(), ["a", "b"])
+    want = _rows(explicit.select("a", "b").distinct(), ["a", "b"])
+    assert got == want
+    # exact expected 2-hop pairs (distinct)
+    assert got == [(0, 2), (0, 3), (1, 4), (2, 5), (3, 5)]

@@ -14,6 +14,8 @@ Supported shapes (the reference's three canonical traversals):
 
 - single edge      ``(a:customer)-[:SOLD_TO]->(b:supplier)``
 - k-hop chain      ``(c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier)``
+  (variable length sugar: ``(a)-[:KNOWS*2]->(b)`` desugars to the
+  two-hop chain through a fresh anonymous intermediate)
 - cycle / triangle ``(a)-[:X]->(b)-[:Y]->(c)-[:Z]->(a)`` (repeated
   variable closes the cycle as an equality predicate)
 
@@ -42,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 _NODE = re.compile(r"\((\w+)(?::(\w+))?\)")
-_EDGE = re.compile(r"-\[:(\w+)\]->")
+_EDGE = re.compile(r"-\[:(\w+)(?:\*(\d+))?\]->")
 
 
 @dataclass(frozen=True)
@@ -85,13 +87,29 @@ class PropertyGraph:
         if pat.upper().startswith("MATCH"):
             pat = pat[5:].strip()
         nodes = [(m.group(1), m.group(2)) for m in _NODE.finditer(pat)]
-        edges = [m.group(1) for m in _EDGE.finditer(pat)]
-        if len(nodes) != len(edges) + 1:
+        raw_edges = [
+            (m.group(1), int(m.group(2) or 1)) for m in _EDGE.finditer(pat)
+        ]
+        if len(nodes) != len(raw_edges) + 1:
             raise ValueError(
                 f"malformed pattern {pattern!r}: {len(nodes)} nodes, "
-                f"{len(edges)} edges — expected a chain "
+                f"{len(raw_edges)} edges — expected a chain "
                 f"(a)-[:R]->(b)-[:S]->(c)"
             )
+        # Variable-length hops desugar before compilation:
+        # (a)-[:R*2]->(b)  ==  (a)-[:R]->(_a_R_1)-[:R]->(b) — fresh
+        # anonymous intermediates, same joins as writing the chain out.
+        out_nodes = [nodes[0]]
+        edges: list[str] = []
+        for i, (rel, reps) in enumerate(raw_edges):
+            if reps < 1:
+                raise ValueError(f"edge :{rel}*{reps}: repeat must be >= 1")
+            for r in range(reps - 1):
+                edges.append(rel)
+                out_nodes.append((f"_{nodes[i][0]}_{rel}_{r + 1}", None))
+            edges.append(rel)
+            out_nodes.append(nodes[i + 1])
+        nodes = out_nodes
         for _, label in nodes:
             if label is not None and label not in self._v:
                 raise ValueError(f"unknown vertex label :{label}")
@@ -115,7 +133,7 @@ class PropertyGraph:
         bound = {var0}
         prev = var0  # chain cursor: the column holding the current node's id
 
-        for (rel, (var, label)) in zip(edges, nodes[1:]):
+        for hop, (rel, (var, label)) in enumerate(zip(edges, nodes[1:])):
             e = self._e[rel]
             if e.df is None:
                 # FK hop: src/dst columns already live in the binding —
@@ -125,11 +143,21 @@ class PropertyGraph:
                         f"FK edge :{rel} needs column {e.src_col} in the "
                         f"binding; have {binding.columns}"
                     )
+                dst_col = e.dst_col
             else:
-                binding = binding.join(
-                    e.df, F.col(prev) == e.df[e.src_col]
+                # Per-hop renamed projection of the edge relation: a
+                # variable-length hop (or two hops over the same
+                # relation) would otherwise self-join one DataFrame
+                # and hit ambiguous column resolution. Edge ATTRIBUTE
+                # columns are not projected into the binding — the
+                # binding carries vertex ids/attrs; edge-property
+                # predicates belong on the relation before add_edge.
+                sc, dc = f"__src_{hop}", f"__dst_{hop}"
+                edf = e.df.select(
+                    F.col(e.src_col).alias(sc), F.col(e.dst_col).alias(dc)
                 )
-            dst_col = e.dst_col
+                binding = binding.join(edf, F.col(prev) == F.col(sc))
+                dst_col = dc
             if var in bound:
                 # Cycle close (triangle shape): the hop must land on
                 # the id this variable is already bound to.
