@@ -32,6 +32,7 @@ from torua_spark.constants import NODES, NUM_SHARDS
 from torua_spark.functions.hashing import shard_for_key
 from torua_spark.operators import kv as kvops
 from torua_spark.operators import topology as topo
+from torua_spark.sources.local import local_df
 
 
 class ToruaEngine:
@@ -53,8 +54,8 @@ class ToruaEngine:
         self.num_shards = num_shards
         self.node_list = nodes or NODES
         self.value_type = value_type
-        self._kv = kv if kv is not None else spark.createDataFrame(
-            [], f"key string, value {value_type}"
+        self._kv = kv if kv is not None else local_df(
+            spark, [], f"key string, value {value_type}"
         )
         self._mutations = 0
 
@@ -75,8 +76,8 @@ class ToruaEngine:
 
     def put_many(self, items: list[tuple[str, str]]) -> "ToruaEngine":
         """PUT /data/{key}: last-writer-wins upsert (batched)."""
-        updates = self.spark.createDataFrame(
-            items, f"key string, value {self.value_type}"
+        updates = local_df(
+            self.spark, items, f"key string, value {self.value_type}"
         )
         self._kv = kvops.upsert(self._kv, updates)
         self._compact()
@@ -84,7 +85,7 @@ class ToruaEngine:
 
     def delete(self, *keys: str) -> "ToruaEngine":
         """DELETE /data/{key}: idempotent."""
-        tombs = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        tombs = local_df(self.spark, [(k,) for k in keys], "key string")
         self._kv = kvops.delete(self._kv, tombs)
         self._compact()
         return self
@@ -116,7 +117,7 @@ class ToruaEngine:
     def route(self, key: str) -> tuple[int, str]:
         """key -> (shard_id, node_id), the coordinator's routing decision."""
         row = (
-            self.spark.createDataFrame([(key,)], "key string")
+            local_df(self.spark, [(key,)], "key string")
             .select(shard_for_key(F.col("key"), self.num_shards).alias("s"))
             .take(1)
         )[0]

@@ -117,7 +117,10 @@ def rewrite_sharded_table(
     assert vc1 == vc0, f"value checksum changed: {vc0} -> {vc1}"
     assert misplaced == 0, f"{misplaced} rows in a shard they don't route to"
 
-    return spark.createDataFrame(
+    from torua_spark.sources.local import local_df
+
+    return local_df(
+        spark,
         [(from_shards, to_shards, n1, kc1, vc1, misplaced)],
         "from_shards int, to_shards int, n_rows long, "
         "keys_checksum long, values_checksum long, misplaced long",

@@ -184,7 +184,9 @@ def hashed_retrieval(documents: DataFrame, query_text: str, k: int = 10,
     )
     chunk_emb = hashed_sparse(chunk_tok, ["doc_id", "chunk_id"], dim)
     spark = documents.sparkSession
-    q_tok = spark.createDataFrame([(query_text,)], "text string").select(
+    from torua_spark.sources.local import local_df
+
+    q_tok = local_df(spark, [(query_text,)], "text string").select(
         F.lit(0).alias("qid"), F.explode(tokens("text")).alias("t")
     )
     q_emb = hashed_sparse(q_tok, ["qid"], dim).select(

@@ -104,8 +104,10 @@ def event_funnel(events: DataFrame,
          (1.0 if k == 0 else 0.0))
         for k in range(len(sequence))
     ]
-    out = spark.createDataFrame(
-        rows, "stage int, event_type string, n_users long, conversion double"
+    from torua_spark.sources.local import local_df
+
+    out = local_df(
+        spark, rows, "stage int, event_type string, n_users long, conversion double"
     )
     return out.select(
         "stage", "event_type", "n_users", round4("conversion").alias("conversion")

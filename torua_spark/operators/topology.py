@@ -27,10 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from torua_spark.constants import NODES, NUM_SHARDS
 from torua_spark.functions.hashing import shard_for_key
 from torua_spark.operators.kv import stats as shard_stats
+from torua_spark.sources.local import local_df
 
 
 def nodes_df(spark: SparkSession, nodes: list[tuple[str, str, str]] | None = None) -> DataFrame:
-    return spark.createDataFrame(nodes or NODES, "node_id string, addr string, status string")
+    return local_df(spark, nodes or NODES, "node_id string, addr string, status string")
 
 
 def assignments_roundrobin(

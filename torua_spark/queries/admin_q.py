@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from torua_spark.constants import NUM_SHARDS
 from torua_spark.functions.hashing import shard_for_key, shard_for_key_sql
+from torua_spark.sources.local import local_df
 
 # Reference key-pattern fixtures: slashes, spaces, unicode, colons,
 # email-shaped, empty-adjacent. (distributed_storage_test.go:497-528)
@@ -53,16 +54,16 @@ VALID_TRANSITIONS = [
 
 
 def q_hostile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keys = spark.createDataFrame([(k,) for k in HOSTILE_KEYS], "key string")
+    keys = local_df(spark, [(k,) for k in HOSTILE_KEYS], "key string")
     return keys.select("key", shard_for_key(F.col("key"), NUM_SHARDS).alias("shard_id"))
 
 
 def q_assignment_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 — AssignShard overwrite: LWW upsert on shard_id."""
-    base = spark.createDataFrame(ASSIGN_INITIAL, "shard_id int, node_id string").withColumn(
+    base = local_df(spark, ASSIGN_INITIAL, "shard_id int, node_id string").withColumn(
         "_v", F.lit(0)
     )
-    upd = spark.createDataFrame(ASSIGN_UPDATES, "shard_id int, node_id string").withColumn(
+    upd = local_df(spark, ASSIGN_UPDATES, "shard_id int, node_id string").withColumn(
         "_v", F.lit(1)
     )
     w = Window.partitionBy("shard_id").orderBy(F.col("_v").desc())
@@ -76,15 +77,15 @@ def q_assignment_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_assignment_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 — RemoveShard: idempotent anti-join delete."""
-    base = spark.createDataFrame(ASSIGN_INITIAL, "shard_id int, node_id string")
-    remove = spark.createDataFrame([(i,) for i in REMOVE_IDS], "shard_id int")
+    base = local_df(spark, ASSIGN_INITIAL, "shard_id int, node_id string")
+    remove = local_df(spark, [(i,) for i in REMOVE_IDS], "shard_id int")
     return base.join(remove, "shard_id", "left_anti")
 
 
 def q_node_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 — inverted lookup GetNodeShards: per-node sorted shard list
     (emitted as a csv string so the comparison is type-portable)."""
-    base = spark.createDataFrame(ASSIGN_INITIAL, "shard_id int, node_id string")
+    base = local_df(spark, ASSIGN_INITIAL, "shard_id int, node_id string")
     return base.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_shards"),
         F.concat_ws(",", F.sort_array(F.collect_list(F.col("shard_id").cast("string")))).alias(
@@ -96,10 +97,10 @@ def q_node_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shard_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24 — SetState validation: requested transitions joined against
     the allowed-transition table; allowed flag per request."""
-    req = spark.createDataFrame(
-        STATE_REQUESTS, "shard_id int, from_state string, to_state string"
+    req = local_df(
+        spark, STATE_REQUESTS, "shard_id int, from_state string, to_state string"
     )
-    valid = spark.createDataFrame(VALID_TRANSITIONS, "from_state string, to_state string").withColumn(
+    valid = local_df(spark, VALID_TRANSITIONS, "from_state string, to_state string").withColumn(
         "_ok", F.lit(1)
     )
     return (
@@ -144,9 +145,9 @@ def q_assignment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment tables classified into unchanged / moved / added /
     removed — the admin view behind A12/A13 (what did this
     reassignment batch actually change?)."""
-    old = spark.createDataFrame(ASSIGN_INITIAL, "shard_id int, node_id string")
-    new = spark.createDataFrame(
-        [(0, "n1"), (1, "n3"), (3, "n3"), (9, "n4")], "shard_id int, node_id string"
+    old = local_df(spark, ASSIGN_INITIAL, "shard_id int, node_id string")
+    new = local_df(
+        spark, [(0, "n1"), (1, "n3"), (3, "n3"), (9, "n4")], "shard_id int, node_id string"
     )
     j = old.withColumnRenamed("node_id", "old_node").join(
         new.withColumnRenamed("node_id", "new_node"), "shard_id", "full_outer"

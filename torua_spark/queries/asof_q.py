@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from torua_spark.operators.asof import asof_join, range_join_bucketized
 from torua_spark.sources.catalog import load_table
+from torua_spark.sources.local import local_df
 
 # Inline interval fixture for the range join: seven 36-hour windows
 # tiling January 2024 with gaps (events span 2024-01-01..01-30).
@@ -42,7 +43,7 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per maintenance window: bucketized interval join, grouped."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    iv = spark.createDataFrame(INTERVALS, "w string, start_s string, end_s string").select(
+    iv = local_df(spark, INTERVALS, "w string, start_s string, end_s string").select(
         "w",
         F.col("start_s").cast("timestamp").alias("start"),
         F.col("end_s").cast("timestamp").alias("end"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from torua_spark.operators import kv as kvops
 from torua_spark.sources.catalog import KV_VIEW_SQL, kv_view
+from torua_spark.sources.local import local_df
 
 POINT_KEY = "Customer#000000042"
 MULTI_KEYS = ["Customer#000000007", "Customer#000000013", "Customer#000000099", "no-such-key"]
@@ -42,12 +43,12 @@ def q_missing_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    updates = spark.createDataFrame(UPSERTS, "key string, value string")
+    updates = local_df(spark, UPSERTS, "key string, value string")
     return kvops.upsert(_kv(spark, sf_dir), updates)
 
 
 def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tombs = spark.createDataFrame([(k,) for k in TOMBSTONES], "key string")
+    tombs = local_df(spark, [(k,) for k in TOMBSTONES], "key string")
     return kvops.delete(_kv(spark, sf_dir), tombs)
 
 

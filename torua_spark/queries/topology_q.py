@@ -15,6 +15,7 @@ from torua_spark.operators import health as healthops
 from torua_spark.operators import kv as kvops
 from torua_spark.operators import topology as topo
 from torua_spark.sources.catalog import KV_VIEW_SQL, kv_view, load_table
+from torua_spark.sources.local import local_df
 
 # Gap-fill fixture (A17/A23): n2 is unhealthy, shards 1 and 3 unassigned.
 GAPFILL_NODES = [
@@ -41,7 +42,7 @@ def q_assignment_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_assignment_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    initial = spark.createDataFrame(GAPFILL_INITIAL, "shard_id int, node_id string, is_primary int")
+    initial = local_df(spark, GAPFILL_INITIAL, "shard_id int, node_id string, is_primary int")
     return topo.auto_assign_gapfill(initial, spark, NUM_SHARDS, GAPFILL_NODES)
 
 
@@ -66,8 +67,8 @@ def q_health_consecutive_failures(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_health_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes = spark.createDataFrame(
-        [(f"n{i}",) for i in range(N_HEALTH_NODES_TOTAL)], "node_id string"
+    nodes = local_df(
+        spark, [(f"n{i}",) for i in range(N_HEALTH_NODES_TOTAL)], "node_id string"
     )
     return healthops.status_join(load_table(spark, sf_dir, "events"), nodes)
 
