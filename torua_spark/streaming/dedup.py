@@ -61,4 +61,4 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str,
     out = sink.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_distinct_users")
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+    return out.localCheckpoint(eager=True)

@@ -81,8 +81,11 @@ def drain_to_batch(agg: DataFrame, mode: str = "complete") -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    # JVM-side snapshot: localCheckpoint materializes the sink rows
+    # into RDD blocks without a driver->Python->JVM round-trip (the
+    # old createDataFrame(collect()) re-pickled the whole result
+    # through Python workers just to decouple from the sink table).
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def drain_to_files(agg: DataFrame, path: str, checkpoint: str) -> DataFrame:
@@ -247,10 +250,9 @@ def late_data_tumbling(spark: SparkSession, sf_dir: str,
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # Materialize before the in-memory sink table goes away.
-    out = spark.table(name)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    # Materialize before the in-memory sink table goes away —
+    # JVM-side, no Python round-trip (see drain_to_batch).
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
