@@ -1,0 +1,134 @@
+"""Z-order layout + file compaction (sources/layout.py, io.compact_files).
+
+The layout claims are measured, not asserted by vibes: after a
+zorder_write the per-FILE min/max footer stats must be tight on BOTH
+interleaved dimensions (that's the property that lets a scan skip
+files on either predicate), and a 2-D range query must be able to
+skip most files from footers alone. Compaction must preserve count
+and content checksum exactly while cutting the file count.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.oracle import compare
+from torua_spark.queries import relational_q
+from torua_spark.sources.layout import (
+    file_stats,
+    pruning_ratio,
+    quantize_int,
+    zorder_write,
+    zvalue,
+    zvalue_py,
+)
+
+
+def test_zvalue_matches_python_reference(spark):
+    from torua_spark.sources.local import local_df
+
+    rows = [(0, 0), (255, 255), (1, 2), (170, 85), (200, 13)]
+    df = local_df(spark, rows, "x long, y long").select(
+        "x", "y", zvalue([F.col("x"), F.col("y")], 8).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == zvalue_py([r.x, r.y], 8), (r.x, r.y)
+
+
+def test_quantize_clamps_and_is_exact(spark):
+    from torua_spark.sources.local import local_df
+
+    # values below lo clamp to 0, above hi clamp to 2^bits - 1, and
+    # in-range values match exact integer division
+    rows = [(-5,), (0,), (99,), (100,), (199,), (200,), (1000,)]
+    df = local_df(spark, rows, "x long").select(
+        "x", quantize_int("x", 0, 199, 3).alias("q")
+    )
+    got = {r.x: r.q for r in df.collect()}
+    for x in got:
+        expect = max(0, min(7, ((x - 0) * 8) // 200))
+        assert got[x] == expect, (x, got[x], expect)
+
+
+def test_zorder_layout_matches_oracle(spark, sf_dir):
+    compare(
+        relational_q.QUERIES["zorder_layout"](spark, sf_dir),
+        relational_q.ORACLE["zorder_layout"],
+        sf_dir,
+    )
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """After the rewrite every file covers a small hyper-rectangle:
+    mean per-file extent on EACH dimension must be well under the
+    global extent (a single-column sort gets this on one dimension
+    only), and a 2-D box query must skip most files on footer stats."""
+    n = 20_000
+    side = 256
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        F.floor(
+            (F.hash(F.col("id")).cast("double") / F.lit(2.0**32) + 0.5) * side
+        ).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zorded")
+    zorder_write(df, path, [("x", 0, side - 1), ("y", 0, side - 1)],
+                 bits=8, n_files=16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # content preserved (checksum over all columns)
+    chk = lambda d: d.select(
+        F.expr("bit_xor(xxhash64(x, y, payload))").alias("s")
+    ).first()["s"]
+    assert chk(back) == chk(df)
+
+    stats = file_stats(path, ["x", "y"])
+    assert len(stats) == 16
+    for col in ("x", "y"):
+        extents = [s[f"{col}_max"] - s[f"{col}_min"] for s in stats]
+        mean_extent = sum(extents) / len(extents)
+        # global extent is ~side; z-order should give ~side/sqrt(files)
+        # per file on each dim — allow 2x slack over the ideal
+        ideal = side / math.sqrt(len(stats))
+        assert mean_extent <= 2.5 * ideal, (col, mean_extent, ideal)
+
+    # a 2-D box covering ~1/16 of each dimension range must be
+    # skippable for most files from footers alone
+    skip_x = pruning_ratio(stats, "x", 0, side // 16)
+    skip_y = pruning_ratio(stats, "y", 0, side // 16)
+    assert skip_x >= 0.5, skip_x
+    assert skip_y >= 0.5, skip_y
+    # and the layout is only a layout: query results are unchanged
+    want = df.filter((F.col("x") <= side // 16) & (F.col("y") <= side // 16)).count()
+    got = back.filter((F.col("x") <= side // 16) & (F.col("y") <= side // 16)).count()
+    assert got == want
+
+
+def test_compact_files_preserves_content(spark, tmp_path):
+    from torua_spark.sources.io import compact_files
+
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink's file explosion: 64 tiny files
+    spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(64).write.parquet(src)
+
+    out = str(tmp_path / "compacted")
+    report = compact_files(spark, src, out, target_mb=128, sort_cols=["id"])
+    assert report["in_files"] == 64
+    assert report["out_files"] < report["in_files"]
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count() == 50_000
+    chk = lambda d: d.select(F.expr("bit_xor(xxhash64(id, k))").alias("s")).first()["s"]
+    assert chk(a) == chk(b)
+    # sorted rewrite keeps id stats tight: each output file's id range
+    # must be disjoint-ish (range partitioned), i.e. mean extent well
+    # under the global extent
+    stats = file_stats(out, ["id"])
+    if len(stats) > 1:
+        extents = [s["id_max"] - s["id_min"] for s in stats]
+        assert sum(extents) / len(extents) < 50_000 / len(stats) * 1.5

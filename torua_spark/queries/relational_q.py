@@ -365,3 +365,66 @@ ORACLE["skew_report"] = """
            floor((max_n / avg_n) * 10000.0 + 0.5 + 1e-9) / 10000.0
     FROM totals
 """
+
+
+# ---------------------------------------------------------------- Z-order
+# Morton-curve layout analytics (sources/layout.py): quantize
+# (user_id, epoch-seconds) onto 8-bit grids with FIXED corpus-
+# independent ranges, interleave to a 16-bit z-value, and report
+# per-z-bucket occupancy — the planning view of a Z-order rewrite
+# (how many rows each curve segment holds and how tight its
+# dimension bounds are). Exact integer math end-to-end; the oracle
+# reproduces every bit.
+_Z_USER_LO, _Z_USER_HI = 0, 16383
+_Z_TS_LO, _Z_TS_HI = 1704067200, 1706745599  # Jan 2024, 31 days
+_Z_BITS = 8
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.layout import quantize_int, zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    qu = quantize_int("user_id", _Z_USER_LO, _Z_USER_HI, _Z_BITS)
+    qt = quantize_int(
+        F.col("ts").cast("long"), _Z_TS_LO, _Z_TS_HI, _Z_BITS
+    )
+    z = zvalue([qu, qt], _Z_BITS)
+    return (
+        ev.select(z.alias("z"), "user_id")
+        .groupBy(F.shiftright("z", 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+        )
+    )
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+
+
+def _zorder_oracle() -> str:
+    from torua_spark.sources.layout import quantize_int_sql, zvalue_sql
+
+    qu = quantize_int_sql("user_id", _Z_USER_LO, _Z_USER_HI, _Z_BITS)
+    qt = quantize_int_sql(
+        "(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)", _Z_TS_LO, _Z_TS_HI, _Z_BITS
+    )
+    return f"""
+        WITH q AS (
+            SELECT {zvalue_sql([qu, qt], _Z_BITS)} AS z, user_id
+            FROM events
+        )
+        SELECT CAST(z >> 10 AS INTEGER) AS bucket, count(*) AS n_events,
+               CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max,
+               CAST(min(user_id) AS BIGINT) AS u_min,
+               CAST(max(user_id) AS BIGINT) AS u_max
+        FROM q GROUP BY 1
+    """
+
+
+ORACLE["zorder_layout"] = _zorder_oracle()

@@ -72,3 +72,44 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+
+
+def compact_files(spark: SparkSession, path: str, out_path: str,
+                  target_mb: int = 128,
+                  sort_cols: list[str] | None = None) -> dict:
+    """Small-file compaction (the OPTIMIZE/bin-packing rewrite, here
+    on plain parquet): streaming sinks and incremental ingest land one
+    file per trigger per partition, and at 100 TB the resulting
+    file-count explosion dominates scan planning time (every query
+    pays a per-file open + footer read — millions of 1 MB files is
+    the classic lakehouse failure mode). Rewrite the directory into
+    ceil(bytes / target_mb) files, optionally re-sorting so row-group
+    min/max statistics stay selective after the merge.
+
+    Sizing comes from the FILE LISTING (driver-side metadata, never
+    the data); the rewrite itself is one coalesce-free repartition so
+    output files are balanced regardless of input skew. Returns a
+    count/size report; the caller-visible invariant (row count and
+    content checksum preserved) is pinned in tests/test_layout.py.
+    """
+    import math
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    files = [f for f in pathlib.Path(path).rglob("*.parquet")]
+    in_bytes = sum(f.stat().st_size for f in files)
+    n_out = max(1, math.ceil(in_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    out_files = [f for f in pathlib.Path(out_path).rglob("*.parquet")]
+    return {
+        "in_files": len(files),
+        "out_files": len(out_files),
+        "in_bytes": in_bytes,
+        "out_bytes": sum(f.stat().st_size for f in out_files),
+    }
