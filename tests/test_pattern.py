@@ -155,3 +155,85 @@ def test_variable_length_hop_desugars(spark, sf_dir):
     assert got == want
     # exact expected 2-hop pairs (distinct)
     assert got == [(0, 2), (0, 3), (1, 4), (2, 5), (3, 5)]
+
+
+def test_query_where_return_projection(spark, sf_dir):
+    """MATCH..WHERE..RETURN == the explicit DataFrame chain, and the
+    WHERE filter lands below the joins (predicate pushdown)."""
+    from torua_spark.sources.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", cust, "c_custkey")
+        .add_vertex("nation", nat, "n_nationkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+    )
+    got = pg.query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE c.c_acctbal > 5000 AND n.n_name <> 'FRANCE' "
+        "RETURN c AS c_custkey, n.n_name AS nation"
+    )
+    from pyspark.sql import functions as F
+
+    want = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .filter((F.col("c_acctbal") > 5000) & (F.col("n_name") != "FRANCE"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("nation"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+    # the acctbal filter must sit in the customer scan, not above a join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split("Join")[-1]
+
+
+def test_query_return_aggregate_groups(spark, sf_dir):
+    from torua_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", cust, "c_custkey")
+        .add_vertex("nation", nat, "n_nationkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+    )
+    got = pg.query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "RETURN n.n_name AS nation, count(*) AS n_customers, "
+        "min(c.c_acctbal) AS min_bal"
+    )
+    want = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.min("c_acctbal").alias("min_bal"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == ["nation", "n_customers", "min_bal"]
+
+
+def test_query_malformed_where_and_unknown_terms(spark):
+    people = spark.range(3).select(F.col("id").alias("pid"))
+    knows = spark.createDataFrame([(0, 1)], "ksrc long, kdst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    base = "MATCH (a:person)-[:KNOWS]->(b) "
+    with pytest.raises(ValueError, match="unsupported WHERE"):
+        pg.query(base + "WHERE a.pid IN (1,2)")
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        pg.query(base + "WHERE z.pid = 1")
+    with pytest.raises(ValueError, match="no column"):
+        pg.query(base + "WHERE a.nope = 1")
+    with pytest.raises(ValueError, match="unlabeled"):
+        pg.query(base + "RETURN b.pid")
+    # no RETURN -> binding table; bare-variable WHERE on ids works
+    assert pg.query(base + "WHERE a = 0").select("a", "b").collect() == [
+        __import__("pyspark").sql.Row(a=0, b=1)
+    ]

@@ -19,6 +19,14 @@ Supported shapes (the reference's three canonical traversals):
 - cycle / triangle ``(a)-[:X]->(b)-[:Y]->(c)-[:Z]->(a)`` (repeated
   variable closes the cycle as an equality predicate)
 
+plus the two surrounding clauses of the reference's example query
+(``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``): ``WHERE`` as a
+conjunction of comparisons over ``var`` / ``var.attr`` terms (plain
+filters — Catalyst pushes them below the pattern's joins), and
+``RETURN`` with aliases and count/sum/avg/min/max aggregates (an
+aggregate item turns the projection into a groupBy over the
+non-aggregate items). See ``PropertyGraph.query``.
+
 Compilation model — pattern, not plan: each hop becomes one join
 against the edge's backing relation, each labeled node a join against
 its vertex relation (broadcast-hinted when registered so, left-semi
@@ -123,6 +131,10 @@ class PropertyGraph:
         column per pattern variable (the vertex id) plus every
         attribute column of labeled vertices. A repeated variable
         closes a cycle (triangle) as an equality predicate."""
+        binding, _ = self._compile(pattern)
+        return binding
+
+    def _compile(self, pattern: str) -> tuple[DataFrame, dict[str, str | None]]:
         nodes, edges = self._parse(pattern)
 
         var0, label0 = nodes[0]
@@ -131,6 +143,7 @@ class PropertyGraph:
         v0 = self._v[label0]
         binding = v0.df.withColumn(var0, F.col(v0.id_col))
         bound = {var0}
+        labels: dict[str, str | None] = {var0: label0}
         prev = var0  # chain cursor: the column holding the current node's id
 
         for hop, (rel, (var, label)) in enumerate(zip(edges, nodes[1:])):
@@ -172,5 +185,111 @@ class PropertyGraph:
             else:
                 binding = binding.withColumn(var, F.col(dst_col))
             bound.add(var)
+            labels[var] = label
             prev = var
-        return binding
+        return binding, labels
+
+    # ----------------------------------------------------- WHERE / RETURN
+
+    def _resolve(self, term: str, labels: dict[str, str | None]):
+        """``var`` -> its id column; ``var.col`` -> the attribute
+        column of the vertex the var bound to (attributes enter the
+        binding under their own names — label columns must not
+        collide, the same rule the bare binding table already has)."""
+        if "." in term:
+            var, col = term.split(".", 1)
+            if var not in labels:
+                raise ValueError(f"unknown pattern variable {var!r}")
+            label = labels[var]
+            if label is None:
+                raise ValueError(
+                    f"{term!r}: variable {var!r} is unlabeled — it has an "
+                    f"id but no attribute columns"
+                )
+            if col not in self._v[label].df.columns:
+                raise ValueError(
+                    f"{term!r}: vertex :{label} has no column {col!r}"
+                )
+            return F.col(col), col
+        if term not in labels:
+            raise ValueError(f"unknown pattern variable {term!r}")
+        return F.col(term), term
+
+    _COND = re.compile(
+        r"^\s*(\w+(?:\.\w+)?)\s*(<>|!=|<=|>=|=|<|>)\s*"
+        r"('(?:[^']*)'|-?\d+(?:\.\d+)?|\w+(?:\.\w+)?)\s*$"
+    )
+    _AGG = re.compile(r"(?i)^\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+(?:\.\w+)?)\s*\)\s*$")
+    _ITEM = re.compile(r"(?i)^\s*(.*?)(?:\s+AS\s+(\w+))?\s*$")
+
+    def _literal_or_term(self, tok: str, labels):
+        if tok.startswith("'"):
+            return F.lit(tok[1:-1])
+        try:
+            return F.lit(int(tok))
+        except ValueError:
+            pass
+        try:
+            return F.lit(float(tok))
+        except ValueError:
+            pass
+        return self._resolve(tok, labels)[0]
+
+    def query(self, q: str) -> DataFrame:
+        """Full query form: ``MATCH <chain> [WHERE <conjunction>]
+        [RETURN <items>]`` — the reference's aspirational surface
+        (ARCHITECTURE.md:327-339 ``MATCH (n:Person)-[:KNOWS]->(m)
+        RETURN n, m``). WHERE is a conjunction of ``term op
+        literal-or-term`` comparisons applied to the binding table —
+        plain filters, which Catalyst pushes below the pattern's
+        joins (predicate pushdown is why WHERE costs nothing extra
+        here). RETURN projects/aliases terms; aggregate items
+        (count/sum/avg/min/max) turn the projection into a groupBy
+        over the non-aggregate items. No RETURN -> the binding table.
+        """
+        m_where = re.search(r"(?i)\bWHERE\b", q)
+        m_ret = re.search(r"(?i)\bRETURN\b", q)
+        end_match = m_where.start() if m_where else (m_ret.start() if m_ret else len(q))
+        where_part = q[m_where.end():(m_ret.start() if m_ret else len(q))] if m_where else None
+        ret_part = q[m_ret.end():] if m_ret else None
+
+        binding, labels = self._compile(q[:end_match])
+
+        if where_part is not None:
+            for cond in re.split(r"(?i)\bAND\b", where_part):
+                m = self._COND.match(cond)
+                if not m:
+                    raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
+                left = self._resolve(m.group(1), labels)[0]
+                op = m.group(2)
+                right = self._literal_or_term(m.group(3), labels)
+                expr = {
+                    "=": left == right, "<>": left != right, "!=": left != right,
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right,
+                }[op]
+                binding = binding.filter(expr)
+
+        if ret_part is None:
+            return binding
+
+        keys, aggs = [], []
+        for raw in ret_part.split(","):
+            expr_txt, alias = self._ITEM.match(raw).groups()
+            m = self._AGG.match(expr_txt)
+            if m:
+                fn, arg = m.group(1).lower(), m.group(2)
+                name = alias or f"{fn}_{arg.replace('.', '_').replace('*', 'all')}"
+                if arg == "*":
+                    if fn != "count":
+                        raise ValueError(f"{fn}(*) is not a thing")
+                    aggs.append(F.count(F.lit(1)).alias(name))
+                else:
+                    col = self._resolve(arg, labels)[0]
+                    aggs.append(getattr(F, fn)(col).alias(name))
+            else:
+                col, default = self._resolve(expr_txt.strip(), labels)
+                keys.append(col.alias(alias or default))
+        if aggs:
+            return binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
+        return binding.select(*keys)

@@ -61,8 +61,10 @@ def q_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1/B3 pattern + aggregate — routed through the pattern
     front-end. The FK edges compile to ZERO extra joins (the
     star-schema fast path), so the binding's join tree is exactly
-    operators/graph.triangle_pattern's broadcast star join; the
-    RETURN aggregate stays an ordinary DataFrame groupBy."""
+    operators/graph.triangle_pattern's broadcast star join, and the
+    RETURN aggregate is compiled by PropertyGraph.query — the declared
+    entry driver-proves the full MATCH/RETURN clause chain of the
+    reference's example (ARCHITECTURE.md:327-339)."""
     from pyspark.sql import functions as F
 
     from torua_spark.functions.compat import round4
@@ -78,15 +80,14 @@ def q_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
         .add_edge("IN_REGION", None, "n_nationkey", "n_regionkey")
     )
-    b = pg.match(
-        "MATCH (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region)"
+    out = pg.query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation)-[:IN_REGION]->(r:region) "
+        "RETURN r.r_name AS region, n.n_name AS nation, "
+        "count(*) AS n_customers, sum(c.c_acctbal) AS sum_acctbal"
     )
-    return b.groupBy(
-        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-    ).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        round4(F.sum("c_acctbal")).alias("sum_acctbal"),
-    )
+    # round4 is engine-portability plumbing, not query semantics —
+    # applied after the RETURN aggregate exactly as a caller would.
+    return out.withColumn("sum_acctbal", round4("sum_acctbal"))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
