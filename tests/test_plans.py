@@ -125,6 +125,9 @@ _PYTHON_OK = {
     "streaming_health_state",   # applyInPandasWithState
     "vector_neardup_pairs",     # hyperplane banding = Arrow int64 GEMM
                                 # (measured 3x+ over interpreted HOFs)
+    "semantic_dedup",           # Arrow pair-verify dot on the candidate
+    "semantic_dedup_auto",      # relation (largest intermediate; the
+                                # interpreted HOF ran per element there)
     "vector_kmeans_cells",      # Arrow nearest-centroid assignment
                                 # (bit-identical to the HOF fold; 4x at sf1)
     "vector_ann_ivf_learned",   # same assignment inside the Lloyd loop
