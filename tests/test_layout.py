@@ -132,3 +132,50 @@ def test_compact_files_preserves_content(spark, tmp_path):
     if len(stats) > 1:
         extents = [s["id_max"] - s["id_min"] for s in stats]
         assert sum(extents) / len(extents) < 50_000 / len(stats) * 1.5
+
+
+def test_purge_keys_rewrites_only_hit_partitions(spark, tmp_path):
+    """Right-to-be-forgotten over a hive-partitioned lake: purged keys
+    vanish, non-hit partitions keep their exact FILES (byte/mtime
+    identical — the petabyte is not rewritten), absent keys are a
+    no-op (A3 idempotent delete at lake scale)."""
+    import os
+    import pathlib
+
+    from torua_spark.sources.io import purge_keys
+
+    path = str(tmp_path / "lake")
+    df = spark.range(10_000).select(
+        F.concat(F.lit("user"), F.col("id")).alias("key"),
+        (F.col("id") % 8).alias("p"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    df.write.partitionBy("p").parquet(path)
+
+    def mtimes():
+        return {
+            str(f): f.stat().st_mtime_ns
+            for f in pathlib.Path(path).rglob("*.parquet")
+        }
+
+    before = mtimes()
+    # keys living in partitions 1 and 5 only (id % 8)
+    report = purge_keys(spark, path, ["user1", "user9", "user13"], "key", "p")
+    assert report["partitions_rewritten"] == 2
+    assert report["rows_deleted"] == 3
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000 - 3
+    assert back.filter(F.col("key").isin("user1", "user9", "user13")).count() == 0
+    # surviving rows in rewritten partitions intact
+    assert back.filter("p = 1").count() == 1250 - 2  # user1, user9... user1%8=1, 9%8=1, 13%8=5
+    after = mtimes()
+    untouched = {f: t for f, t in before.items() if "/p=1/" not in f and "/p=5/" not in f}
+    assert untouched.items() <= after.items()  # same files, same mtimes
+
+    # idempotent no-op for absent keys: nothing rewritten at all
+    before2 = mtimes()
+    report2 = purge_keys(spark, path, ["user1", "no-such-key"], "key", "p")
+    assert report2["partitions_rewritten"] == 0
+    assert report2["rows_deleted"] == 0
+    assert mtimes() == before2

@@ -113,3 +113,68 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
         "in_bytes": in_bytes,
         "out_bytes": sum(f.stat().st_size for f in out_files),
     }
+
+
+def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
+               partition_col: str) -> dict:
+    """Targeted delete over a hive-partitioned parquet lake — the
+    100 TB form of the reference's DELETE (A3, store.go idempotent
+    delete) and range-delete (A6): a right-to-be-forgotten pass must
+    remove a handful of keys from a petabyte table WITHOUT rewriting
+    the petabyte.
+
+    Plan: one COLUMN-pruned scan (the parquet reader touches only the
+    key and partition columns, with row-group stats skipping) discovers
+    which ``partition_col`` values actually contain the keys (driver
+    gets a value list, partition-count-sized); ONLY those directories are
+    rewritten with an anti-join; every other partition's files are
+    untouched bytes (asserted by mtime in tests). Delete cost scales
+    with the data that actually holds the keys, not the table — the
+    same contract Delta DELETE gives via file-level skipping, here on
+    plain parquet + hive layout.
+
+    ``keys`` is a list of values or a 1-column DataFrame. Idempotent:
+    purging absent keys rewrites nothing (A3's no-op delete).
+    """
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.local import local_df
+
+    if not isinstance(keys, DataFrame):
+        keys = local_df(spark, [(k,) for k in keys], f"{key_col} string")
+    keys = keys.select(key_col)
+
+    table = spark.read.parquet(path)
+    hit_parts = [
+        r[0]
+        for r in (
+            table.join(F.broadcast(keys), key_col, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+    ]
+    rows_deleted = 0
+    for pv in hit_parts:
+        part_dir = f"{path}/{partition_col}={pv}"
+        part = spark.read.parquet(part_dir)
+        kept = part.join(F.broadcast(keys), key_col, "left_anti")
+        n_before = part.count()
+        n_after = kept.count()
+        # rewrite via a temp dir: the source files are this read's input
+        tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
+        kept.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(part_dir)
+        pathlib.Path(tmp).rename(part_dir)
+        rows_deleted += n_before - n_after
+    return {
+        "partitions_total": len(
+            [p for p in pathlib.Path(path).glob(f"{partition_col}=*")]
+        ),
+        "partitions_rewritten": len(hit_parts),
+        "rows_deleted": rows_deleted,
+    }
