@@ -128,3 +128,51 @@ def test_declared_registry_is_exactly_fifty_with_oracles():
     assert set(osql) == set(_DECLARED) - _ROWS_ONLY
     assert _ROWS_ONLY <= set(_DECLARED)
     assert all(callable(f) for f in qs.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(max_size=24),
+            st.one_of(st.none(), st.floats(allow_infinity=True, width=64)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_local_df_round_trips_arbitrary_rows(spark, rows):
+    """local_df's SQL-literal encoding must survive anything a fixture
+    could hold: arbitrary unicode (quotes, backslashes, emoji,
+    control-ish chars), NULLs, NaN/Inf doubles, negative longs."""
+    import math
+
+    from torua_spark.sources.local import local_df
+
+    got = local_df(spark, rows, "a long, s string, d double").collect()
+    assert len(got) == len(rows)
+    norm = lambda v: ("nan" if isinstance(v, float) and math.isnan(v) else v)
+    assert sorted(map(str, ((a, s, norm(d)) for a, s, d in rows))) == sorted(
+        map(str, ((r.a, r.s, norm(r.d)) for r in got))
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**16 - 1), min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=16),
+)
+def test_zvalue_python_reference_is_bijective(vals, bits):
+    """Morton interleave must be invertible (no two coordinate tuples
+    share a z) — checked by de-interleaving the reference impl."""
+    from torua_spark.sources.layout import zvalue_py
+
+    vals = [v & ((1 << bits) - 1) for v in vals]
+    z = zvalue_py(vals, bits)
+    k = len(vals)
+    back = [0] * k
+    for c in range(k):
+        for i in range(bits):
+            back[c] |= ((z >> (i * k + (k - 1 - c))) & 1) << i
+    assert back == vals
