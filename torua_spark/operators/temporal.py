@@ -84,10 +84,19 @@ def event_funnel(events: DataFrame,
     boundaries are strict (> prev) so one event can't match twice."""
     sequence = sequence or FUNNEL_SEQUENCE
     ev = events.select("user_id", "event_type", "ts")
-    reached = ev.filter(F.col("event_type") == sequence[0]).groupBy("user_id").agg(
-        F.min("ts").alias("t0")
+    reached = (
+        ev.filter(F.col("event_type") == sequence[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
     )
-    stage_counts = [reached.count()]
+    # One tagged (stage, user_id) relation instead of a driver-side
+    # count() per stage: the old shape ran k jobs, stage k recomputing
+    # stages 0..k-1 (quadratic), with a driver round-trip each. The
+    # lazy checkpoint per stage means the union job computes each
+    # stage's aggregate ONCE and the deeper stages reuse the cached
+    # blocks — one Spark job for the whole funnel.
+    tagged = [reached.select(F.lit(0).alias("stage"), "user_id")]
     for k, stage in enumerate(sequence[1:], start=1):
         reached = (
             ev.filter(F.col("event_type") == stage)
@@ -95,22 +104,40 @@ def event_funnel(events: DataFrame,
             .filter(F.col("ts") > F.col(f"t{k - 1}"))
             .groupBy("user_id", *[f"t{j}" for j in range(k)])
             .agg(F.min("ts").alias(f"t{k}"))
+            .localCheckpoint(eager=False)
         )
-        stage_counts.append(reached.count())
-    spark = events.sparkSession
-    rows = [
-        (k, sequence[k], int(stage_counts[k]),
-         float(stage_counts[k]) / stage_counts[k - 1] if k and stage_counts[k - 1] else
-         (1.0 if k == 0 else 0.0))
-        for k in range(len(sequence))
-    ]
+        tagged.append(reached.select(F.lit(k).alias("stage"), "user_id"))
+    all_stages = tagged[0]
+    for t in tagged[1:]:
+        all_stages = all_stages.unionByName(t)
+    counts = all_stages.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
     from torua_spark.sources.local import local_df
 
-    out = local_df(
-        spark, rows, "stage int, event_type string, n_users long, conversion double"
+    spine = local_df(
+        events.sparkSession,
+        [(k, sequence[k]) for k in range(len(sequence))],
+        "stage int, event_type string",
     )
-    return out.select(
-        "stage", "event_type", "n_users", round4("conversion").alias("conversion")
+    # conversion = n_k / n_{k-1} (stage 0 -> 1.0; empty previous stage
+    # -> 0.0), computed with a lag window over the stage-count rows —
+    # the window is stage-count-sized, never corpus-sized.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage")
+    joined = spine.join(counts, "stage", "left").withColumn(
+        "n_users", F.coalesce(F.col("n_users"), F.lit(0))
+    )
+    prev = F.lag("n_users").over(w)
+    conversion = (
+        F.when(F.col("stage") == 0, F.lit(1.0))
+        .when(prev.isNull() | (prev == 0), F.lit(0.0))
+        .otherwise(F.col("n_users").cast("double") / prev)
+    )
+    return joined.select(
+        "stage", "event_type", "n_users",
+        round4(conversion).alias("conversion"),
     )
 
 
