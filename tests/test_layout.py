@@ -179,3 +179,55 @@ def test_purge_keys_rewrites_only_hit_partitions(spark, tmp_path):
     assert report2["partitions_rewritten"] == 0
     assert report2["rows_deleted"] == 0
     assert mtimes() == before2
+
+
+def test_merge_upsert_lww_partition_targeted(spark, tmp_path):
+    """A2's LWW PUT at lake scale: updated keys take the new values,
+    new keys insert (including into brand-new partitions), non-hit
+    partitions keep their exact files, in-batch duplicates resolve
+    last-writer-wins."""
+    import pathlib
+
+    from torua_spark.sources.io import merge_upsert
+    from torua_spark.sources.local import local_df
+
+    path = str(tmp_path / "lake")
+    spark.range(1_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        (F.col("id") % 4).alias("p"),
+        F.lit("old").alias("val"),
+    ).write.partitionBy("p").parquet(path)
+
+    def mtimes():
+        return {
+            str(f): f.stat().st_mtime_ns
+            for f in pathlib.Path(path).rglob("*.parquet")
+        }
+
+    before = mtimes()
+    updates = local_df(
+        spark,
+        [
+            ("k1", 1, "new1"),       # update in p=1
+            ("k5", 1, "ignored"),    # duplicate key: later row wins
+            ("k5", 1, "new5"),
+            ("fresh", 1, "ins"),     # insert into existing partition
+            ("other", 9, "ins9"),    # insert into NEW partition p=9
+        ],
+        "key string, p long, val string",
+    )
+    report = merge_upsert(spark, path, updates, "key", "p")
+    assert report["partitions_written"] == 2
+    assert report["rows_updated"] == 2
+    assert report["rows_inserted"] == 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == 1_000 + 2
+    got = {r.key: r.val for r in back.filter(
+        F.col("key").isin("k1", "k5", "fresh", "other", "k9")).collect()}
+    assert got == {"k1": "new1", "k5": "new5", "fresh": "ins",
+                   "other": "ins9", "k9": "old"}
+    # partitions 0, 2, 3 untouched byte-for-byte
+    after = mtimes()
+    untouched = {f: t for f, t in before.items() if "/p=1/" not in f}
+    assert untouched.items() <= after.items()

@@ -178,3 +178,62 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
         "partitions_rewritten": len(hit_parts),
         "rows_deleted": rows_deleted,
     }
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 key_col: str, partition_col: str) -> dict:
+    """Partition-targeted last-writer-wins MERGE into a hive-
+    partitioned parquet lake — the reference's PUT upsert (A2,
+    store.go LWW) at lake scale, completing the CRUD triple with
+    ``purge_keys`` (delete) and ``compact_files`` (maintenance).
+
+    Updates must carry ``partition_col`` (rows land in their
+    partition). Each affected partition is rewritten once as
+    (existing rows anti-joined on updated keys) UNION (updates for
+    that partition): upsert cost scales with the partitions receiving
+    writes, not the table — non-hit partitions keep their exact
+    files. This is the nightly-merge shape a CDC pipeline runs when
+    the table format is plain parquet.
+    """
+    import pathlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    hit_parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    rows_updated = rows_inserted = 0
+    for pv in hit_parts:
+        part_dir = f"{path}/{partition_col}={pv}"
+        batch = updates.filter(F.col(partition_col) == pv).drop(partition_col)
+        # LWW inside the batch itself: keep the last row per key as
+        # ordered by the caller (deterministic via max struct on a
+        # batch sequence number).
+        batch = batch.withColumn(
+            "_seq", F.monotonically_increasing_id()
+        ).groupBy(key_col).agg(
+            F.max(F.struct("_seq", *[c for c in batch.columns if c != key_col])).alias("_r")
+        ).select(key_col, "_r.*").drop("_seq")
+        exists = pathlib.Path(part_dir).exists()
+        if exists:
+            part = spark.read.parquet(part_dir)
+            n_before = part.count()
+            kept = part.join(
+                F.broadcast(batch.select(key_col)), key_col, "left_anti"
+            )
+            out = kept.unionByName(batch.select(*part.columns))
+            n_kept = kept.count()
+            rows_updated += n_before - n_kept
+            rows_inserted += batch.count() - (n_before - n_kept)
+        else:
+            out = batch
+            rows_inserted += batch.count()
+        tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
+        out.write.mode("overwrite").parquet(tmp)
+        if exists:
+            shutil.rmtree(part_dir)
+        pathlib.Path(tmp).rename(part_dir)
+    return {
+        "partitions_written": len(hit_parts),
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+    }
