@@ -115,6 +115,23 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     }
 
 
+
+def _partition_dir(path: str, partition_col: str, value) -> str:
+    """Hive directory for one partition value. Restricted to the
+    simple value space ([A-Za-z0-9_.-]) — hive-escaped values (%xx
+    encoding of spaces/slashes/unicode) would need the escaping
+    table; fail loudly rather than write a mis-named directory."""
+    import re
+
+    s = str(value)
+    if not re.fullmatch(r"[\w.-]+", s):
+        raise ValueError(
+            f"partition value {value!r} needs hive escaping — "
+            f"targeted rewrite supports simple values only"
+        )
+    return f"{path}/{partition_col}={s}"
+
+
 def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
                partition_col: str) -> dict:
     """Targeted delete over a hive-partitioned parquet lake — the
@@ -158,7 +175,7 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
     ]
     rows_deleted = 0
     for pv in hit_parts:
-        part_dir = f"{path}/{partition_col}={pv}"
+        part_dir = _partition_dir(path, partition_col, pv)
         part = spark.read.parquet(part_dir)
         kept = part.join(F.broadcast(keys), key_col, "left_anti")
         n_before = part.count()
@@ -203,7 +220,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     hit_parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     rows_updated = rows_inserted = 0
     for pv in hit_parts:
-        part_dir = f"{path}/{partition_col}={pv}"
+        part_dir = _partition_dir(path, partition_col, pv)
         batch = updates.filter(F.col(partition_col) == pv).drop(partition_col)
         # LWW inside the batch itself: keep the last row per key as
         # ordered by the caller (deterministic via max struct on a
