@@ -231,3 +231,58 @@ def test_merge_upsert_lww_partition_targeted(spark, tmp_path):
     after = mtimes()
     untouched = {f: t for f, t in before.items() if "/p=1/" not in f}
     assert untouched.items() <= after.items()
+
+
+def test_quantize_rejects_inexact_span(spark):
+    """span * 2^bits past 2^53 would let floor(double-div) drift off
+    integer DIV at cell boundaries — must refuse, not drift."""
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds exact double range"):
+        quantize_int("x", 0, 5 * 365 * 86400 * 1000, 16)  # 5y of millis
+    # seconds-grain over the same 5 years is fine
+    quantize_int("x", 0, 5 * 365 * 86400, 16)
+
+
+def test_pruning_ratio_counts_missing_stats_as_kept():
+    stats = [
+        {"file": "a", "x_min": 0, "x_max": 10},
+        {"file": "b", "x_min": None, "x_max": None},  # no footer stats
+        {"file": "c", "x_min": 100, "x_max": 200},
+    ]
+    # box [0, 10]: file a kept, b kept (must be read), c skipped
+    assert pruning_ratio(stats, "x", 0, 10) == 1 / 3
+
+
+def test_merge_upsert_version_col_wins_regardless_of_row_order(spark, tmp_path):
+    """CDC batches arrive shuffled: with version_col the highest
+    version wins even when rows are physically reordered."""
+    from torua_spark.sources.io import merge_upsert
+    from torua_spark.sources.local import local_df
+
+    path = str(tmp_path / "lake")
+    spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.lit(0).alias("p"),
+        F.lit("old").alias("val"),
+    ).write.partitionBy("p").parquet(path)
+    updates = local_df(
+        spark,
+        [("k1", 0, "v-late", 7), ("k1", 0, "v-early", 3), ("k1", 0, "v-mid", 5)],
+        "key string, p long, val string, lsn long",
+    ).repartition(4)  # destroy physical order on purpose
+    merge_upsert(spark, path, updates, "key", "p", version_col="lsn")
+    # the existing lake schema wins (no lsn column persisted) — only
+    # the winning version's values land
+    got = {r.key: r.val for r in spark.read.parquet(path)
+           .filter("key = 'k1'").collect()}
+    assert got == {"k1": "v-late"}
+
+
+def test_local_df_rejects_row_length_mismatch(spark):
+    import pytest
+
+    from torua_spark.sources.local import local_df
+
+    with pytest.raises(ValueError, match="row 1 has 3 values for 2"):
+        local_df(spark, [(1, "a"), (2, "b", "EXTRA")], "a int, s string")

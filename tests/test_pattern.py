@@ -237,3 +237,33 @@ def test_query_malformed_where_and_unknown_terms(spark):
     assert pg.query(base + "WHERE a = 0").select("a", "b").collect() == [
         __import__("pyspark").sql.Row(a=0, b=1)
     ]
+
+
+def test_where_string_literal_containing_and(spark, sf_dir):
+    """AND inside a quoted literal must not split the condition."""
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.local import local_df
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = local_df(
+        spark,
+        [(i, "TRINIDAD AND TOBAGO" if i % 2 else "FRANCE") for i in range(25)],
+        "n_nationkey long, n_name string",
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", cust, "c_custkey")
+        .add_vertex("nation", nat, "n_nationkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+    )
+    got = pg.query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE n.n_name = 'TRINIDAD AND TOBAGO' AND c.c_acctbal > 0 "
+        "RETURN c AS c_custkey"
+    )
+    want = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .filter((F.col("n_name") == "TRINIDAD AND TOBAGO") & (F.col("c_acctbal") > 0))
+        .count()
+    )
+    assert got.count() == want > 0

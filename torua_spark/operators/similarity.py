@@ -486,6 +486,22 @@ def _pair_dot():
     def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype=np.float64)
+        # NULL or ragged arrays yield NaN (the HOF produced NULL there;
+        # both fail the downstream >= threshold filter) instead of
+        # letting np.stack abort the whole job on one bad row.
+        dim = next((len(x) for x in a if x is not None), 0)
+        ok = [
+            x is not None and y is not None and len(x) == dim and len(y) == dim
+            for x, y in zip(a, b)
+        ]
+        if not all(ok):
+            out = np.full(len(a), np.nan)
+            idx = [i for i, o in enumerate(ok) if o]
+            if idx:
+                ma = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+                mb = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+                out[idx] = np.einsum("ij,ij->i", ma, mb)
+            return pd.Series(out)
         ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
         mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
         return pd.Series(np.einsum("ij,ij->i", ma, mb))

@@ -256,7 +256,11 @@ class PropertyGraph:
         binding, labels = self._compile(q[:end_match])
 
         if where_part is not None:
-            for cond in re.split(r"(?i)\bAND\b", where_part):
+            # split only on AND outside string literals (an even number
+            # of quotes must follow), so 'TRINIDAD AND TOBAGO' survives
+            for cond in re.split(
+                r"(?i)\bAND\b(?=(?:[^']*'[^']*')*[^']*$)", where_part
+            ):
                 m = self._COND.match(cond)
                 if not m:
                     raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")

@@ -152,6 +152,14 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
 
     ``keys`` is a list of values or a 1-column DataFrame. Idempotent:
     purging absent keys rewrites nothing (A3's no-op delete).
+
+    Durability caveat (shared with merge_upsert): plain parquet has no
+    transaction log, so the per-partition swap (write tmp -> rm -> mv)
+    is crash-atomic per PARTITION, not per call — a crash between rm
+    and mv can lose that one partition's files. That window is what
+    lakehouse table formats close; on this storage contract, run
+    maintenance passes under external coordination and re-run on
+    failure (each pass is idempotent).
     """
     import pathlib
 
@@ -173,16 +181,29 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
             .collect()
         )
     ]
+    # Validate EVERY target before the first rewrite: a mid-loop
+    # failure on partition k would otherwise leave 0..k-1 rewritten
+    # with the report lost.
+    part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
     rows_deleted = 0
     for pv in hit_parts:
-        part_dir = _partition_dir(path, partition_col, pv)
-        part = spark.read.parquet(part_dir)
-        kept = part.join(F.broadcast(keys), key_col, "left_anti")
-        n_before = part.count()
-        n_after = kept.count()
-        # rewrite via a temp dir: the source files are this read's input
-        tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
-        kept.write.mode("overwrite").parquet(tmp)
+        part_dir = part_dirs[pv]
+        # one scan per partition: persist the source, derive counts
+        # and the rewrite from the cached blocks
+        part = spark.read.parquet(part_dir).persist()
+        try:
+            kept = part.join(F.broadcast(keys), key_col, "left_anti")
+            n_before = part.count()
+            # rewrite via a temp dir: the source files are this read's input
+            tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
+            kept.persist()
+            try:
+                n_after = kept.count()
+                kept.write.mode("overwrite").parquet(tmp)
+            finally:
+                kept.unpersist()
+        finally:
+            part.unpersist()
         import shutil
 
         shutil.rmtree(part_dir)
@@ -198,7 +219,8 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
-                 key_col: str, partition_col: str) -> dict:
+                 key_col: str, partition_col: str,
+                 version_col: str | None = None) -> dict:
     """Partition-targeted last-writer-wins MERGE into a hive-
     partitioned parquet lake — the reference's PUT upsert (A2,
     store.go LWW) at lake scale, completing the CRUD triple with
@@ -211,6 +233,13 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     writes, not the table — non-hit partitions keep their exact
     files. This is the nightly-merge shape a CDC pipeline runs when
     the table format is plain parquet.
+
+    In-batch duplicate keys resolve by max ``version_col`` when given
+    (the CDC sequence/LSN column — the only order that survives a
+    shuffled updates relation). Without one, a physical row sequence
+    breaks ties, which tracks input order ONLY for a batch that has
+    not been repartitioned since creation — pass ``version_col`` for
+    real CDC streams. Durability caveat: see ``purge_keys``.
     """
     import pathlib
     import shutil
@@ -218,34 +247,51 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     from pyspark.sql import functions as F
 
     hit_parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
     rows_updated = rows_inserted = 0
     for pv in hit_parts:
-        part_dir = _partition_dir(path, partition_col, pv)
+        part_dir = part_dirs[pv]
         batch = updates.filter(F.col(partition_col) == pv).drop(partition_col)
-        # LWW inside the batch itself: keep the last row per key as
-        # ordered by the caller (deterministic via max struct on a
-        # batch sequence number).
-        batch = batch.withColumn(
-            "_seq", F.monotonically_increasing_id()
-        ).groupBy(key_col).agg(
-            F.max(F.struct("_seq", *[c for c in batch.columns if c != key_col])).alias("_r")
-        ).select(key_col, "_r.*").drop("_seq")
-        exists = pathlib.Path(part_dir).exists()
-        if exists:
-            part = spark.read.parquet(part_dir)
-            n_before = part.count()
-            kept = part.join(
-                F.broadcast(batch.select(key_col)), key_col, "left_anti"
-            )
-            out = kept.unionByName(batch.select(*part.columns))
-            n_kept = kept.count()
-            rows_updated += n_before - n_kept
-            rows_inserted += batch.count() - (n_before - n_kept)
-        else:
-            out = batch
-            rows_inserted += batch.count()
-        tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
-        out.write.mode("overwrite").parquet(tmp)
+        seq = (
+            F.col(version_col) if version_col
+            else F.monotonically_increasing_id()
+        )
+        value_cols = [c for c in batch.columns if c != key_col]
+        batch = (
+            batch.withColumn("_seq", seq)
+            .groupBy(key_col)
+            .agg(F.max(F.struct("_seq", *value_cols)).alias("_r"))
+            .select(key_col, "_r.*")
+            .drop("_seq")
+            .persist()
+        )
+        try:
+            exists = pathlib.Path(part_dir).exists()
+            n_batch = batch.count()  # also materializes the cache
+            if exists:
+                part = spark.read.parquet(part_dir).persist()
+                try:
+                    n_before = part.count()
+                    kept = part.join(
+                        F.broadcast(batch.select(key_col)), key_col, "left_anti"
+                    ).persist()
+                    try:
+                        n_kept = kept.count()
+                        out = kept.unionByName(batch.select(*part.columns))
+                        tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
+                        out.write.mode("overwrite").parquet(tmp)
+                    finally:
+                        kept.unpersist()
+                finally:
+                    part.unpersist()
+                rows_updated += n_before - n_kept
+                rows_inserted += n_batch - (n_before - n_kept)
+            else:
+                tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
+                batch.write.mode("overwrite").parquet(tmp)
+                rows_inserted += n_batch
+        finally:
+            batch.unpersist()
         if exists:
             shutil.rmtree(part_dir)
         pathlib.Path(tmp).rename(part_dir)

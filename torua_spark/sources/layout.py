@@ -31,12 +31,32 @@ from pyspark.sql import Column, DataFrame, functions as F
 def quantize_int(col: Column | str, lo: int, hi: int, bits: int) -> Column:
     """Affine-map an integer column from [lo, hi] onto [0, 2^bits),
     clamped at both ends — exact integer math (``(x-lo)*2^bits DIV
-    span``), reproducible bit-for-bit in any SQL engine."""
+    span``), reproducible bit-for-bit in any SQL engine.
+
+    Exactness bound: Spark's ``/`` is double division, and
+    floor(double-div) equals integer DIV only while the numerator
+    stays under 2^53 — so ``span * 2^bits`` must fit 53 bits (the
+    input is range-clamped BEFORE the multiply, so outliers can't
+    overflow either). Epoch-seconds x 16 bits passes with 4 orders
+    of margin; epoch-MILLIS over multi-year spans does not — raise
+    fewer bits or pre-scale the column, and the error says so."""
     col = F.col(col) if isinstance(col, str) else col
     span = hi - lo + 1
-    q = ((col.cast("long") - F.lit(lo)) * F.lit(1 << bits)) / F.lit(span)
-    q = F.floor(q).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q))
+    m = 1 << bits
+    if span * m > (1 << 53):
+        raise ValueError(
+            f"quantize_int: span {span} x 2^{bits} exceeds exact double "
+            f"range (2^53) — floor(a/b) would drift off integer DIV at "
+            f"cell boundaries. Pre-scale the column (e.g. millis -> "
+            f"seconds) or lower bits."
+        )
+    # Clamp the RAW value to [lo-1, hi+1] first: below-range collapses
+    # to bucket 0 and above-range to 2^bits - 1 exactly as the
+    # unclamped SQL twin does, while the product stays within the
+    # guarded exact range for arbitrarily wild inputs.
+    xc = F.greatest(F.lit(lo - 1), F.least(F.lit(hi + 1), col.cast("long")))
+    q = F.floor((xc - F.lit(lo)) * F.lit(m) / F.lit(span)).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(m - 1), q))
 
 
 def quantize_int_sql(expr: str, lo: int, hi: int, bits: int) -> str:
@@ -137,11 +157,12 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
 def pruning_ratio(stats: list[dict], col: str, lo, hi) -> float:
     """Fraction of files a ``col BETWEEN lo AND hi`` scan can SKIP
     using footer min/max alone (the planner's view; row-group pruning
-    inside kept files only improves on this)."""
+    inside kept files only improves on this). A file with MISSING
+    stats counts as kept — a real pruner must read it."""
     total = len(stats)
     kept = sum(
         1 for s in stats
-        if s[f"{col}_min"] is not None
-        and not (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
+        if s[f"{col}_min"] is None
+        or not (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
     )
     return (total - kept) / total if total else 0.0

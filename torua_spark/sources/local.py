@@ -67,6 +67,14 @@ def local_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
     if not len(rows):
         nulls = ", ".join(f"CAST(NULL AS {t})" for t in types)
         return spark.sql(f"SELECT {cols} FROM (VALUES ({nulls})) AS {alias} WHERE 1=0")
+    for i, r in enumerate(rows):
+        if len(r) != len(types):
+            # zip would silently truncate — fail as loudly as
+            # createDataFrame's length-mismatch error did.
+            raise ValueError(
+                f"local_df: row {i} has {len(r)} values for "
+                f"{len(types)} schema columns ({ddl!r})"
+            )
     tuples = (
         "(" + ", ".join(_lit(v, t) for v, t in zip(r, types)) + ")" for r in rows
     )

@@ -63,7 +63,14 @@ def drain_to_batch(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation synchronously to a memory sink and
     return the final table as a plain batch DataFrame (the batch-parity
     golden harness). Shuffle partitions are pinned to 8 for the run —
-    one state-store instance spins up per partition."""
+    one state-store instance spins up per partition.
+
+    The returned frame is an eager localCheckpoint: JVM-side snapshot,
+    but backed by non-replicated executor blocks — right for this
+    harness (the caller collects promptly; the memory sink is
+    driver-held anyway). A long-lived cluster consumer should
+    ``.persist(DISK_ONLY)`` or write a real sink (``drain_to_files``)
+    instead, since checkpoint blocks don't survive executor loss."""
     spark = agg.sparkSession
     name = f"drain_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
