@@ -267,3 +267,30 @@ def test_where_string_literal_containing_and(spark, sf_dir):
         .count()
     )
     assert got.count() == want > 0
+
+
+def test_reverse_and_undirected_edges(spark):
+    people = spark.range(4).select(F.col("id").alias("pid"))
+    knows = spark.createDataFrame([(0, 1), (2, 1)], "ksrc long, kdst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    fwd = _rows(pg.match("MATCH (a:person)-[:KNOWS]->(b)").select("a", "b"), ["a", "b"])
+    rev = _rows(pg.match("MATCH (a:person)<-[:KNOWS]-(b)").select("a", "b"), ["a", "b"])
+    und = _rows(pg.match("MATCH (a:person)-[:KNOWS]-(b)").select("a", "b"), ["a", "b"])
+    assert fwd == [(0, 1), (2, 1)]
+    assert rev == [(1, 0), (1, 2)]          # edges traversed dst -> src
+    assert und == sorted(fwd + rev)          # both orientations bound
+
+    # FK edges are forward-only
+    pg2 = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("FK", None, "pid", "other")
+    )
+    with pytest.raises(ValueError, match="forward-only"):
+        pg2.match("MATCH (a:person)<-[:FK]-(b)")
+    with pytest.raises(ValueError, match="not a direction"):
+        pg.match("MATCH (a:person)<-[:KNOWS]->(b)")

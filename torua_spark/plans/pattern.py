@@ -13,6 +13,8 @@ sees nothing but relational joins it can reorder, broadcast, and prune.
 Supported shapes (the reference's three canonical traversals):
 
 - single edge      ``(a:customer)-[:SOLD_TO]->(b:supplier)``
+  (also reverse ``<-[:R]-`` and undirected ``-[:R]-`` orientations;
+  FK edges are forward-only — the key lives in the source row)
 - k-hop chain      ``(c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier)``
   (variable length sugar: ``(a)-[:KNOWS*2]->(b)`` desugars to the
   two-hop chain through a fresh anonymous intermediate)
@@ -52,7 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 _NODE = re.compile(r"\((\w+)(?::(\w+))?\)")
-_EDGE = re.compile(r"-\[:(\w+)(?:\*(\d+))?\]->")
+_EDGE = re.compile(r"(<?)-\[:(\w+)(?:\*(\d+))?\]-(>?)")
 
 
 @dataclass(frozen=True)
@@ -95,9 +97,14 @@ class PropertyGraph:
         if pat.upper().startswith("MATCH"):
             pat = pat[5:].strip()
         nodes = [(m.group(1), m.group(2)) for m in _NODE.finditer(pat)]
-        raw_edges = [
-            (m.group(1), int(m.group(2) or 1)) for m in _EDGE.finditer(pat)
-        ]
+        raw_edges = []
+        for m in _EDGE.finditer(pat):
+            left, rel, reps, right = m.group(1), m.group(2), m.group(3), m.group(4)
+            if left and right:
+                raise ValueError(f"edge :{rel}: <-...-> is not a direction")
+            # '>' forward, '<' reverse, neither = undirected (either way)
+            d = "rev" if left else ("fwd" if right else "und")
+            raw_edges.append((rel, int(reps or 1), d))
         if len(nodes) != len(raw_edges) + 1:
             raise ValueError(
                 f"malformed pattern {pattern!r}: {len(nodes)} nodes, "
@@ -108,22 +115,28 @@ class PropertyGraph:
         # (a)-[:R*2]->(b)  ==  (a)-[:R]->(_a_R_1)-[:R]->(b) — fresh
         # anonymous intermediates, same joins as writing the chain out.
         out_nodes = [nodes[0]]
-        edges: list[str] = []
-        for i, (rel, reps) in enumerate(raw_edges):
+        edges: list[tuple[str, str]] = []
+        for i, (rel, reps, d) in enumerate(raw_edges):
             if reps < 1:
                 raise ValueError(f"edge :{rel}*{reps}: repeat must be >= 1")
             for r in range(reps - 1):
-                edges.append(rel)
+                edges.append((rel, d))
                 out_nodes.append((f"_{nodes[i][0]}_{rel}_{r + 1}", None))
-            edges.append(rel)
+            edges.append((rel, d))
             out_nodes.append(nodes[i + 1])
         nodes = out_nodes
         for _, label in nodes:
             if label is not None and label not in self._v:
                 raise ValueError(f"unknown vertex label :{label}")
-        for rel in edges:
+        for rel, d in edges:
             if rel not in self._e:
                 raise ValueError(f"unknown edge relation :{rel}")
+            if d != "fwd" and self._e[rel].df is None:
+                raise ValueError(
+                    f"FK edge :{rel} is forward-only (the key lives in the "
+                    f"source row) — register a real edge relation for "
+                    f"reverse/undirected traversal"
+                )
         return nodes, edges
 
     def match(self, pattern: str) -> DataFrame:
@@ -146,7 +159,7 @@ class PropertyGraph:
         labels: dict[str, str | None] = {var0: label0}
         prev = var0  # chain cursor: the column holding the current node's id
 
-        for hop, (rel, (var, label)) in enumerate(zip(edges, nodes[1:])):
+        for hop, ((rel, d), (var, label)) in enumerate(zip(edges, nodes[1:])):
             e = self._e[rel]
             if e.df is None:
                 # FK hop: src/dst columns already live in the binding —
@@ -166,9 +179,16 @@ class PropertyGraph:
                 # binding carries vertex ids/attrs; edge-property
                 # predicates belong on the relation before add_edge.
                 sc, dc = f"__src_{hop}", f"__dst_{hop}"
-                edf = e.df.select(
+                fwd = e.df.select(
                     F.col(e.src_col).alias(sc), F.col(e.dst_col).alias(dc)
                 )
+                rev = e.df.select(
+                    F.col(e.dst_col).alias(sc), F.col(e.src_col).alias(dc)
+                )
+                # direction picks the orientation; undirected unions
+                # both (Cypher semantics: a stored edge (u,v) yields
+                # BOTH bindings (a=u,b=v) and (a=v,b=u))
+                edf = {"fwd": fwd, "rev": rev}.get(d) or fwd.unionByName(rev)
                 binding = binding.join(edf, F.col(prev) == F.col(sc))
                 dst_col = dc
             if var in bound:
