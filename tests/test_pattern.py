@@ -294,3 +294,20 @@ def test_reverse_and_undirected_edges(spark):
         pg2.match("MATCH (a:person)<-[:FK]-(b)")
     with pytest.raises(ValueError, match="not a direction"):
         pg.match("MATCH (a:person)<-[:KNOWS]->(b)")
+
+
+def test_return_distinct(spark):
+    people = spark.range(3).select(F.col("id").alias("pid"))
+    knows = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "ksrc long, kdst long"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    # every edge has a distinct source — DISTINCT collapses the a list
+    plain = pg.query("MATCH (a:person)-[:KNOWS]->(b) RETURN a")
+    dedup = pg.query("MATCH (a:person)-[:KNOWS]->(b) RETURN DISTINCT a")
+    assert plain.count() == 3
+    assert sorted(r.a for r in dedup.collect()) == [0, 1]

@@ -25,9 +25,9 @@ plus the two surrounding clauses of the reference's example query
 (``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``): ``WHERE`` as a
 conjunction of comparisons over ``var`` / ``var.attr`` terms (plain
 filters — Catalyst pushes them below the pattern's joins), and
-``RETURN`` with aliases and count/sum/avg/min/max aggregates (an
-aggregate item turns the projection into a groupBy over the
-non-aggregate items). See ``PropertyGraph.query``.
+``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
+aggregates (an aggregate item turns the projection into a groupBy
+over the non-aggregate items). See ``PropertyGraph.query``.
 
 Compilation model — pattern, not plan: each hop becomes one join
 against the edge's backing relation, each labeled node a join against
@@ -297,6 +297,11 @@ class PropertyGraph:
         if ret_part is None:
             return binding
 
+        distinct = False
+        m_d = re.match(r"(?i)^\s*DISTINCT\b", ret_part)
+        if m_d:
+            distinct = True
+            ret_part = ret_part[m_d.end():]
         keys, aggs = [], []
         for raw in ret_part.split(","):
             expr_txt, alias = self._ITEM.match(raw).groups()
@@ -315,5 +320,7 @@ class PropertyGraph:
                 col, default = self._resolve(expr_txt.strip(), labels)
                 keys.append(col.alias(alias or default))
         if aggs:
-            return binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
-        return binding.select(*keys)
+            out = binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
+        else:
+            out = binding.select(*keys)
+        return out.distinct() if distinct else out

@@ -43,10 +43,10 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add_edge("HAS_SUPP", lineitem.select("l_orderkey", "l_suppkey"),
                   "l_orderkey", "l_suppkey")
     )
-    b = pg.match("MATCH (c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier)")
-    return b.select(
-        F.col("c").alias("c_custkey"), F.col("s").alias("s_suppkey")
-    ).distinct()
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier) "
+        "RETURN DISTINCT c AS c_custkey, s AS s_suppkey"
+    )
 
 
 def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
