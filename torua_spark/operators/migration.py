@@ -41,10 +41,15 @@ def migration_plan(kv: DataFrame, from_shards: int = NUM_SHARDS,
                    to_shards: int = MIGRATION_TARGET_SHARDS) -> DataFrame:
     """Per-(from_shard, to_shard) movement matrix under the FNV
     routing contract: key count, whether the flow actually moves, and
-    an order-insensitive checksum (sum of 32-bit FNV hashes — exact in
-    BIGINT) that the post-move verifier re-computes per received
-    shard. The FNV hash is evaluated ONCE per key and reused for both
-    placements — same single-scan shape at any corpus size."""
+    an order-insensitive checksum (XOR-fold of the 32-bit FNV hashes —
+    exact at ANY key count, unlike a BIGINT sum which silently wraps
+    past ~2^31 keys while a HUGEINT-summing verifier errors; ADVICE
+    r5) that the post-move verifier re-computes per received shard.
+    Caveat shared with any XOR checksum: duplicate keys cancel
+    pairwise — sound here because a KV store's keyspace is unique by
+    contract (store.go upsert semantics). The FNV hash is evaluated
+    ONCE per key and reused for both placements — same single-scan
+    shape at any corpus size."""
     h = kv.select(fnv1a32("key").alias("h"))
     return (
         h.groupBy(
@@ -53,7 +58,7 @@ def migration_plan(kv: DataFrame, from_shards: int = NUM_SHARDS,
         )
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
-            F.sum("h").alias("keys_checksum"),
+            F.bit_xor("h").alias("keys_checksum"),
         )
         .withColumn("moved", F.col("from_shard") != F.col("to_shard"))
     )
@@ -91,8 +96,13 @@ def rewrite_sharded_table(
     def _summary(df: DataFrame) -> tuple[int, int, int]:
         r = df.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(fnv1a32("key")).alias("kc"),
-            F.sum(fnv1a32("value")).alias("vc"),
+            # XOR-fold, not sum: exact at any row count (no BIGINT
+            # wrap past 2^31 keys) and order-insensitive. Values may
+            # repeat across keys, so the value checksum folds the
+            # (key, value) PAIR hash — unique per row by the key-
+            # uniqueness contract, so no pairwise cancellation.
+            F.bit_xor(fnv1a32("key")).alias("kc"),
+            F.bit_xor(fnv1a32(F.concat_ws("\x00", "key", "value"))).alias("vc"),
         ).collect()[0]
         return r["n"], r["kc"], r["vc"]
 

@@ -242,7 +242,7 @@ def _migration_oracle() -> str:
         SELECT CAST(h % {NUM_SHARDS} AS INTEGER) AS from_shard,
                CAST(h % {MIGRATION_TARGET_SHARDS} AS INTEGER) AS to_shard,
                count(*)::BIGINT AS n_keys,
-               CAST(sum(h) AS BIGINT) AS keys_checksum,
+               CAST(bit_xor(h) AS BIGINT) AS keys_checksum,
                CAST(h % {NUM_SHARDS} AS INTEGER) != CAST(h % {MIGRATION_TARGET_SHARDS} AS INTEGER) AS moved
         FROM h GROUP BY 1, 2
     """

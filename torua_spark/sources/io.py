@@ -76,7 +76,8 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def compact_files(spark: SparkSession, path: str, out_path: str,
                   target_mb: int = 128,
-                  sort_cols: list[str] | None = None) -> dict:
+                  sort_cols: list[str] | None = None,
+                  n_files: int | None = None) -> dict:
     """Small-file compaction (the OPTIMIZE/bin-packing rewrite, here
     on plain parquet): streaming sinks and incremental ingest land one
     file per trigger per partition, and at 100 TB the resulting
@@ -87,19 +88,29 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     min/max statistics stay selective after the merge.
 
     Sizing comes from the FILE LISTING (driver-side metadata, never
-    the data); the rewrite itself is one coalesce-free repartition so
-    output files are balanced regardless of input skew. Returns a
-    count/size report; the caller-visible invariant (row count and
-    content checksum preserved) is pinned in tests/test_layout.py.
+    the data) unless ``n_files`` pins the output count explicitly
+    (deterministic layouts for tests/oracles); the rewrite itself is
+    one coalesce-free repartition so output files are balanced
+    regardless of input skew. Returns a count/size report; the
+    caller-visible invariant (row count and content checksum
+    preserved) is pinned in tests/test_layout.py.
     """
     import math
+    import os
     import pathlib
 
-    from pyspark.sql import functions as F
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        # Spark writes lazily INTO the directory it is still reading
+        # from — an in-place "compaction" would truncate the input
+        # mid-scan and destroy the table (ADVICE r5).
+        raise ValueError(
+            f"compact_files: out_path must differ from path ({path!r}) — "
+            f"in-place overwrite of a directory being read destroys it"
+        )
 
     files = [f for f in pathlib.Path(path).rglob("*.parquet")]
     in_bytes = sum(f.stat().st_size for f in files)
-    n_out = max(1, math.ceil(in_bytes / (target_mb * 1024 * 1024)))
+    n_out = n_files or max(1, math.ceil(in_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)

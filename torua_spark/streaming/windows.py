@@ -128,6 +128,17 @@ def drain_to_files(agg: DataFrame, path: str, checkpoint: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import pathlib
+
+    if not any(pathlib.Path(path).rglob("*.parquet")):
+        # A short finite source can finalize ZERO windows (watermark
+        # never passes the first window end): the sink directory then
+        # has no data files and a bare read fails schema inference —
+        # return the empty relation the append contract implies
+        # (ADVICE r5). agg.schema carries no streaming-only columns
+        # (the window struct is a regular column), so it is the sink
+        # schema verbatim.
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(path)
 
 
