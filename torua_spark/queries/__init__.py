@@ -33,6 +33,7 @@ _MODULES = [
     "torua_spark.queries.rag_q",
     "torua_spark.queries.pipeline_q",
     "torua_spark.queries.streaming_q",
+    "torua_spark.queries.lake_q",
     "torua_spark.queries.composite_q",
 ]
 
@@ -125,12 +126,15 @@ _DECLARED = [
     # --- temporal batch (B9) + as-of
     "temporal_analytics",
     "temporal_gapfill",
-    "temporal_trend",
     "asof_next_order",
-    # --- stats / sketch tooling
-    "sketch_rollup",
-    "value_histogram",
-    "winsorized_stats",
+    # --- lake maintenance + layout (B14 index-usage-as-layout; the
+    # 100 TB storage life-cycle — VERDICT r5 #1). Rotated IN round 6
+    # for: temporal_trend, sketch_rollup, value_histogram,
+    # winsorized_stats (each driver-green r5, pytest-oracled forever).
+    "zorder_layout",
+    "lake_compact",
+    "lake_purge_keys",
+    "lake_merge_upsert",
 ]
 
 # Declared entries with NO DuckDB oracle: the driver falls back to its

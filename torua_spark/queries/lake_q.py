@@ -1,0 +1,292 @@
+"""Declared lake-maintenance queries + oracles (VERDICT r5 #1).
+
+The 100 TB storage life-cycle ops — small-file compaction
+(``io.compact_files``), targeted key purge (``io.purge_keys``, the
+lake-scale form of the reference's A3/A6 DELETE, store.go idempotent
+delete), and partition-targeted LWW merge (``io.merge_upsert``, the
+lake-scale A2 PUT) — were pytest-only; these entries put each one in
+the driver's hash-checked window.
+
+Shape shared by all three: build a REAL hive-partitioned parquet lake
+in a fresh temp dir from a catalog table, run the maintenance op,
+reduce the post-op lake to an exact-integer relation (per-partition
+row count, XOR-folded FNV row checksum over the non-temporal columns,
+round-half-up cents sum — every term bit-reproducible in DuckDB), and
+append a report row carrying the op's own counters (files touched /
+partitions rewritten / rows updated). The DuckDB oracle recomputes the
+SAME relation from the source table by pure SQL — a hash match proves
+the op preserved exactly the rows it should and its report told the
+truth. Results return as driver-local literals (``local_df``) so the
+temp lake can be deleted before the callable returns: the relation is
+partition-count-sized, never data-sized.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from torua_spark.functions.hashing import fnv1a32, fnv1a32_sql
+from torua_spark.sources.catalog import load_table
+from torua_spark.sources.io import compact_files, merge_upsert, purge_keys
+from torua_spark.sources.local import local_df
+
+# Deterministic knobs shared by the Spark side and the SQL oracle.
+_COMPACT_IN_FILES = 64   # the simulated small-file problem
+_COMPACT_OUT_FILES = 4   # pinned output count (compact_files n_files)
+_PURGE_MOD = 97          # purge keys: o_orderkey % 97 == 0 in status F
+_MERGE_MOD = 101         # update keys: o_orderkey % 101 == 0
+_MERGE_KEY_OFFSET = 10_000_000  # insert keys: o_orderkey + offset
+_MERGE_PRICE_BUMP = 1000.0
+_MERGE_INSERT_PRICE = 42.0
+
+
+def _cents(col) -> Column:
+    """Round-half-up integer cents — exact and identical across
+    engines (IEEE754 double ops are deterministic; floor(x*100+0.5)
+    is the same bit pattern in Spark and DuckDB)."""
+    return F.sum(F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long"))
+
+
+_CENTS_SQL = "CAST(sum(CAST(floor({c} * 100.0 + 0.5) AS BIGINT)) AS BIGINT)"
+
+
+def _row_fnv(*cols) -> Column:
+    """XOR-fold of per-row FNV over '|'-joined column strings: an
+    order-insensitive content checksum that never overflows (ADVICE
+    r5 on sum-based checksums) and is exact in DuckDB via bit_xor."""
+    return F.bit_xor(fnv1a32(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])))
+
+
+def _row_fnv_sql(*exprs: str) -> str:
+    joined = "concat_ws('|', " + ", ".join(f"CAST({e} AS VARCHAR)" for e in exprs) + ")"
+    return f"CAST(bit_xor({fnv1a32_sql(joined)}) AS BIGINT)"
+
+
+# ------------------------------------------------------------- compaction
+
+def q_lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction proof: land events as 64 tiny files (the
+    one-file-per-trigger streaming-sink pathology), compact to 4
+    user_id-clustered files, and prove (a) content identity per
+    event_type (count + row checksum + value cents vs the source
+    table) and (b) the report's file counts match the pinned layout.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="torua_lake_compact_")
+    try:
+        src, dst = f"{base}/src", f"{base}/dst"
+        ev.repartition(_COMPACT_IN_FILES).write.parquet(src)
+        report = compact_files(
+            spark, src, dst, sort_cols=["user_id"], n_files=_COMPACT_OUT_FILES
+        )
+        out = spark.read.parquet(dst)
+        parts = (
+            out.groupBy(F.col("event_type").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_fnv("event_id", "user_id", "event_type").alias("row_checksum"),
+                _cents(F.col("value")).alias("value_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (r["part"], r["n_rows"], r["row_checksum"], r["value_cents"], None, None)
+        for r in parts
+    ] + [("_report", None, None, None, report["in_files"], report["out_files"])]
+    return local_df(
+        spark, rows,
+        "part string, n_rows long, row_checksum long, value_cents long, "
+        "in_files long, out_files long",
+    )
+
+
+_COMPACT_ORACLE = f"""
+    SELECT event_type AS part, count(*)::BIGINT AS n_rows,
+           {_row_fnv_sql('event_id', 'user_id', 'event_type')} AS row_checksum,
+           {_CENTS_SQL.format(c='value')} AS value_cents,
+           CAST(NULL AS BIGINT) AS in_files, CAST(NULL AS BIGINT) AS out_files
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '_report', NULL, NULL, NULL, {_COMPACT_IN_FILES}, {_COMPACT_OUT_FILES}
+"""
+
+
+# ------------------------------------------------------------------ purge
+
+def q_lake_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-delete proof: orders landed as a status-partitioned
+    lake, a key set drawn from ONE partition purged, and the survivor
+    relation + the op's report (partitions rewritten must be exactly
+    the partitions holding the keys — the it-didn't-rewrite-the-table
+    guarantee) hash-checked against pure SQL over the source."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(
+            (F.col("o_orderkey") % _PURGE_MOD == 0)
+            & (F.col("o_orderstatus") == "F")
+        ).select("o_orderkey")
+    )
+    base = tempfile.mkdtemp(prefix="torua_lake_purge_")
+    try:
+        lake = f"{base}/orders"
+        orders.write.partitionBy("o_orderstatus").parquet(lake)
+        report = purge_keys(spark, lake, keys, "o_orderkey", "o_orderstatus")
+        out = spark.read.parquet(lake)
+        parts = (
+            out.groupBy(F.col("o_orderstatus").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_fnv("o_orderkey", "o_custkey", "o_orderpriority").alias(
+                    "row_checksum"
+                ),
+                _cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (r["part"], r["n_rows"], r["row_checksum"], r["price_cents"], None, None, None)
+        for r in parts
+    ] + [(
+        "_report", None, None, None,
+        report["partitions_total"], report["partitions_rewritten"],
+        report["rows_deleted"],
+    )]
+    return local_df(
+        spark, rows,
+        "part string, n_rows long, row_checksum long, price_cents long, "
+        "partitions_total long, partitions_rewritten long, rows_deleted long",
+    )
+
+
+_PURGE_ORACLE = f"""
+    WITH del AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % {_PURGE_MOD} = 0 AND o_orderstatus = 'F'
+    ),
+    kept AS (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+    )
+    SELECT o_orderstatus AS part, count(*)::BIGINT AS n_rows,
+           {_row_fnv_sql('o_orderkey', 'o_custkey', 'o_orderpriority')} AS row_checksum,
+           {_CENTS_SQL.format(c='o_totalprice')} AS price_cents,
+           CAST(NULL AS BIGINT) AS partitions_total,
+           CAST(NULL AS BIGINT) AS partitions_rewritten,
+           CAST(NULL AS BIGINT) AS rows_deleted
+    FROM kept GROUP BY 1
+    UNION ALL
+    SELECT '_report', NULL, NULL, NULL,
+           (SELECT count(DISTINCT o_orderstatus) FROM orders),
+           (SELECT count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderkey IN (SELECT o_orderkey FROM del)),
+           (SELECT count(*) FROM del)
+"""
+
+
+# ------------------------------------------------------------------ merge
+
+def q_lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW-merge proof: a CDC-shaped batch (price bump on every key
+    % 101 == 0, plus brand-new keys at +10M) merged into the status-
+    partitioned orders lake; the merged relation and the op's
+    updated/inserted split hash-checked against the SQL respelling
+    (source minus hit keys, union updates, union inserts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hit = orders.filter(F.col("o_orderkey") % _MERGE_MOD == 0)
+    upd = hit.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(_MERGE_PRICE_BUMP)
+    )
+    ins = (
+        hit.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET))
+        .withColumn("o_totalprice", F.lit(_MERGE_INSERT_PRICE))
+        .withColumn("o_orderpriority", F.lit("5-NEW"))
+    )
+    base = tempfile.mkdtemp(prefix="torua_lake_merge_")
+    try:
+        lake = f"{base}/orders"
+        orders.write.partitionBy("o_orderstatus").parquet(lake)
+        report = merge_upsert(
+            spark, lake, upd.unionByName(ins), "o_orderkey", "o_orderstatus"
+        )
+        out = spark.read.parquet(lake)
+        parts = (
+            out.groupBy(F.col("o_orderstatus").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_fnv("o_orderkey", "o_custkey", "o_orderpriority").alias(
+                    "row_checksum"
+                ),
+                _cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (r["part"], r["n_rows"], r["row_checksum"], r["price_cents"], None, None, None)
+        for r in parts
+    ] + [(
+        "_report", None, None, None,
+        report["partitions_written"], report["rows_updated"],
+        report["rows_inserted"],
+    )]
+    return local_df(
+        spark, rows,
+        "part string, n_rows long, row_checksum long, price_cents long, "
+        "partitions_written long, rows_updated long, rows_inserted long",
+    )
+
+
+_MERGE_ORACLE = f"""
+    WITH hit AS (
+        SELECT * FROM orders WHERE o_orderkey % {_MERGE_MOD} = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM hit)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + {_MERGE_PRICE_BUMP}, o_orderpriority
+        FROM hit
+        UNION ALL
+        SELECT o_orderkey + {_MERGE_KEY_OFFSET}, o_custkey, o_orderstatus,
+               {_MERGE_INSERT_PRICE}, '5-NEW'
+        FROM hit
+    )
+    SELECT o_orderstatus AS part, count(*)::BIGINT AS n_rows,
+           {_row_fnv_sql('o_orderkey', 'o_custkey', 'o_orderpriority')} AS row_checksum,
+           {_CENTS_SQL.format(c='o_totalprice')} AS price_cents,
+           CAST(NULL AS BIGINT) AS partitions_written,
+           CAST(NULL AS BIGINT) AS rows_updated,
+           CAST(NULL AS BIGINT) AS rows_inserted
+    FROM merged GROUP BY 1
+    UNION ALL
+    SELECT '_report', NULL, NULL, NULL,
+           (SELECT count(DISTINCT o_orderstatus) FROM hit),
+           (SELECT count(*) FROM hit),
+           (SELECT count(*) FROM hit)
+"""
+
+
+QUERIES = {
+    "lake_compact": q_lake_compact,
+    "lake_purge_keys": q_lake_purge_keys,
+    "lake_merge_upsert": q_lake_merge_upsert,
+}
+
+ORACLE = {
+    "lake_compact": _COMPACT_ORACLE,
+    "lake_purge_keys": _PURGE_ORACLE,
+    "lake_merge_upsert": _MERGE_ORACLE,
+}
