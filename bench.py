@@ -2,9 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line with total + per-query wall-clock seconds.
 
-Each query is executed once for warm-up-free honest timing of the full
-plan (count() action forces the complete pipeline without collecting
-result rows to the driver).
+Each query runs BENCH_RUNS times (default 3) after a JVM/Arrow-worker
+warm-up; the reported per-query number is the MEDIAN (noise-robust),
+with mins and raw runs on a preceding diagnostics line. count() forces
+the complete pipeline without collecting result rows to the driver.
 """
 
 from __future__ import annotations
@@ -57,32 +58,31 @@ def main() -> None:
     big = spark.range(0, cpus * 2, 1, cpus * 2)
     big.mapInPandas(_warm, schema=big.schema).count()
 
-    # Default 2 runs per query, min taken (disclosed in the JSON as
-    # runs_per_query): this container shows heavy minute-scale noisy-
-    # neighbor variance (same commit, same data: 82s vs 110s totals;
-    # single queries 2.7s vs 12s), and min-of-2 recovers the query's
-    # real plan cost — the steady-state number a deployment sees —
-    # instead of whichever run a CPU-stolen burst landed on.
+    # Default 3 runs per query, MEDIAN reported (VERDICT r5 #2): this
+    # container shows heavy minute-scale noisy-neighbor variance (same
+    # commit, same data: 82s vs 110s totals; single queries 2.7s vs
+    # 12s). r5's min-of-2 still let one stolen-CPU burst shift a
+    # query 30% round-over-round (graph_pagerank 5.50 driver vs 4.21
+    # local, same code); median-of-3 is robust to one bad run in
+    # EITHER direction, so cross-round deltas are code signal. The
+    # min stays in the raw line for steady-state plan-cost reading.
     # BENCH_RUNS=1 restores cold-plan timing for A/B work.
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     import gc
 
-    timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    failed: set[str] = set()
     t_all = time.perf_counter()
     for name in sorted(qs):
-        best = None
         raw[name] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)
                 df.count()
-                dt = time.perf_counter() - t0
-                raw[name].append(round(dt, 4))
-                best = dt if best is None else min(best, dt)
+                raw[name].append(round(time.perf_counter() - t0, 4))
             except Exception as e:  # keep the bench alive; surface the failure
-                best = -1.0
+                failed.add(name)
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 break
             finally:
@@ -116,7 +116,17 @@ def main() -> None:
         except Exception:
             pass
         spark.sparkContext._jvm.System.gc()
-        timings[name] = round(best, 4)
+    # MEDIAN is the reported number (robust to one noisy-neighbor
+    # burst per query in either direction); MIN rides the raw line as
+    # the steady-state plan cost. A failed query reports -1.
+    timings = {
+        n: (-1.0 if n in failed or not v else round(sorted(v)[len(v) // 2], 4))
+        for n, v in raw.items()
+    }
+    mins = {
+        n: (-1.0 if n in failed or not v else round(min(v), 4))
+        for n, v in raw.items()
+    }
     total = round(sum(t for t in timings.values() if t > 0), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
@@ -134,31 +144,22 @@ def main() -> None:
     spark.stop()
     time.sleep(1.0)  # let JVM shutdown-hook log lines drain first
 
-    # Per-query MEDIAN alongside the min (VERDICT r4 #7): median is
-    # the noise-robust central tendency, min is the steady-state plan
-    # cost; both together let a reader separate code regressions from
-    # machine noise without re-running.
-    med = {
-        n: round(sorted(v)[len(v) // 2], 4) if v else -1.0
-        for n, v in raw.items()
-    }
-
     # Two-line emission (VERDICT r4 #2/#4): round 4's single line grew
     # past the driver's tail capture once runs_raw was added, cutting
     # off the head (where "metric"/"value" live) -> "parsed": null.
-    # Raw per-run wall-clocks + medians go on an EARLIER line; the
-    # FINAL line is the short parseable record the driver keys on.
+    # Raw per-run wall-clocks + mins go on an EARLIER line; the FINAL
+    # line is the short parseable record the driver keys on.
     raw_line = json.dumps(
         {
             "metric": "bench_runs_raw",
-            # Raw per-run wall-clocks (ADVICE r3: min-of-N alone hides
-            # the noisy-neighbor variance and breaks cross-round
+            # Raw per-run wall-clocks (ADVICE r3: a single statistic
+            # hides the noisy-neighbor variance and breaks cross-round
             # attribution; with the raw runs, a delta can be assigned
             # to code vs. methodology vs. machine noise).
             "runs_raw": raw,
-            "median_queries": med,
-            "value_median_total": round(
-                sum(t for t in med.values() if t > 0), 4
+            "min_queries": mins,
+            "value_min_total": round(
+                sum(t for t in mins.values() if t > 0), 4
             ),
         }
     )
@@ -170,6 +171,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "runs_per_query": runs,
+            "statistic": "median",
             "harness_wall_sec": wall,
         }
     )

