@@ -311,3 +311,177 @@ def test_return_distinct(spark):
     dedup = pg.query("MATCH (a:person)-[:KNOWS]->(b) RETURN DISTINCT a")
     assert plain.count() == 3
     assert sorted(r.a for r in dedup.collect()) == [0, 1]
+
+
+# ---------------------------------------------------------------- round 6:
+# ORDER BY / LIMIT / OPTIONAL MATCH clauses, shared labels, quote-aware
+# clause split, and the compiler-vs-builder plan/timing A/B (VERDICT r5
+# #3/#4, ADVICE r5 pattern items).
+
+def _pg_people(spark):
+    people = spark.createDataFrame(
+        [(i, f"p{i}", 100 * i) for i in range(6)], "pid long, name string, bal long"
+    )
+    knows = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 1)], "ksrc long, kdst long"
+    )
+    return (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+
+
+def test_order_by_limit_topk(spark):
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) "
+        "RETURN a, count(*) AS n ORDER BY n DESC, a LIMIT 2"
+    ).collect()
+    assert [(r.a, r.n) for r in got] == [(0, 2), (1, 1)]
+    # ORDER BY on a var.attr's default name + ASC default
+    got2 = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) RETURN DISTINCT a.name AS nm "
+        "ORDER BY nm LIMIT 10"
+    ).collect()
+    assert [r.nm for r in got2] == ["p0", "p1", "p3"]
+
+
+def test_order_by_limit_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-n + driver merge), never a global Sort — the
+    100 TB top-k contract."""
+    pg = _pg_people(spark)
+    df = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) RETURN a, b ORDER BY b DESC LIMIT 3"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_by_unknown_key_raises(spark):
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        pg.query("MATCH (a:person)-[:KNOWS]->(b) RETURN a ORDER BY nope")
+
+
+def test_optional_match_null_extends(spark):
+    """OPTIONAL MATCH keeps unmatched anchors with NULL bindings and
+    count(x) counts matches only — the zero-orders row shows up."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "RETURN a, count(b) AS n ORDER BY a LIMIT 10"
+    ).collect()
+    assert [(r.a, r.n) for r in got] == [
+        (0, 2), (1, 1), (2, 0), (3, 1), (4, 0), (5, 0)
+    ]
+
+
+def test_optional_match_errors(spark):
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="not bound"):
+        pg.query("MATCH (a:person) OPTIONAL MATCH (z)-[:KNOWS]->(b) RETURN a")
+    with pytest.raises(ValueError, match="clause order"):
+        pg.query(
+            "MATCH (a:person) WHERE a = 1 OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+            "RETURN a"
+        )
+
+
+def test_shared_vertex_label_self_join(spark):
+    """Two variables on one label join a per-variable renamed
+    projection (ADVICE r5): attributes resolve as a.col for the
+    owning var and b__col for the second."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) "
+        "WHERE b.bal >= 200 RETURN a.name AS an, b.name AS bn ORDER BY an, bn"
+    ).collect()
+    assert [(r.an, r.bn) for r in got] == [("p0", "p2"), ("p1", "p2")]
+
+
+def test_clause_keyword_inside_literal(spark):
+    """' RETURN ' inside a WHERE string literal must not truncate the
+    clause split (ADVICE r5)."""
+    people = spark.createDataFrame(
+        [(0, "X RETURN Y"), (1, "plain")], "pid long, name string"
+    )
+    knows = spark.createDataFrame([(0, 1)], "ksrc long, kdst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) WHERE a.name = 'X RETURN Y' "
+        "RETURN a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(0, 1)]
+
+
+def test_compiler_plan_parity_two_hop(spark, sf_dir):
+    """VERDICT r5 #3: the pattern-routed declared graph_2hop compiles
+    to the same physical operator counts as the hand-written builder
+    (join strategy, exchanges, aggregates) — pinning the 'plans
+    unchanged' claim structurally, not just by result equality."""
+    routed = graph_q.QUERIES["graph_2hop"](spark, sf_dir)
+    hand = g.two_hop(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+    def ops(df):
+        p = plan_string(df)
+        return {
+            op: p.count(op)
+            for op in (
+                "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                "HashAggregate",
+            )
+        }
+
+    assert ops(routed) == ops(hand)
+
+
+def test_compiler_runtime_parity_two_hop(spark, sf_dir):
+    """Same-session wall-clock A/B of compiler vs builder (min of 2
+    runs each): the front-end must not cost more than noise. The
+    bound is deliberately loose (2.5x) — this guards against a
+    pathological plan (extra shuffle/cartesian), not jitter."""
+    import time
+
+    def best(mk):
+        t = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mk().count()
+            t.append(time.perf_counter() - t0)
+        return min(t)
+
+    routed = best(lambda: graph_q.QUERIES["graph_2hop"](spark, sf_dir))
+    hand = best(lambda: g.two_hop(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    ).distinct())
+    assert routed < hand * 2.5 + 0.5, (routed, hand)
+
+
+def test_pattern_topk_and_optional_match_vs_oracle(spark, sf_dir):
+    """The two round-6 pattern-clause queries hash-match their DuckDB
+    oracles (graph_pattern_topk is declared; graph_optional_match is
+    an extra — both stay pytest-pinned here forever)."""
+    from tests.oracle import compare
+
+    compare(
+        graph_q.QUERIES["graph_pattern_topk"](spark, sf_dir),
+        graph_q.ORACLE["graph_pattern_topk"], sf_dir,
+    )
+    compare(
+        graph_q.QUERIES["graph_optional_match"](spark, sf_dir),
+        graph_q.ORACLE["graph_optional_match"], sf_dir,
+    )

@@ -402,9 +402,7 @@ class PropertyGraph:
         pos = 0
         while True:
             m = self._kw(r"OPTIONAL\s+MATCH", q, pos)
-            if not m or (m_where and m.start() > m_where.start()) or (
-                m_ret and m.start() > m_ret.start()
-            ):
+            if not m:
                 break
             opt_spans.append(m)
             pos = m.end()

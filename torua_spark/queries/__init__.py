@@ -87,7 +87,6 @@ _DECLARED = [
     "dedup_decontaminate_ngram",
     "text_repetition_scores",
     "text_vocabulary",
-    "text_feature_hashing",
     "rag_hashed_retrieval",
     "rag_hybrid_rrf",
     "graphrag_retrieve",
@@ -99,6 +98,9 @@ _DECLARED = [
     "graph_pagerank",
     "graph_copurchase_degree",
     "graph_2hop",
+    # ORDER BY + LIMIT routed end-to-end through the pattern compiler
+    # (round 6; rotated in for text_feature_hashing, r5-green).
+    "graph_pattern_topk",
     "temporal_graph_evolution",
     "recommend_items",
     # --- training-data pipeline (dedup / packing / curriculum)

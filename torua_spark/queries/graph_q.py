@@ -391,3 +391,73 @@ ORACLE["temporal_graph_evolution"] = """
            (n_edges - lag(n_edges) OVER (ORDER BY month))::BIGINT AS edge_delta
     FROM per
 """
+
+
+def q_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k traversal through the FULL clause chain of the pattern
+    front-end — MATCH / RETURN aggregate / ORDER BY / LIMIT (VERDICT
+    r5 #4; reference internal/shard/doc.go:205-225 "Path traversals /
+    Pattern matching", ARCHITECTURE.md:327-339): the 20 suppliers
+    reached by the most customer->order->supplier paths. ORDER BY +
+    LIMIT compiles to TakeOrderedAndProject (per-partition top-n +
+    driver merge — no global sort at any scale); the tie-break on
+    s_suppkey makes the top-k set deterministic for the hash check."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey")
+        .add_edge("PLACED", orders.select("o_custkey", "o_orderkey"),
+                  "o_custkey", "o_orderkey")
+        .add_edge("HAS_SUPP", lineitem.select("l_orderkey", "l_suppkey"),
+                  "l_orderkey", "l_suppkey")
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o)-[:HAS_SUPP]->(s:supplier) "
+        "RETURN s AS s_suppkey, count(*) AS n_paths "
+        "ORDER BY n_paths DESC, s_suppkey LIMIT 20"
+    )
+
+
+QUERIES["graph_pattern_topk"] = q_pattern_topk
+
+ORACLE["graph_pattern_topk"] = """
+    SELECT l.l_suppkey AS s_suppkey, count(*)::BIGINT AS n_paths
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1 ORDER BY n_paths DESC, s_suppkey LIMIT 20
+"""
+
+
+def q_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH (left-join continuation, VERDICT r5 #4): every
+    customer with the count of orders they placed — INCLUDING the
+    zero-order customers a plain MATCH would drop (count(o) counts
+    matches only, Cypher semantics)."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("PLACED",
+                  load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+                  "o_custkey", "o_orderkey")
+    )
+    return pg.query(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o) "
+        "RETURN c AS c_custkey, count(o) AS n_orders"
+    )
+
+
+QUERIES["graph_optional_match"] = q_optional_match
+
+ORACLE["graph_optional_match"] = """
+    SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
