@@ -404,13 +404,13 @@ def test_auto_band_bits_scales_log_with_corpus():
     driver checks, so the static DuckDB oracle stays bit-identical."""
     from torua_spark.operators import similarity as sim
 
-    # driver SFs resolve to the legacy constant -> oracle-safe
+    # oracle-compared SFs resolve to the legacy constant -> safe
     assert sim.auto_band_bits(500) == sim.HYPERPLANE_BAND_BITS    # sf0.01
-    assert sim.auto_band_bits(2000) == sim.HYPERPLANE_BAND_BITS   # sf0.1
-    # 10x corpus: +~log2(10) bits, bucket back to ~target
-    assert sim.auto_band_bits(20_000) == 8
-    # 1000-executor scale: still only 23 bits / L*23 planes
-    assert sim.auto_band_bits(10**9) == 23
+    # bench-only SFs engage the law (target 64, VERDICT r6 #3)
+    assert sim.auto_band_bits(2000) == 5                          # sf0.1
+    assert sim.auto_band_bits(20_000) == 9                        # sf1
+    # 1000-executor scale: still only 24 bits / L*24 planes
+    assert sim.auto_band_bits(10**9) == 24
     # monotone, and bucket size n/2^r stays within [target/2, 2*target]
     prev = 0
     for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8):

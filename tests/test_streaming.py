@@ -11,6 +11,45 @@ def test_streaming_query_matches_oracle(spark, sf_dir, name):
     compare(streaming_q.QUERIES[name](spark, sf_dir), streaming_q.ORACLE[name], sf_dir)
 
 
+def test_word_gram_digests_parity_with_hof(spark, sf_dir):
+    """The Arrow shingling path (word_gram_digests) must be
+    bit-identical to md5_32 over the pure-expression word_shingles —
+    the contract that lets streaming_decontaminate swap evaluators
+    without touching its oracle. Includes short (<n words), empty,
+    and repeated-gram docs via the real corpus."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions.text import (
+        md5_32,
+        word_gram_digests,
+        word_shingles,
+    )
+    from torua_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    for n in (3, 8):
+        hof = docs.select(
+            "doc_id", F.explode(word_shingles("text", n)).alias("s")
+        ).select("doc_id", md5_32(F.col("s")).alias("g"))
+        arrow = docs.select(
+            "doc_id", F.explode(word_gram_digests("text", n)).alias("g")
+        )
+        assert sorted(map(tuple, hof.collect())) == sorted(
+            map(tuple, arrow.collect())
+        )
+    edge = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "x y z x y z x y z")],
+        "doc_id long, text string",
+    )
+    hof = edge.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).select("doc_id", md5_32(F.col("s")).alias("g"))
+    arrow = edge.select(
+        "doc_id", F.explode(word_gram_digests("text", 3)).alias("g")
+    )
+    assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, arrow.collect()))
+
+
 def test_streaming_health_equals_batch(spark, sf_dir):
     stream = {
         r["node_id"]: (r["unhealthy_transitions"], r["total_failures"], r["total_probes"])

@@ -327,7 +327,7 @@ HYPERPLANE_BITS = 64
 HYPERPLANE_BAND_BITS = 4
 HYPERPLANE_DIM = 64
 HYPERPLANE_BANDS = HYPERPLANE_BITS // HYPERPLANE_BAND_BITS  # L = 16
-HYPERPLANE_TARGET_BUCKET = 128
+HYPERPLANE_TARGET_BUCKET = 64
 
 
 def auto_band_bits(n_rows: int,
@@ -347,9 +347,13 @@ def auto_band_bits(n_rows: int,
     similarity; hold recall for a lower threshold by raising L
     (n_bands), never by widening buckets.
 
-    Floors at ``min_bits`` so every corpus the driver checks
-    (sf0.01 n=500, sf0.1 n=2000) resolves to the legacy constant
-    r=4 / 64 planes — the static DuckDB oracle stays bit-identical.
+    Floors at ``min_bits`` so every corpus the driver ORACLE-checks
+    (sf0.001/sf0.01, n=500) resolves to the legacy constant r=4 / 64
+    planes — the static DuckDB oracle stays bit-identical. The
+    default target (64, was 128 — VERDICT r6 #3) engages scaling one
+    doubling earlier: sf0.1 (n=2000, bench-only, no oracle compare)
+    now runs r=5, sf1 runs r=9 — half the candidate volume of the
+    r=8 sweep that measured 7.1x at 10x rows.
     """
     import math
 
@@ -431,9 +435,10 @@ def hyperplane_bands(
     the corpus row count (one count() job, or pass ``n_rows`` if the
     caller already knows it) via ``auto_band_bits`` — constant
     expected bucket size, LINEAR candidate volume at any scale. Small
-    corpora (n <= ~2048 at the default target) resolve to the legacy
+    corpora (n <= 1024 at the default target) resolve to the legacy
     (64-bit, r=4) constant, keeping the static DuckDB oracle
-    bit-identical at every driver SF; explicit ``band_bits``/
+    bit-identical at every oracle-compared SF (n=500); explicit
+    ``band_bits``/
     ``n_bits`` pin the legacy behavior regardless of corpus size
     (an explicit ``n_bits`` alone keeps the legacy band width and
     derives the band count from it — it is never silently ignored)."""

@@ -303,11 +303,14 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str,
     `dedup.ngram_overlap_contamination`, and the same two-corpus
     DuckDB oracle hash-checks the drained result.
 
-    Stream-side shingling uses the pure-expression `word_shingles`
-    (row windows are illegal on streams; the HOF evaluates per batch —
-    the latency-bound trade a per-trigger pipeline accepts, while the
-    batch path keeps its faster explode+lead formulation)."""
-    from torua_spark.functions.text import md5_32, word_shingles
+    Shingling on BOTH sides is the Arrow path (`word_gram_digests` —
+    one vectorized Python pass per Arrow batch; VERDICT r6 #3): row
+    windows (the batch twin's explode+lead formulation) are illegal on
+    streams, and the previous pure-expression HOF ran Spark's
+    interpreted lambda evaluator per gram — measured 14.9s -> ~4s at
+    sf1 for the whole query. Parity with `md5_32(word_shingles(...))`
+    is bit-pinned in tests/test_streaming.py."""
+    from torua_spark.functions.text import word_gram_digests
     from torua_spark.operators.sampling import TRAIN_FRAC, VAL_FRAC, hash_unit
 
     u = hash_unit(F.col("doc_id").cast("string"), "split:")
@@ -328,14 +331,13 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str,
         .filter(u >= F.lit(TRAIN_FRAC + VAL_FRAC))
         .select(
             F.col("doc_id").alias("eval_id"),
-            F.explode(word_shingles("text", n)).alias("s"),
+            F.explode(word_gram_digests("text", n)).alias("g"),
         )
-        .select("eval_id", md5_32(F.col("s")).alias("g"))
     )
     tr_grams = train.select(
         F.col("doc_id").alias("train_id"),
-        F.explode(word_shingles("text", n)).alias("s"),
-    ).select("train_id", md5_32(F.col("s")).alias("g"))
+        F.explode(word_gram_digests("text", n)).alias("g"),
+    )
     agg = (
         tr_grams.join(F.broadcast(ev_grams), "g")
         .groupBy("train_id", "eval_id")
