@@ -286,3 +286,142 @@ def test_local_df_rejects_row_length_mismatch(spark):
 
     with pytest.raises(ValueError, match="row 1 has 3 values for 2"):
         local_df(spark, [(1, "a"), (2, "b", "EXTRA")], "a int, s string")
+
+
+# ------------------------------------------------- swap-crash fault injection
+def _mk_lake(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    spark.range(1_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("key"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 2).alias("payload"),
+    ).write.partitionBy("p").parquet(path)
+    return path
+
+
+def _no_hidden_dirs(path):
+    import pathlib
+
+    return [p.name for p in pathlib.Path(path).iterdir()
+            if p.name.startswith(".") and p.is_dir()] == []
+
+
+def test_purge_recovers_from_crash_between_renames(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #6: the two-rename swap's worst crash point — live
+    renamed to trash, tmp not yet renamed to live — must be fully
+    recovered by the next run (roll FORWARD: the rewrite was already
+    complete), converging to the purged state with zero leftovers."""
+    import os
+    import pathlib
+
+    import pytest
+
+    from torua_spark.sources import io
+
+    path = _mk_lake(spark, tmp_path)
+    real_swap = io._swap_partition
+
+    def crash_between(live, tmp, trash):
+        os.rename(live, trash)
+        raise RuntimeError("injected crash between renames")
+
+    monkeypatch.setattr(io, "_swap_partition", crash_between)
+    with pytest.raises(RuntimeError, match="injected"):
+        io.purge_keys(spark, path, ["u1"], "key", "p")  # u1 lives in p=1
+    # mid-swap wreckage: live gone, ORIGINAL bytes intact in trash,
+    # rewrite intact in tmp — nothing lost
+    assert not pathlib.Path(f"{path}/p=1").exists()
+    assert pathlib.Path(f"{path}/.purge_trash_p=1").exists()
+    assert pathlib.Path(f"{path}/.purge_tmp_p=1").exists()
+
+    monkeypatch.setattr(io, "_swap_partition", real_swap)
+    report = io.purge_keys(spark, path, ["u1"], "key", "p")
+    # recovery rolled the completed rewrite forward, so the re-run
+    # found nothing left to purge
+    assert report["rows_deleted"] == 0
+    back = spark.read.parquet(path)
+    assert back.count() == 999
+    assert back.filter("key = 'u1'").count() == 0
+    assert _no_hidden_dirs(path)
+
+
+def test_purge_recovers_from_crash_before_trash_cleanup(spark, tmp_path,
+                                                        monkeypatch):
+    """Crash point B: both renames done, trash not yet deleted. The
+    table is already correct (hidden dirs are invisible to the parquet
+    reader); the next run just sweeps the trash."""
+    import os
+
+    import pytest
+
+    from torua_spark.sources import io
+
+    path = _mk_lake(spark, tmp_path)
+    real_swap = io._swap_partition
+
+    def crash_after_swap(live, tmp, trash):
+        os.rename(live, trash)
+        os.rename(tmp, live)
+        raise RuntimeError("injected crash before trash cleanup")
+
+    monkeypatch.setattr(io, "_swap_partition", crash_after_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        io.purge_keys(spark, path, ["u2"], "key", "p")
+    back = spark.read.parquet(path)  # already consistent
+    assert back.count() == 999
+    assert back.filter("key = 'u2'").count() == 0
+
+    monkeypatch.setattr(io, "_swap_partition", real_swap)
+    io.purge_keys(spark, path, ["no-such-key"], "key", "p")
+    assert spark.read.parquet(path).count() == 999
+    assert _no_hidden_dirs(path)
+
+
+def test_merge_recovers_and_rerun_converges(spark, tmp_path, monkeypatch):
+    """merge_upsert shares the swap protocol: after an injected
+    mid-swap crash, a straight re-run of the SAME merge converges to
+    the upserted state (recovery + idempotent LWW rewrite)."""
+    import os
+
+    import pytest
+
+    from torua_spark.sources import io
+    from torua_spark.sources.local import local_df
+
+    path = _mk_lake(spark, tmp_path)
+    updates = local_df(
+        spark,
+        [("u1", 1, 111), ("u9999", 3, 999)],
+        "key string, p long, payload long",
+    )
+    real_swap = io._swap_partition
+
+    def crash_between(live, tmp, trash):
+        os.rename(live, trash)
+        raise RuntimeError("injected crash between renames")
+
+    monkeypatch.setattr(io, "_swap_partition", crash_between)
+    with pytest.raises(RuntimeError, match="injected"):
+        io.merge_upsert(spark, path, updates, "key", "p")
+
+    monkeypatch.setattr(io, "_swap_partition", real_swap)
+    io.merge_upsert(spark, path, updates, "key", "p")
+    back = spark.read.parquet(path)
+    assert back.count() == 1_001  # 1000 + 1 insert
+    got = {r.key: r.payload for r in
+           back.filter(F.col("key").isin("u1", "u9999")).collect()}
+    assert got == {"u1": 111, "u9999": 999}
+    assert _no_hidden_dirs(path)
+
+
+def test_compact_refuses_nested_out_path(spark, tmp_path):
+    """ADVICE r6: an out_path NESTED inside the input table is as
+    fatal as in-place — later reads of the table double-count."""
+    import pytest
+
+    from torua_spark.sources.io import compact_files
+
+    src = str(tmp_path / "lake")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="outside"):
+        compact_files(spark, src, src + "/compacted", n_files=1)

@@ -168,6 +168,14 @@ class ToruaEngine:
                 partitions = max(1, int(str(row_count.get())) // 1_000_000)
             else:
                 partitions = max(1, int(str(stats.sizeInBytes())) // (64 << 20))
+            # sizeInBytes is a HEURISTIC (inflated for some lineages
+            # without CBO) — clamp the derived count to a sane ceiling
+            # so a bad estimate cannot produce a pathological
+            # repartition where the old count()-based path was exact
+            # (ADVICE r6). 4x defaultParallelism keeps every core busy
+            # with headroom without thousands of empty partitions.
+            ceiling = 4 * self.spark.sparkContext.defaultParallelism
+            partitions = min(partitions, ceiling)
         self._kv = (
             self._kv.repartition(partitions).sortWithinPartitions("key").cache()
         )

@@ -465,6 +465,11 @@ class PropertyGraph:
             distinct = True
             ret_part = ret_part[m_d.end():]
         keys, aggs = [], []
+        # projected alias -> the RETURN term it came from, so qualified
+        # ORDER BY keys resolve by PROVENANCE, not attribute-suffix
+        # coincidence (ADVICE r6: `ORDER BY b.name` must never silently
+        # sort by a projection of a.name that happens to be named name)
+        key_source: dict[str, str] = {}
         for raw in ret_part.split(","):
             expr_txt, alias = self._ITEM.match(raw).groups()
             m = self._AGG.match(expr_txt)
@@ -479,8 +484,11 @@ class PropertyGraph:
                     col = self._resolve(arg, labels, owner)[0]
                     aggs.append(getattr(F, fn)(col).alias(name))
             else:
-                col, default = self._resolve(expr_txt.strip(), labels, owner)
-                keys.append(col.alias(alias or default))
+                term = expr_txt.strip()
+                col, default = self._resolve(term, labels, owner)
+                out_name = alias or default
+                key_source[out_name] = term
+                keys.append(col.alias(out_name))
         if aggs:
             out = binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
         else:
@@ -499,8 +507,16 @@ class PropertyGraph:
                 name, direction = m.group(1), (m.group(2) or "ASC").upper()
                 if name in out.columns:
                     c = F.col(name)
-                elif "." in name and name.split(".", 1)[1] in out.columns:
-                    c = F.col(name.split(".", 1)[1])
+                elif "." in name:
+                    # qualified key: match the exact RETURN term it
+                    # projects, never a bare-attribute-name coincidence
+                    hits = [a for a, src in key_source.items() if src == name]
+                    if not hits:
+                        raise ValueError(
+                            f"ORDER BY key {name!r} does not match any "
+                            f"RETURN term (projected: {key_source})"
+                        )
+                    c = F.col(hits[0])
                 else:
                     raise ValueError(
                         f"ORDER BY key {name!r} must be a returned column "
