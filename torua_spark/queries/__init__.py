@@ -96,7 +96,11 @@ _DECLARED = [
     "graph_triangle_agg",
     "connected_components",
     "graph_pagerank",
-    "graph_copurchase_degree",
+    # Round-7 rotation (VERDICT r6 #5): graph_optional_match — the one
+    # never-driver-proven standalone entry — rotates IN for
+    # graph_copurchase_degree (driver-green r6, pytest-oracled
+    # forever), completing the every-entry-proven discipline.
+    "graph_optional_match",
     "graph_2hop",
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).

@@ -42,7 +42,10 @@ def _lit(v, typ: str) -> str:
             return "CAST('NaN' AS DOUBLE)"
         if math.isinf(v):
             return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
-        return repr(v)
+        # the `d` suffix makes this a DOUBLE literal directly — a bare
+        # `-0.0` would parse as DECIMAL (no signed zero) and lose the
+        # sign bit through the cast (hypothesis-found)
+        return f"{v!r}d"
     if isinstance(v, (bytes, bytearray)):
         return "X''" if not v else f"X'{bytes(v).hex()}'"
     # Spark's default string literal treats backslash as an escape.
