@@ -383,10 +383,19 @@ def test_optional_match_errors(spark):
     with pytest.raises(ValueError, match="not bound"):
         pg.query("MATCH (a:person) OPTIONAL MATCH (z)-[:KNOWS]->(b) RETURN a")
     with pytest.raises(ValueError, match="clause order"):
-        pg.query(
-            "MATCH (a:person) WHERE a = 1 OPTIONAL MATCH (a)-[:KNOWS]->(b) "
-            "RETURN a"
-        )
+        pg.query("WHERE a = 1 MATCH (a:person) RETURN a")
+
+
+def test_where_between_match_and_optional(spark):
+    """Round 7: clauses apply in read order — a WHERE between MATCH
+    and OPTIONAL MATCH narrows the anchors BEFORE the left join
+    (previously a clause-order error)."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person) WHERE a <= 2 OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "RETURN a, count(b) AS n ORDER BY a"
+    ).collect()
+    assert [(r.a, r.n) for r in got] == [(0, 2), (1, 1), (2, 0)]
 
 
 def test_shared_vertex_label_self_join(spark):
@@ -513,4 +522,99 @@ def test_order_by_qualified_resolves_by_provenance(spark):
         pg.query(
             "MATCH (a:person)-[:KNOWS]->(b:person) "
             "RETURN a.name AS name, b.pid AS bp ORDER BY b.name"
+        )
+
+
+# ---------------------------------------------------------------- round 7:
+# multi-chain MATCH (comma patterns / second MATCH clause) and WHERE
+# scoped to OPTIONAL MATCH (VERDICT r6 #7), pinned vs hand-written
+# DataFrame code.
+
+def test_comma_pattern_conjunction_shared_label(spark):
+    """(a:person)-[:KNOWS]->(x), (b:person)-[:KNOWS]->(x): both
+    chains join over the shared x; the second chain's person
+    attributes arrive renamed b__col, so a.name and b.name resolve
+    to distinct columns."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(x), (b:person)-[:KNOWS]->(x) "
+        "RETURN a.name AS an, b.name AS bn, x ORDER BY x, an, bn"
+    )
+    # hand-written: self-join the edge list on dst, decorate both ends
+    knows = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 1)], "ksrc long, kdst long"
+    )
+    people = spark.createDataFrame(
+        [(i, f"p{i}", 100 * i) for i in range(6)], "pid long, name string, bal long"
+    )
+    ea = knows.select(F.col("ksrc").alias("a"), F.col("kdst").alias("x"))
+    eb = knows.select(F.col("ksrc").alias("b"), F.col("kdst").alias("x"))
+    want = (
+        ea.join(eb, "x")
+        .join(people.select(F.col("pid").alias("a"), F.col("name").alias("an")), "a")
+        .join(people.select(F.col("pid").alias("b"), F.col("name").alias("bn")), "b")
+        .select("an", "bn", "x")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert ("p0", "p3", 1) in {tuple(r) for r in got.collect()}
+
+
+def test_second_match_clause_continues_from_bound_var(spark):
+    """MATCH (a)-[:K]->(x) MATCH (x)-[:K]->(c) == the single-chain
+    two-hop — the second clause anchors on the bound x and extends
+    the same join tree (no cartesian, no re-scan of person)."""
+    pg = _pg_people(spark)
+    two_clause = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(x) MATCH (x)-[:KNOWS]->(c) "
+        "RETURN a, x, c"
+    )
+    one_chain = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(x)-[:KNOWS]->(c) RETURN a, x, c"
+    )
+    assert sorted(map(tuple, two_clause.collect())) == sorted(
+        map(tuple, one_chain.collect())
+    )
+    assert two_clause.count() > 0
+
+
+def test_optional_match_scoped_where_keeps_null_anchors(spark):
+    """WHERE after OPTIONAL MATCH filters the optional side BEFORE
+    the left join (Cypher scoping): anchors whose matches all fail
+    the predicate survive with count 0 — a post-join filter would
+    have dropped them."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:KNOWS]->(b:person) "
+        "WHERE b.bal >= 200 RETURN a, count(b) AS n ORDER BY a"
+    ).collect()
+    # a=3 knows only pid 1 (bal 100): its match is filtered out, the
+    # anchor survives with 0; a=2/4/5 never matched at all
+    assert [(r.a, r.n) for r in got] == [
+        (0, 1), (1, 1), (2, 0), (3, 0), (4, 0), (5, 0)
+    ]
+
+
+def test_disjoint_chains_cross_join(spark):
+    """Chains sharing no variable are the Cypher cartesian product —
+    explicit in the plan, correct in the count."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person) MATCH (b:person) RETURN count(*) AS n"
+    ).collect()
+    assert got[0].n == 36
+
+
+def test_cross_chain_variable_rebind_raises(spark):
+    people = spark.createDataFrame([(0,), (1,)], "pid long")
+    cities = spark.createDataFrame([(10,), (11,)], "cid long")
+    knows = spark.createDataFrame([(0, 1)], "ksrc long, kdst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_vertex("city", cities, "cid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    with pytest.raises(ValueError, match="rebinds"):
+        pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b) MATCH (a:city) RETURN a"
         )

@@ -27,10 +27,14 @@ onto an existing DataFrame op (VERDICT r5 #4):
 
 - ``WHERE``: conjunction of comparisons over ``var`` / ``var.attr``
   terms — plain filters, Catalyst pushes them below the pattern's
-  joins. Applied AFTER all (optional) matches; a condition on an
-  optional variable therefore drops null-extended rows (the SQL
-  left-join rule — Cypher scopes WHERE per-MATCH; put the predicate
-  on the relation before ``add_edge``/``add_vertex`` for that).
+  joins. Scoped in READ ORDER (Cypher semantics): a WHERE directly
+  after an OPTIONAL MATCH filters the optional side BEFORE the left
+  join (null-extended anchors survive); anywhere else it filters the
+  binding built so far.
+- Multi-chain conjunction (round 7): comma patterns
+  (``MATCH (a:X)-[:R]->(x), (b:Y)-[:S]->(x)``) and second MATCH
+  clauses compile each chain and inner-join over shared variables;
+  disjoint chains cross-join explicitly.
 - ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
   aggregates (an aggregate item turns the projection into a groupBy
   over the non-aggregate items).
@@ -164,32 +168,99 @@ class PropertyGraph:
         column per pattern variable (the vertex id) plus every
         attribute column of labeled vertices (prefixed ``var__`` for
         the second+ variable sharing a label). A repeated variable
-        closes a cycle (triangle) as an equality predicate."""
+        closes a cycle (triangle) as an equality predicate. Comma
+        patterns (``MATCH (a:X)-[:R]->(b), (c:Y)-[:S]->(b)``) compile
+        each chain and join them over their shared variables."""
         binding, _, _ = self._compile(pattern)
         return binding
 
     def _compile(
         self, pattern: str
     ) -> tuple[DataFrame, dict[str, str | None], dict[str, str]]:
-        """Returns (binding, labels, owner) where ``owner`` maps each
-        label to the FIRST variable bound with it — that variable's
-        attributes live in the binding under their plain names; later
-        variables with the same label get ``var__col`` projections
-        (self-joining the raw vertex relation twice would produce
-        ambiguous columns; ADVICE r5)."""
+        """Comma-pattern entry point: split on top-level commas (the
+        pattern grammar has no other commas) and walk every chain
+        over ONE shared binding state (VERDICT r6 #7) — Cypher's
+        comma is pattern conjunction. A later chain anchored on an
+        already-bound variable continues from it; a chain hop landing
+        on a bound variable closes as an equality (the same mechanism
+        as cycles); a fresh anchor cross-joins its vertex relation
+        (disjoint chains are the Cypher cartesian product, and any
+        later shared-variable equality lets Catalyst turn the cross
+        join back into an inner join). NOTE: matching is homomorphic
+        (SQL join semantics) — a binding may reuse one stored edge in
+        two pattern edges; Cypher's per-MATCH relationship-uniqueness
+        (isomorphism) is NOT enforced, the documented trade of
+        compiling onto plain relational joins."""
+        state: tuple | None = None
+        for chain in (c for c in pattern.split(",") if c.strip()):
+            state = self._compile_chain(chain, state)
+        binding, _bound, labels, owner = state
+        return binding, labels, owner
+
+    def _compile_chain(self, pattern: str, state: tuple | None = None) -> tuple:
+        """Walk one chain, threading (binding, bound, labels, owner)
+        so conjunct chains extend the same join tree. ``owner`` maps
+        each label to the FIRST variable bound with it — that
+        variable's attributes live in the binding under their plain
+        names; later variables with the same label get ``var__col``
+        projections (self-joining the raw vertex relation twice would
+        produce ambiguous columns; ADVICE r5)."""
         nodes, edges = self._parse(pattern)
 
         var0, label0 = nodes[0]
-        if label0 is None:
-            raise ValueError("the first node of a pattern must be labeled")
-        v0 = self._v[label0]
-        binding = v0.df.withColumn(var0, F.col(v0.id_col))
-        bound = {var0}
-        labels: dict[str, str | None] = {var0: label0}
-        owner: dict[str, str] = {label0: var0}
+        if state is None:
+            if label0 is None:
+                raise ValueError("the first node of a pattern must be labeled")
+            v0 = self._v[label0]
+            binding = v0.df.withColumn(var0, F.col(v0.id_col))
+            bound = {var0}
+            labels: dict[str, str | None] = {var0: label0}
+            owner: dict[str, str] = {label0: var0}
+        else:
+            binding, bound, labels, owner = state
+            if var0 in bound:
+                # continuation from a bound variable — no new relation
+                if label0 is not None and labels.get(var0) not in (None, label0):
+                    raise ValueError(
+                        f"variable {var0!r} rebinds :{labels[var0]} to "
+                        f":{label0} across chains"
+                    )
+            else:
+                if label0 is None:
+                    raise ValueError(
+                        f"chain anchor {var0!r} must be labeled or already "
+                        f"bound by an earlier chain"
+                    )
+                v0 = self._v[label0]
+                # the var column is projected INSIDE the cross-joined
+                # side (not withColumn on top): a Project between the
+                # cross join and the next hop's equi-join would stop
+                # ExtractFiltersAndInnerJoins from flattening the
+                # region, leaving a real cartesian in the plan; with
+                # the joins adjacent, Catalyst reorders the later
+                # shared-variable equality into an inner join
+                # (asserted in tests/test_plans.py: no nested-loop)
+                if label0 in owner:
+                    # shared label across chains: per-variable renamed
+                    # projection, same discipline as the in-chain case
+                    proj = v0.df.select(
+                        F.col(v0.id_col).alias(var0),
+                        *[F.col(c).alias(f"{var0}__{c}") for c in v0.df.columns],
+                    )
+                else:
+                    owner[label0] = var0
+                    proj = v0.df.withColumn(var0, F.col(v0.id_col))
+                vdf = F.broadcast(proj) if v0.broadcast else proj
+                binding = binding.crossJoin(vdf)
+                bound.add(var0)
+                labels[var0] = label0
         prev = var0  # chain cursor: the column holding the current node's id
+        # hop aliases must stay unique ACROSS conjunct chains — offset
+        # by the internal columns earlier chains already contributed
+        hop_base = sum(1 for c in binding.columns if c.startswith("__src_"))
 
-        for hop, ((rel, d), (var, label)) in enumerate(zip(edges, nodes[1:])):
+        for hop0, ((rel, d), (var, label)) in enumerate(zip(edges, nodes[1:])):
+            hop = hop_base + hop0
             e = self._e[rel]
             if e.df is None:
                 # FK hop: src/dst columns already live in the binding —
@@ -253,7 +324,7 @@ class PropertyGraph:
             bound.add(var)
             labels[var] = label
             prev = var
-        return binding, labels, owner
+        return binding, bound, labels, owner
 
     # ----------------------------------------------------- WHERE / RETURN
 
@@ -318,14 +389,49 @@ class PropertyGraph:
 
     _INTERNAL = re.compile(r"^__(src|dst|vid)_")
 
+    def _apply_where(self, binding: DataFrame, part: str,
+                     labels: dict, owner: dict) -> DataFrame:
+        """Conjunction of ``term op literal-or-term`` comparisons as
+        plain filters — Catalyst pushes each below the joins it
+        commutes with. Splits only on AND outside string literals (an
+        even number of quotes must follow), so 'TRINIDAD AND TOBAGO'
+        survives."""
+        for cond in re.split(
+            r"(?i)\bAND\b(?=(?:[^']*'[^']*')*[^']*$)", part
+        ):
+            m = self._COND.match(cond)
+            if not m:
+                raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
+            left = self._resolve(m.group(1), labels, owner)[0]
+            op = m.group(2)
+            right = self._literal_or_term(m.group(3), labels, owner)
+            expr = {
+                "=": left == right, "<>": left != right, "!=": left != right,
+                "<": left < right, "<=": left <= right,
+                ">": left > right, ">=": left >= right,
+            }[op]
+            binding = binding.filter(expr)
+        return binding
+
     def _apply_optional(self, chain: str, binding: DataFrame,
                         labels: dict, owner: dict) -> DataFrame:
         """OPTIONAL MATCH: compile the optional chain anchored at an
         already-bound variable, then LEFT-join it — unmatched rows
         keep their binding with NULL for the new variables. One
         left join per clause; the sub-chain's joins stay inner, so
-        Catalyst is free to reorder inside it."""
+        Catalyst is free to reorder inside it.
+
+        A trailing ``WHERE`` inside the clause text scopes to the
+        OPTIONAL MATCH itself (Cypher semantics, VERDICT r6 #7): the
+        predicate filters the optional side BEFORE the left join, so
+        anchors whose matches all fail the predicate still survive
+        with NULL bindings — the opposite of a post-join WHERE, which
+        would drop them (the SQL left-join-then-filter rule)."""
         chain = chain.strip()
+        cond_part = None
+        m_w = self._kw("WHERE", chain)
+        if m_w:
+            chain, cond_part = chain[: m_w.start()].strip(), chain[m_w.end():]
         m = _NODE.match(chain)
         if not m:
             raise ValueError(f"OPTIONAL MATCH must start with a node: {chain!r}")
@@ -350,6 +456,8 @@ class PropertyGraph:
         sub, sub_labels, sub_owner = self._compile(
             f"({var}:{base_label})" + chain[m.end():]
         )
+        if cond_part is not None:
+            sub = self._apply_where(sub, cond_part, sub_labels, sub_owner)
         for lab, v in sub_owner.items():
             if lab in owner and not (lab == base_label and owner[lab] == var):
                 if lab != base_label:
@@ -377,16 +485,22 @@ class PropertyGraph:
     def query(self, q: str) -> DataFrame:
         """Full query form::
 
-            MATCH <chain> [OPTIONAL MATCH <chain>]...
-            [WHERE <conjunction>]
+            MATCH <chain>[, <chain>]...
+            [MATCH <chain>[, <chain>]... | OPTIONAL MATCH <chain>
+             [WHERE <conjunction>] | WHERE <conjunction>]...
             [RETURN [DISTINCT] <items> [ORDER BY <cols> [LIMIT n]]]
 
         — the reference's aspirational surface (ARCHITECTURE.md:
         327-339 ``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``; top-k
-        traversal shapes per internal/shard/doc.go:205-225). WHERE is
-        a conjunction of ``term op literal-or-term`` comparisons
-        applied to the joined binding — plain filters, which Catalyst
-        pushes below the pattern's joins. RETURN projects/aliases
+        traversal shapes per internal/shard/doc.go:205-225). Clauses
+        apply in READ ORDER (Cypher semantics, VERDICT r6 #7): comma
+        patterns and further MATCH clauses conjunct chains over their
+        shared variables (``_join_chain``); a WHERE directly after an
+        OPTIONAL MATCH scopes to the optional side (filters BEFORE the
+        left join — null-extended anchors survive); a standalone WHERE
+        is a conjunction of ``term op literal-or-term`` comparisons
+        filtering the binding built so far — plain filters, which
+        Catalyst pushes below the pattern's joins. RETURN projects/aliases
         terms; aggregate items (count/sum/avg/min/max) turn the
         projection into a groupBy over the non-aggregate items.
         ORDER BY keys must be returned columns (alias, term, or a
@@ -395,54 +509,58 @@ class PropertyGraph:
         never a global sort. No RETURN -> the binding table.
         """
         m_ret = self._kw("RETURN", q)
-        m_where = self._kw("WHERE", q)
-        if m_where and m_ret and m_where.start() > m_ret.start():
-            m_where = None  # a WHERE-looking token inside RETURN items
-        opt_spans = []
+        body = q[: m_ret.start()] if m_ret else q
+        # Clause scan in READ ORDER (Cypher semantics): a sequence of
+        # MATCH / OPTIONAL MATCH / WHERE clauses, each applying to the
+        # binding built so far; a WHERE directly following an OPTIONAL
+        # MATCH is part of that clause's text span and therefore
+        # scopes to the optional side (see _apply_optional). The
+        # alternation lists OPTIONAL MATCH first so the MATCH inside
+        # it is consumed, never seen as a clause of its own.
+        spans = []
         pos = 0
         while True:
-            m = self._kw(r"OPTIONAL\s+MATCH", q, pos)
+            m = self._kw(r"(?:OPTIONAL\s+MATCH|MATCH|WHERE)", body, pos)
             if not m:
                 break
-            opt_spans.append(m)
+            kind = "WHERE" if m.group(0).upper() == "WHERE" else (
+                "OPT" if m.group(0).upper().startswith("OPTIONAL") else "MATCH"
+            )
+            spans.append((kind, m.start(), m.end()))
             pos = m.end()
-        clause_starts = (
-            [m.start() for m in opt_spans]
-            + ([m_where.start()] if m_where else [])
-            + ([m_ret.start()] if m_ret else [])
-            + [len(q)]
-        )
-        if clause_starts != sorted(clause_starts):
+        if not spans or spans[0][0] != "MATCH" or body[: spans[0][1]].strip():
             raise ValueError(
-                "clause order must be MATCH [OPTIONAL MATCH]... [WHERE] "
-                "[RETURN]"
+                "clause order must be MATCH [MATCH | OPTIONAL MATCH | "
+                "WHERE]... [RETURN]"
             )
 
-        binding, labels, owner = self._compile(q[: clause_starts[0]])
-        for i, m in enumerate(opt_spans):
-            binding = self._apply_optional(
-                q[m.end(): clause_starts[i + 1]], binding, labels, owner
-            )
-
-        if m_where:
-            where_part = q[m_where.end(): m_ret.start() if m_ret else len(q)]
-            # split only on AND outside string literals (an even number
-            # of quotes must follow), so 'TRINIDAD AND TOBAGO' survives
-            for cond in re.split(
-                r"(?i)\bAND\b(?=(?:[^']*'[^']*')*[^']*$)", where_part
-            ):
-                m = self._COND.match(cond)
-                if not m:
-                    raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
-                left = self._resolve(m.group(1), labels, owner)[0]
-                op = m.group(2)
-                right = self._literal_or_term(m.group(3), labels, owner)
-                expr = {
-                    "=": left == right, "<>": left != right, "!=": left != right,
-                    "<": left < right, "<=": left <= right,
-                    ">": left > right, ">=": left >= right,
-                }[op]
-                binding = binding.filter(expr)
+        binding, labels, owner = None, None, None
+        i = 0
+        while i < len(spans):
+            kind, _, end = spans[i]
+            j = i + 1
+            if kind == "OPT" and j < len(spans) and spans[j][0] == "WHERE":
+                # the WHERE belongs to this OPTIONAL MATCH (Cypher
+                # scoping) — extend the clause text through it so
+                # _apply_optional filters the optional side pre-join
+                j += 1
+            text = body[end: spans[j][1] if j < len(spans) else len(body)]
+            if kind == "MATCH":
+                if binding is None:
+                    binding, labels, owner = self._compile(text)
+                else:
+                    # second MATCH clause == comma conjunction: walk
+                    # its chains over the SAME binding state (bound =
+                    # every variable seen so far, incl. OPTIONAL ones)
+                    state = (binding, set(labels), labels, owner)
+                    for chain in (c for c in text.split(",") if c.strip()):
+                        state = self._compile_chain(chain, state)
+                    binding = state[0]
+            elif kind == "OPT":
+                binding = self._apply_optional(text, binding, labels, owner)
+            else:
+                binding = self._apply_where(binding, text, labels, owner)
+            i = j
 
         if not m_ret:
             return binding

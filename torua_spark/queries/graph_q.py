@@ -461,3 +461,45 @@ ORACLE["graph_optional_match"] = """
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1
 """
+
+
+def q_comma_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-pattern conjunction (round 7, VERDICT r6 #7): pairs of
+    distinct customers buying from the SAME supplier, counted per
+    supplier — two chains joined over the shared s, compiled as one
+    join tree (plans/pattern.py _compile_chain state threading). The
+    a < b WHERE keeps each unordered pair once."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey")
+        .add_edge(
+            "SOLD_TO",
+            g.copurchase_edges(
+                load_table(spark, sf_dir, "orders"),
+                load_table(spark, sf_dir, "lineitem"),
+            ),
+            "src",
+            "dst",
+        )
+    )
+    return pg.query(
+        "MATCH (a:customer)-[:SOLD_TO]->(s:supplier), "
+        "(b:customer)-[:SOLD_TO]->(s) WHERE a < b "
+        "RETURN s AS s_suppkey, count(*) AS n_pairs"
+    )
+
+
+QUERIES["graph_comma_conjunction"] = q_comma_conjunction
+
+ORACLE["graph_comma_conjunction"] = """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT a.dst AS s_suppkey, count(*) AS n_pairs
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1
+"""
