@@ -140,6 +140,9 @@ def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], id_col: str,
                   star_reps: int = 2) -> DataFrame:
     """Distinct within-bucket id pairs (a < b) — the candidate join of
     every banded blocking scheme (MinHash LSH, SimHash, hyperplane).
+    (The DISTINCT is load-bearing: true near-dups collide in MOST
+    bands, so the multiset is ~an order of magnitude larger than the
+    distinct set — deduping late was measured 2x slower at sf1.)
 
     ``max_bucket`` is the band-skew cap (VERDICT r2 #5): a hot bucket
     of B members — a near-duplicate FLOOD (one page boilerplate

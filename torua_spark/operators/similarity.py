@@ -579,6 +579,12 @@ def embedding_near_dup_pairs(
             bands = hyperplane_bands(embeddings, band_bits=r, n_rows=n_rows)
         else:
             bands = hyperplane_bands(embeddings, n_bits=n_bits, band_bits=band_bits)
+        # NOTE (measured, r7): deferring the cross-band distinct to
+        # after the verify filter was tried and REVERTED — true
+        # near-dups collide in most of the 16 bands, so the candidate
+        # MULTISET is ~an order of magnitude larger than the distinct
+        # set (sf1: 35.6 s vs 18 s) and the einsum/Arrow transfer
+        # inflates far more than the 10 s distinct shuffle saves.
         cands = _bucket_pairs(
             bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
         )

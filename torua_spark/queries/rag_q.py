@@ -41,6 +41,61 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def neardup_oracle_sql(band_bits: int | None = None,
+                       threshold: float = NEARDUP_COS_THRESHOLD) -> str:
+    """DuckDB replica of `embedding_near_dup_pairs`, PARAMETERIZED by
+    band width (round 7, VERDICT r6 #8): exact-integer hyperplane
+    banding — quantized values, shared md5-derived ±1 plane literals,
+    integer dot, MSB-first band signature — so the candidate set is
+    identical on both engines at ANY r the sizing law picks. The
+    declared oracle is the legacy default (r=4 — exact for every
+    oracle-compared SF, n<=1024 under auto_band_bits); the breakpoint
+    property tests regenerate it with the law's r for corpora just
+    past each doubling, proving a future driver SF stays
+    hash-matchable by re-rendering this one template."""
+    r = band_bits if band_bits is not None else sim.HYPERPLANE_BAND_BITS
+    n_bits = sim.HYPERPLANE_BANDS * r
+    planes = ", ".join(
+        f"({j}, {i}, {w})"
+        for j, row in enumerate(sim.hyperplane_matrix(n_bits))
+        for i, w in enumerate(row)
+    )
+    return f"""
+        WITH pos AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding)))::BIGINT AS i,
+                   CAST(floor(unnest(embedding)::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        plane(j, i, w) AS (VALUES {planes}),
+        bits AS (
+            SELECT p.vec_id, pl.j, sum(pl.w * p.q) AS dot
+            FROM pos p JOIN plane pl ON pl.i = p.i
+            GROUP BY p.vec_id, pl.j
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(j // {r} AS INTEGER) AS band,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (1::BIGINT << ({r - 1} - CAST(j % {r} AS INTEGER)))
+                        ELSE 0 END) AS BIGINT) AS sig
+            FROM bits GROUP BY vec_id, j // {r}
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, sim FROM (
+            SELECT c.vec_a, c.vec_b,
+                   floor((list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[])) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+            FROM cands c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+        ) WHERE sim >= {threshold}
+    """
+
+
 QUERIES = {
     "vector_topk_cosine": lambda s, d: sim.brute_force_topk(_emb(s, d), 0, 10),
     "vector_ann_ivf": lambda s, d: sim.ivf_topk(_emb(s, d), 0, 10, nprobe=3),
@@ -286,41 +341,10 @@ ORACLE = {
     # exact-integer replica — quantized values, shared md5-derived ±1
     # plane literals, integer dot, MSB-first band signature — so the
     # candidate set is identical on both engines.
-    "vector_neardup_pairs": f"""
-        WITH pos AS (
-            SELECT vec_id,
-                   unnest(range(len(embedding)))::BIGINT AS i,
-                   CAST(floor(unnest(embedding)::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
-            FROM embeddings
-        ),
-        plane(j, i, w) AS (VALUES {", ".join(f"({j}, {i}, {w})" for j, row in enumerate(sim.hyperplane_matrix()) for i, w in enumerate(row))}),
-        bits AS (
-            SELECT p.vec_id, pl.j, sum(pl.w * p.q) AS dot
-            FROM pos p JOIN plane pl ON pl.i = p.i
-            GROUP BY p.vec_id, pl.j
-        ),
-        sigs AS (
-            SELECT vec_id, CAST(j // {sim.HYPERPLANE_BAND_BITS} AS INTEGER) AS band,
-                   CAST(sum(CASE WHEN dot >= 0
-                        THEN CASE CAST(j % {sim.HYPERPLANE_BAND_BITS} AS INTEGER)
-                             WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
-                        ELSE 0 END) AS BIGINT) AS sig
-            FROM bits GROUP BY vec_id, j // {sim.HYPERPLANE_BAND_BITS}
-        ),
-        cands AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM sigs a JOIN sigs b
-              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-        )
-        SELECT vec_a, vec_b, sim FROM (
-            SELECT c.vec_a, c.vec_b,
-                   floor((list_cosine_similarity(ea.embedding::DOUBLE[],
-                                                eb.embedding::DOUBLE[])) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
-            FROM cands c
-            JOIN embeddings ea ON ea.vec_id = c.vec_a
-            JOIN embeddings eb ON eb.vec_id = c.vec_b
-        ) WHERE sim >= {NEARDUP_COS_THRESHOLD}
-    """,
+    # Learned hyperplane-band blocking: see neardup_oracle_sql — the
+    # declared entry renders it at the legacy default (r=4, exact for
+    # every oracle-compared SF).
+    "vector_neardup_pairs": neardup_oracle_sql(),
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
