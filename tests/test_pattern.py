@@ -618,3 +618,100 @@ def test_cross_chain_variable_rebind_raises(spark):
         pg.query(
             "MATCH (a:person)-[:KNOWS]->(b) MATCH (a:city) RETURN a"
         )
+
+
+# ---------------------------------------------------------------- round 7:
+# edge variables (-[r:REL]->), edge-attribute predicates/aggregates,
+# count(DISTINCT ...).
+
+def _pg_ratings(spark):
+    users = spark.createDataFrame([(i, f"u{i}") for i in range(4)],
+                                  "uid long, uname string")
+    items = spark.createDataFrame([(i,) for i in range(10, 13)], "iid long")
+    rated = spark.createDataFrame(
+        [(0, 10, 5), (0, 11, 2), (1, 10, 4), (1, 12, 1),
+         (2, 11, 5), (3, 10, 3)],
+        "usrc long, idst long, stars long",
+    )
+    return (
+        PropertyGraph()
+        .add_vertex("user", users, "uid")
+        .add_vertex("item", items, "iid")
+        .add_edge("RATED", rated, "usrc", "idst")
+    ), users, items, rated
+
+
+def test_edge_variable_predicate_and_aggregate(spark):
+    """-[r:RATED]-> binds edge attributes: WHERE r.stars >= 4 filters
+    on the edge, avg(r.stars) aggregates it — pinned against the
+    hand-written join."""
+    pg, users, items, rated = _pg_ratings(spark)
+    got = pg.query(
+        "MATCH (u:user)-[r:RATED]->(i:item) WHERE r.stars >= 4 "
+        "RETURN i AS iid, count(*) AS n, avg(r.stars) AS avg_stars "
+        "ORDER BY iid"
+    ).collect()
+    want = (
+        rated.filter("stars >= 4")
+        .groupBy(F.col("idst").alias("iid"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("stars").alias("avg_stars"))
+        .orderBy("iid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert [(r.iid, r.n) for r in got] == [(10, 2), (11, 1)]
+
+
+def test_count_and_sum_distinct(spark):
+    pg, *_ = _pg_ratings(spark)
+    got = pg.query(
+        "MATCH (u:user)-[r:RATED]->(i:item) "
+        "RETURN count(DISTINCT u) AS n_users, sum(DISTINCT r.stars) AS s"
+    ).collect()[0]
+    # raters: users 0,1,2,3 -> 4; distinct star values {5,2,4,1,3} -> 15
+    assert (got.n_users, got.s) == (4, 15)
+
+
+def test_edge_variable_in_scoped_optional_where(spark):
+    """OPTIONAL MATCH with an edge-attribute WHERE: users whose only
+    ratings fail the predicate survive with 0 (pre-join scoping)."""
+    pg, *_ = _pg_ratings(spark)
+    got = pg.query(
+        "MATCH (u:user) OPTIONAL MATCH (u)-[r:RATED]->(i:item) "
+        "WHERE r.stars >= 4 RETURN u, count(i) AS n ORDER BY u"
+    ).collect()
+    # u3 rated only 3 stars -> filtered pre-join -> survives with 0
+    assert [(r.u, r.n) for r in got] == [(0, 1), (1, 1), (2, 1), (3, 0)]
+
+
+def test_edge_variable_errors(spark):
+    pg, *_ = _pg_ratings(spark)
+    with pytest.raises(ValueError, match="no id column"):
+        pg.query("MATCH (u:user)-[r:RATED]->(i:item) RETURN r")
+    with pytest.raises(ValueError, match="has no attribute"):
+        pg.query("MATCH (u:user)-[r:RATED]->(i:item) RETURN r.nope")
+    with pytest.raises(ValueError, match="has no attribute"):
+        # endpoints are not edge attributes
+        pg.query("MATCH (u:user)-[r:RATED]->(i:item) RETURN r.usrc")
+    with pytest.raises(ValueError, match="variable-length"):
+        pg.match("MATCH (u:user)-[r:RATED*2]->(i:item)")
+    with pytest.raises(ValueError, match="bound twice"):
+        pg.query("MATCH (u:user)-[u:RATED]->(i:item) RETURN i")
+    with pytest.raises(ValueError, match="bound twice"):
+        # a later NODE reusing the edge variable's name
+        pg.query(
+            "MATCH (u:user)-[r:RATED]->(i:item) MATCH (r:user) RETURN i"
+        )
+
+
+def test_edge_variable_on_fk_edge_raises(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", cust, "c_custkey")
+        .add_vertex("nation", nat, "n_nationkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+    )
+    with pytest.raises(ValueError, match="FK edge"):
+        pg.match("MATCH (c:customer)-[r:IN_NATION]->(n:nation)")

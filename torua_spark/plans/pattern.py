@@ -35,6 +35,11 @@ onto an existing DataFrame op (VERDICT r5 #4):
   (``MATCH (a:X)-[:R]->(x), (b:Y)-[:S]->(x)``) and second MATCH
   clauses compile each chain and inner-join over shared variables;
   disjoint chains cross-join explicitly.
+- Edge variables (round 7): ``-[r:RATED]->`` binds the hop's edge
+  attributes as ``r.attr`` terms for WHERE/RETURN (projected
+  ``r__col`` into the binding only when named — column pruning drops
+  them otherwise). ``count(DISTINCT x)`` / ``sum(DISTINCT x)``
+  aggregate items are supported alongside the plain forms.
 - ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
   aggregates (an aggregate item turns the projection into a groupBy
   over the non-aggregate items).
@@ -78,7 +83,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 _NODE = re.compile(r"\((\w+)(?::(\w+))?\)")
-_EDGE = re.compile(r"(<?)-\[:(\w+)(?:\*(\d+))?\]-(>?)")
+_EDGE = re.compile(r"(<?)-\[(\w+)?:(\w+)(?:\*(\d+))?\]-(>?)")
+
+# an edge variable's "label" in the shared labels dict — '@' cannot
+# start a vertex label (\w+), so the namespaces never collide
+_EDGE_LABEL_PREFIX = "@"
 
 
 @dataclass(frozen=True)
@@ -116,19 +125,27 @@ class PropertyGraph:
         self._e[rel] = _EdgeRel(df, src_col, dst_col)
         return self
 
-    def _parse(self, pattern: str) -> tuple[list[tuple[str, str | None]], list[str]]:
+    def _parse(self, pattern: str) -> tuple[list[tuple[str, str | None]], list[tuple]]:
         pat = pattern.strip()
         if pat.upper().startswith("MATCH"):
             pat = pat[5:].strip()
         nodes = [(m.group(1), m.group(2)) for m in _NODE.finditer(pat)]
         raw_edges = []
         for m in _EDGE.finditer(pat):
-            left, rel, reps, right = m.group(1), m.group(2), m.group(3), m.group(4)
+            left, evar, rel, reps, right = (
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+            )
             if left and right:
                 raise ValueError(f"edge :{rel}: <-...-> is not a direction")
+            if evar and reps:
+                raise ValueError(
+                    f"edge variable {evar!r} on a variable-length hop "
+                    f":{rel}*{reps} is ambiguous (which traversed edge?) — "
+                    f"name the hops explicitly"
+                )
             # '>' forward, '<' reverse, neither = undirected (either way)
             d = "rev" if left else ("fwd" if right else "und")
-            raw_edges.append((rel, int(reps or 1), d))
+            raw_edges.append((rel, int(reps or 1), d, evar))
         if len(nodes) != len(raw_edges) + 1:
             raise ValueError(
                 f"malformed pattern {pattern!r}: {len(nodes)} nodes, "
@@ -139,20 +156,20 @@ class PropertyGraph:
         # (a)-[:R*2]->(b)  ==  (a)-[:R]->(_a_R_1)-[:R]->(b) — fresh
         # anonymous intermediates, same joins as writing the chain out.
         out_nodes = [nodes[0]]
-        edges: list[tuple[str, str]] = []
-        for i, (rel, reps, d) in enumerate(raw_edges):
+        edges: list[tuple[str, str, str | None]] = []
+        for i, (rel, reps, d, evar) in enumerate(raw_edges):
             if reps < 1:
                 raise ValueError(f"edge :{rel}*{reps}: repeat must be >= 1")
             for r in range(reps - 1):
-                edges.append((rel, d))
+                edges.append((rel, d, None))
                 out_nodes.append((f"_{nodes[i][0]}_{rel}_{r + 1}", None))
-            edges.append((rel, d))
+            edges.append((rel, d, evar))
             out_nodes.append(nodes[i + 1])
         nodes = out_nodes
         for _, label in nodes:
             if label is not None and label not in self._v:
                 raise ValueError(f"unknown vertex label :{label}")
-        for rel, d in edges:
+        for rel, d, evar in edges:
             if rel not in self._e:
                 raise ValueError(f"unknown edge relation :{rel}")
             if d != "fwd" and self._e[rel].df is None:
@@ -160,6 +177,11 @@ class PropertyGraph:
                     f"FK edge :{rel} is forward-only (the key lives in the "
                     f"source row) — register a real edge relation for "
                     f"reverse/undirected traversal"
+                )
+            if evar and self._e[rel].df is None:
+                raise ValueError(
+                    f"edge variable {evar!r} on FK edge :{rel} — a FK hop "
+                    f"has no edge relation to carry attributes"
                 )
         return nodes, edges
 
@@ -226,6 +248,9 @@ class PropertyGraph:
                         f":{label0} across chains"
                     )
             else:
+                if var0 in labels:
+                    # in labels but not bound == an edge variable
+                    raise ValueError(f"variable {var0!r} bound twice")
                 if label0 is None:
                     raise ValueError(
                         f"chain anchor {var0!r} must be labeled or already "
@@ -259,7 +284,7 @@ class PropertyGraph:
         # by the internal columns earlier chains already contributed
         hop_base = sum(1 for c in binding.columns if c.startswith("__src_"))
 
-        for hop0, ((rel, d), (var, label)) in enumerate(zip(edges, nodes[1:])):
+        for hop0, ((rel, d, evar), (var, label)) in enumerate(zip(edges, nodes[1:])):
             hop = hop_base + hop0
             e = self._e[rel]
             if e.df is None:
@@ -276,15 +301,29 @@ class PropertyGraph:
                 # variable-length hop (or two hops over the same
                 # relation) would otherwise self-join one DataFrame
                 # and hit ambiguous column resolution. Edge ATTRIBUTE
-                # columns are not projected into the binding — the
-                # binding carries vertex ids/attrs; edge-property
-                # predicates belong on the relation before add_edge.
+                # columns enter the binding ONLY when the hop names an
+                # edge variable (`-[r:RATED]->`): each attribute is
+                # projected as ``r__col``, resolvable as ``r.col`` in
+                # WHERE/RETURN — column pruning drops them from the
+                # scan whenever the query never touches them.
+                if evar:
+                    if evar in labels:
+                        raise ValueError(f"variable {evar!r} bound twice")
+                    attrs = [
+                        F.col(c).alias(f"{evar}__{c}")
+                        for c in e.df.columns
+                        if c not in (e.src_col, e.dst_col)
+                    ]
+                else:
+                    attrs = []
                 sc, dc = f"__src_{hop}", f"__dst_{hop}"
                 fwd = e.df.select(
-                    F.col(e.src_col).alias(sc), F.col(e.dst_col).alias(dc)
+                    F.col(e.src_col).alias(sc), F.col(e.dst_col).alias(dc),
+                    *attrs,
                 )
                 rev = e.df.select(
-                    F.col(e.dst_col).alias(sc), F.col(e.src_col).alias(dc)
+                    F.col(e.dst_col).alias(sc), F.col(e.src_col).alias(dc),
+                    *attrs,
                 )
                 # direction picks the orientation; undirected unions
                 # both (Cypher semantics: a stored edge (u,v) yields
@@ -292,12 +331,17 @@ class PropertyGraph:
                 edf = {"fwd": fwd, "rev": rev}.get(d) or fwd.unionByName(rev)
                 binding = binding.join(edf, F.col(prev) == F.col(sc))
                 dst_col = dc
+                if evar:
+                    labels[evar] = _EDGE_LABEL_PREFIX + rel
             if var in bound:
                 # Cycle close (triangle shape): the hop must land on
                 # the id this variable is already bound to.
                 binding = binding.filter(F.col(dst_col) == F.col(var))
                 prev = var
                 continue
+            if var in labels:
+                # in labels but not bound == an edge variable's name
+                raise ValueError(f"variable {var!r} bound twice")
             if label is not None:
                 v = self._v[label]
                 if label in owner:
@@ -344,6 +388,15 @@ class PropertyGraph:
                     f"{term!r}: variable {var!r} is unlabeled — it has an "
                     f"id but no attribute columns"
                 )
+            if label.startswith(_EDGE_LABEL_PREFIX):
+                rel = label[1:]
+                e = self._e[rel]
+                if col in (e.src_col, e.dst_col) or col not in e.df.columns:
+                    raise ValueError(
+                        f"{term!r}: edge :{rel} has no attribute {col!r} "
+                        f"(endpoints resolve through the node variables)"
+                    )
+                return F.col(f"{var}__{col}"), col
             if col not in self._v[label].df.columns:
                 raise ValueError(
                     f"{term!r}: vertex :{label} has no column {col!r}"
@@ -353,13 +406,21 @@ class PropertyGraph:
             return F.col(f"{var}__{col}"), col
         if term not in labels:
             raise ValueError(f"unknown pattern variable {term!r}")
+        if (labels[term] or "").startswith(_EDGE_LABEL_PREFIX):
+            raise ValueError(
+                f"edge variable {term!r} has no id column — project an "
+                f"attribute ({term}.col) instead"
+            )
         return F.col(term), term
 
     _COND = re.compile(
         r"^\s*(\w+(?:\.\w+)?)\s*(<>|!=|<=|>=|=|<|>)\s*"
         r"('(?:[^']*)'|-?\d+(?:\.\d+)?|\w+(?:\.\w+)?)\s*$"
     )
-    _AGG = re.compile(r"(?i)^\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+(?:\.\w+)?)\s*\)\s*$")
+    _AGG = re.compile(
+        r"(?i)^\s*(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?"
+        r"(\*|\w+(?:\.\w+)?)\s*\)\s*$"
+    )
     _ITEM = re.compile(r"(?i)^\s*(.*?)(?:\s+AS\s+(\w+))?\s*$")
 
     def _literal_or_term(self, tok: str, labels, owner):
@@ -551,8 +612,13 @@ class PropertyGraph:
                 else:
                     # second MATCH clause == comma conjunction: walk
                     # its chains over the SAME binding state (bound =
-                    # every variable seen so far, incl. OPTIONAL ones)
-                    state = (binding, set(labels), labels, owner)
+                    # every NODE variable seen so far, incl. OPTIONAL
+                    # ones; edge variables have no id column to anchor)
+                    node_vars = {
+                        v for v, lab in labels.items()
+                        if not (lab or "").startswith(_EDGE_LABEL_PREFIX)
+                    }
+                    state = (binding, node_vars, labels, owner)
                     for chain in (c for c in text.split(",") if c.strip()):
                         state = self._compile_chain(chain, state)
                     binding = state[0]
@@ -592,12 +658,26 @@ class PropertyGraph:
             expr_txt, alias = self._ITEM.match(raw).groups()
             m = self._AGG.match(expr_txt)
             if m:
-                fn, arg = m.group(1).lower(), m.group(2)
-                name = alias or f"{fn}_{arg.replace('.', '_').replace('*', 'all')}"
+                fn, dflag, arg = m.group(1).lower(), m.group(2), m.group(3)
+                name = alias or (
+                    f"{fn}{'_distinct' if dflag else ''}_"
+                    f"{arg.replace('.', '_').replace('*', 'all')}"
+                )
                 if arg == "*":
-                    if fn != "count":
-                        raise ValueError(f"{fn}(*) is not a thing")
+                    if fn != "count" or dflag:
+                        raise ValueError(f"{fn}({'DISTINCT ' if dflag else ''}*) is not a thing")
                     aggs.append(F.count(F.lit(1)).alias(name))
+                elif dflag:
+                    col = self._resolve(arg, labels, owner)[0]
+                    if fn == "count":
+                        aggs.append(F.countDistinct(col).alias(name))
+                    elif fn == "sum":
+                        aggs.append(F.sum_distinct(col).alias(name))
+                    elif fn in ("min", "max"):
+                        # DISTINCT is a no-op for min/max
+                        aggs.append(getattr(F, fn)(col).alias(name))
+                    else:
+                        raise ValueError(f"{fn}(DISTINCT ...) is unsupported")
                 else:
                     col = self._resolve(arg, labels, owner)[0]
                     aggs.append(getattr(F, fn)(col).alias(name))

@@ -503,3 +503,33 @@ ORACLE["graph_comma_conjunction"] = """
     FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
     GROUP BY 1
 """
+
+
+def q_edge_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-variable surface (round 7): -[r:PLACED]-> binds the order
+    relation's attributes to r, so the WHERE filters ON THE EDGE and
+    the RETURN aggregates it — the compiler projects r__cols only
+    because the query names them (column pruning otherwise)."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("PLACED", load_table(spark, sf_dir, "orders"),
+                  "o_custkey", "o_orderkey")
+    )
+    return pg.query(
+        "MATCH (c:customer)-[r:PLACED]->(o) WHERE r.o_totalprice >= 100000 "
+        "RETURN c AS c_custkey, count(*) AS n_big_orders, "
+        "max(r.o_totalprice) AS max_price"
+    )
+
+
+QUERIES["graph_edge_attr_filter"] = q_edge_attr_filter
+
+ORACLE["graph_edge_attr_filter"] = """
+    SELECT o_custkey AS c_custkey, count(*) AS n_big_orders,
+           max(o_totalprice) AS max_price
+    FROM orders WHERE o_totalprice >= 100000
+    GROUP BY 1
+"""
