@@ -715,3 +715,54 @@ def test_edge_variable_on_fk_edge_raises(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="FK edge"):
         pg.match("MATCH (c:customer)-[r:IN_NATION]->(n:nation)")
+
+
+# ---------------------------------------------------------------- round 7:
+# WITH pipeline stage (project/aggregate mid-query, HAVING, re-MATCH).
+
+def test_with_aggregate_then_where_is_having(spark):
+    """WITH a, count(b) AS n WHERE n >= 2 == groupBy + HAVING: the
+    filter runs post-aggregation, pinned vs hand-written."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) WITH a, count(b) AS n "
+        "WHERE n >= 2 RETURN a, n"
+    ).collect()
+    assert [(r.a, r.n) for r in got] == [(0, 2)]
+
+
+def test_with_then_match_continues_from_projected_var(spark):
+    """A MATCH after WITH anchors on a projected id column — the
+    friends-of-prolific-knowers shape."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) WITH a, count(b) AS n "
+        "WHERE n >= 2 MATCH (a)-[:KNOWS]->(c) RETURN a, c ORDER BY c"
+    ).collect()
+    # only a=0 survives the HAVING; its targets are 1 and 2
+    assert [(r.a, r.c) for r in got] == [(0, 1), (0, 2)]
+
+
+def test_with_distinct_dedupes_midstream(spark):
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(x) WITH DISTINCT a "
+        "RETURN count(*) AS n_knowers"
+    ).collect()
+    assert got[0].n_knowers == 3  # sources {0, 1, 3}
+
+
+def test_with_drops_attribute_access(spark):
+    """After WITH, only the projected names exist — var.attr terms on
+    pre-WITH variables must fail loudly, not resolve stale columns."""
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="unlabeled|unknown"):
+        pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b) WITH a, count(b) AS n "
+            "RETURN a.name"
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b) WITH a "
+            "RETURN b"
+        )

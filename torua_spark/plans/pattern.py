@@ -40,6 +40,11 @@ onto an existing DataFrame op (VERDICT r5 #4):
   ``r__col`` into the binding only when named — column pruning drops
   them otherwise). ``count(DISTINCT x)`` / ``sum(DISTINCT x)``
   aggregate items are supported alongside the plain forms.
+- ``WITH [DISTINCT] <items>`` (round 7): Cypher's pipeline stage —
+  project/aggregate mid-query; the projected names become the
+  variable space downstream, so ``WITH a, count(b) AS n WHERE n > 2``
+  is post-aggregation filtering (HAVING) and a following MATCH
+  continues from any projected id column.
 - ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
   aggregates (an aggregate item turns the projection into a groupBy
   over the non-aggregate items).
@@ -543,12 +548,73 @@ class PropertyGraph:
                 owner[lab] = v
         return out
 
+    def _project(self, binding: DataFrame, part: str,
+                 labels: dict, owner: dict):
+        """Compile a `[DISTINCT] item[, item]...` projection list (the
+        shared body of RETURN and WITH): plain terms become groupBy
+        keys when any aggregate item is present, otherwise a select.
+        Returns (out, key_source) where key_source maps each projected
+        alias to the term it came from — qualified ORDER BY keys
+        resolve by PROVENANCE, not attribute-suffix coincidence
+        (ADVICE r6: `ORDER BY b.name` must never silently sort by a
+        projection of a.name that happens to be named name)."""
+        distinct = False
+        m_d = re.match(r"(?i)^\s*DISTINCT\b", part)
+        if m_d:
+            distinct = True
+            part = part[m_d.end():]
+        keys, aggs = [], []
+        key_source: dict[str, str] = {}
+        for raw in part.split(","):
+            expr_txt, alias = self._ITEM.match(raw).groups()
+            m = self._AGG.match(expr_txt)
+            if m:
+                fn, dflag, arg = m.group(1).lower(), m.group(2), m.group(3)
+                name = alias or (
+                    f"{fn}{'_distinct' if dflag else ''}_"
+                    f"{arg.replace('.', '_').replace('*', 'all')}"
+                )
+                if arg == "*":
+                    if fn != "count" or dflag:
+                        raise ValueError(
+                            f"{fn}({'DISTINCT ' if dflag else ''}*) is not a thing"
+                        )
+                    aggs.append(F.count(F.lit(1)).alias(name))
+                elif dflag:
+                    col = self._resolve(arg, labels, owner)[0]
+                    if fn == "count":
+                        aggs.append(F.countDistinct(col).alias(name))
+                    elif fn == "sum":
+                        aggs.append(F.sum_distinct(col).alias(name))
+                    elif fn in ("min", "max"):
+                        # DISTINCT is a no-op for min/max
+                        aggs.append(getattr(F, fn)(col).alias(name))
+                    else:
+                        raise ValueError(f"{fn}(DISTINCT ...) is unsupported")
+                else:
+                    col = self._resolve(arg, labels, owner)[0]
+                    aggs.append(getattr(F, fn)(col).alias(name))
+            else:
+                term = expr_txt.strip()
+                col, default = self._resolve(term, labels, owner)
+                out_name = alias or default
+                key_source[out_name] = term
+                keys.append(col.alias(out_name))
+        if aggs:
+            out = binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
+        else:
+            out = binding.select(*keys)
+        if distinct:
+            out = out.distinct()
+        return out, key_source
+
     def query(self, q: str) -> DataFrame:
         """Full query form::
 
             MATCH <chain>[, <chain>]...
             [MATCH <chain>[, <chain>]... | OPTIONAL MATCH <chain>
-             [WHERE <conjunction>] | WHERE <conjunction>]...
+             [WHERE <conjunction>] | WHERE <conjunction>
+             | WITH [DISTINCT] <items>]...
             [RETURN [DISTINCT] <items> [ORDER BY <cols> [LIMIT n]]]
 
         — the reference's aspirational surface (ARCHITECTURE.md:
@@ -581,11 +647,14 @@ class PropertyGraph:
         spans = []
         pos = 0
         while True:
-            m = self._kw(r"(?:OPTIONAL\s+MATCH|MATCH|WHERE)", body, pos)
+            m = self._kw(r"(?:OPTIONAL\s+MATCH|MATCH|WHERE|WITH)", body, pos)
             if not m:
                 break
-            kind = "WHERE" if m.group(0).upper() == "WHERE" else (
-                "OPT" if m.group(0).upper().startswith("OPTIONAL") else "MATCH"
+            kw = m.group(0).upper()
+            kind = (
+                "OPT" if kw.startswith("OPTIONAL")
+                else "MATCH" if kw == "MATCH"
+                else kw  # WHERE / WITH
             )
             spans.append((kind, m.start(), m.end()))
             pos = m.end()
@@ -624,6 +693,16 @@ class PropertyGraph:
                     binding = state[0]
             elif kind == "OPT":
                 binding = self._apply_optional(text, binding, labels, owner)
+            elif kind == "WITH":
+                # Cypher's pipeline stage: project/aggregate NOW, and
+                # the projected names become the whole variable space
+                # downstream — a following WHERE is post-aggregation
+                # (HAVING), a following MATCH continues from any
+                # projected id column, RETURN sees only these names.
+                binding, _ = self._project(binding, text, labels, owner)
+                labels.clear()
+                labels.update({c: None for c in binding.columns})
+                owner.clear()
             else:
                 binding = self._apply_where(binding, text, labels, owner)
             i = j
@@ -643,56 +722,7 @@ class PropertyGraph:
             order_part = ret_part[m_ob.end():]
             ret_part = ret_part[: m_ob.start()]
 
-        distinct = False
-        m_d = re.match(r"(?i)^\s*DISTINCT\b", ret_part)
-        if m_d:
-            distinct = True
-            ret_part = ret_part[m_d.end():]
-        keys, aggs = [], []
-        # projected alias -> the RETURN term it came from, so qualified
-        # ORDER BY keys resolve by PROVENANCE, not attribute-suffix
-        # coincidence (ADVICE r6: `ORDER BY b.name` must never silently
-        # sort by a projection of a.name that happens to be named name)
-        key_source: dict[str, str] = {}
-        for raw in ret_part.split(","):
-            expr_txt, alias = self._ITEM.match(raw).groups()
-            m = self._AGG.match(expr_txt)
-            if m:
-                fn, dflag, arg = m.group(1).lower(), m.group(2), m.group(3)
-                name = alias or (
-                    f"{fn}{'_distinct' if dflag else ''}_"
-                    f"{arg.replace('.', '_').replace('*', 'all')}"
-                )
-                if arg == "*":
-                    if fn != "count" or dflag:
-                        raise ValueError(f"{fn}({'DISTINCT ' if dflag else ''}*) is not a thing")
-                    aggs.append(F.count(F.lit(1)).alias(name))
-                elif dflag:
-                    col = self._resolve(arg, labels, owner)[0]
-                    if fn == "count":
-                        aggs.append(F.countDistinct(col).alias(name))
-                    elif fn == "sum":
-                        aggs.append(F.sum_distinct(col).alias(name))
-                    elif fn in ("min", "max"):
-                        # DISTINCT is a no-op for min/max
-                        aggs.append(getattr(F, fn)(col).alias(name))
-                    else:
-                        raise ValueError(f"{fn}(DISTINCT ...) is unsupported")
-                else:
-                    col = self._resolve(arg, labels, owner)[0]
-                    aggs.append(getattr(F, fn)(col).alias(name))
-            else:
-                term = expr_txt.strip()
-                col, default = self._resolve(term, labels, owner)
-                out_name = alias or default
-                key_source[out_name] = term
-                keys.append(col.alias(out_name))
-        if aggs:
-            out = binding.groupBy(*keys).agg(*aggs) if keys else binding.agg(*aggs)
-        else:
-            out = binding.select(*keys)
-        if distinct:
-            out = out.distinct()
+        out, key_source = self._project(binding, ret_part, labels, owner)
 
         if order_part is not None:
             sort_cols = []

@@ -533,3 +533,30 @@ ORACLE["graph_edge_attr_filter"] = """
     FROM orders WHERE o_totalprice >= 100000
     GROUP BY 1
 """
+
+
+def q_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH pipeline stage (round 7): aggregate mid-query, then filter
+    post-aggregation (Cypher's HAVING idiom) — heavy customers by
+    order count."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("PLACED",
+                  load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+                  "o_custkey", "o_orderkey")
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o) WITH c, count(o) AS n_orders "
+        "WHERE n_orders >= 10 RETURN c AS c_custkey, n_orders"
+    )
+
+
+QUERIES["graph_with_having"] = q_with_having
+
+ORACLE["graph_with_having"] = """
+    SELECT o_custkey AS c_custkey, count(*) AS n_orders
+    FROM orders GROUP BY 1 HAVING count(*) >= 10
+"""
