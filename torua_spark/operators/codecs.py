@@ -9,6 +9,9 @@ structure is simple enough to decode with stdlib ``struct`` —
 - BMP  (BITMAPINFOHEADER: width/|height|/bpp)
 - PPM / PGM (P6/P5 ASCII headers, comments included)
 - JPEG (marker walk to the first SOF0/1/2 frame header)
+- GIF  (logical screen descriptor; ``iter_gif_frames`` additionally
+  demuxes the block stream into per-frame byte spans — the real
+  container walk frame sampling needs, no pixel decode)
 
 plus a REAL pixel path for binary PPM (P6): ``decode_ppm`` +
 ``resize_nearest`` resample actual image bytes with nearest-neighbor
@@ -61,6 +64,9 @@ def decode_header(b: bytes):
             if mode is None or w <= 0 or h == 0:
                 return None
             return int(w), abs(int(h)), mode
+    # GIF87a/89a: logical screen descriptor (palette mode).
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header(b)
     # PPM (P6, RGB) / PGM (P5, grayscale) binary variants.
     m = _PNM_HEADER.match(b)
     if m:
@@ -126,3 +132,65 @@ def resize_nearest(pixels: bytes, w: int, h: int, nw: int, nh: int,
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     return a[ys][:, xs].tobytes()
+
+
+def decode_gif_header(b: bytes):
+    """(width, height, 'P') for a GIF87a/89a payload, else None (GIF
+    is palette-indexed, hence PIL mode 'P')."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    if w == 0 or h == 0:
+        return None
+    return int(w), int(h), "P"
+
+
+def _skip_sub_blocks(b: bytes, i: int) -> int:
+    """Advance past a GIF sub-block chain (len byte + data, 0 ends)."""
+    while i < len(b):
+        n = b[i]
+        i += 1
+        if n == 0:
+            return i
+        i += n
+    raise ValueError("truncated sub-block chain")
+
+
+def iter_gif_frames(b: bytes):
+    """REAL container demux for GIF: walk the block stream and yield
+    (frame_index, start, end) byte spans, one per image descriptor —
+    exactly the work a frame-sampling pipeline needs (no pixel decode:
+    sampling selects frames BEFORE any expensive decode runs, which at
+    100 TB is the point of sampling). Pure stdlib; returns None if the
+    payload is not a structurally-valid GIF. Spans cover the image
+    descriptor through its LZW data, so per-frame digests are stable
+    content hashes."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    i = 10
+    packed = b[i]
+    i += 3  # packed + background color + aspect ratio
+    if packed & 0x80:
+        i += 3 * (2 ** ((packed & 0x07) + 1))  # global color table
+    frames = []
+    try:
+        while i < len(b):
+            block = b[i]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                i = _skip_sub_blocks(b, i + 2)
+            elif block == 0x2C:  # image descriptor == one frame
+                start = i
+                i += 10  # separator + left/top/width/height + packed
+                lpacked = b[start + 9]
+                if lpacked & 0x80:
+                    i += 3 * (2 ** ((lpacked & 0x07) + 1))  # local table
+                i += 1  # LZW minimum code size
+                i = _skip_sub_blocks(b, i)
+                frames.append((len(frames), start, i))
+            else:
+                return None  # unknown block type: not a valid GIF
+    except (ValueError, IndexError):
+        return None
+    return frames or None

@@ -211,23 +211,41 @@ def resize_pixels(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
 
 
-def _fake_frames(every_n: int):
+def _frame_gen(every_n: int):
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """STUB DEMUX — deterministic fake: frame count is derived
-        from payload size (1 frame per KiB, min 1), each sampled
-        frame's digest from md5(payload ++ index). A real deployment
-        replaces the body with pyav/ffmpeg keyframe extraction; the
-        contract — Arrow batches in, one row per SAMPLED frame out
-        (the explode happens inside the UDF, so unsampled frames are
-        never materialized) — is unchanged."""
+        """Frame demux, two tiers per payload (round 7):
+
+        1. REAL container walk for GIF (codecs.iter_gif_frames): the
+           block stream is parsed into per-frame byte spans and every
+           every_n-th frame's span is digested — actual animation
+           frames, content-stable hashes, no pixel decode (sampling
+           selects frames BEFORE any decode cost, which at 100 TB is
+           the point);
+        2. deterministic fake for everything else (documented): frame
+           count from payload size (1 frame per KiB, min 1), digest
+           md5(payload ++ index). A full deployment adds pyav/ffmpeg
+           for MP4/WebM; the contract — Arrow batches in, one row per
+           SAMPLED frame out (the explode happens inside the UDF, so
+           unsampled frames are never materialized) — is identical on
+           both tiers."""
+        from torua_spark.operators.codecs import iter_gif_frames
+
         for pdf in batches:
             ids, idxs, digs = [], [], []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(p) // 1024)
+                b = bytes(p)
+                frames = iter_gif_frames(b)
+                if frames is not None:
+                    for i, s, e in frames[::every_n]:
+                        ids.append(d)
+                        idxs.append(i)
+                        digs.append(hashlib.md5(b[s:e]).hexdigest())
+                    continue
+                n_frames = max(1, len(b) // 1024)
                 for i in range(0, n_frames, every_n):
                     ids.append(d)
                     idxs.append(i)
-                    digs.append(hashlib.md5(bytes(p) + f"_f{i}".encode()).hexdigest())
+                    digs.append(hashlib.md5(b + f"_f{i}".encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_digest": digs}
             )
@@ -236,11 +254,13 @@ def _fake_frames(every_n: int):
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling: mapInPandas over binary payloads, one
-    output row per every_n-th frame. Demux is the deterministic fake
-    above (no video codec in this image); the Spark-side plumbing —
-    batch iteration, in-UDF frame explode, narrow typed output — is
-    the production shape."""
+    """Video/animation frame sampling: mapInPandas over binary
+    payloads, one output row per every_n-th frame. Demux is REAL for
+    GIF payloads (pure-stdlib block walk, tests pin a hand-built
+    2-frame fixture) and a deterministic fake for containers whose
+    codecs aren't in this image (see _frame_gen); the Spark-side
+    plumbing — batch iteration, in-UDF frame explode, narrow typed
+    output — is the production shape on both tiers."""
     return media.select("doc_id", "payload").mapInPandas(
-        _fake_frames(every_n), FRAME_SCHEMA
+        _frame_gen(every_n), FRAME_SCHEMA
     )
