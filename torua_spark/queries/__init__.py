@@ -105,8 +105,12 @@ _DECLARED = [
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).
     "graph_pattern_topk",
-    "temporal_graph_evolution",
-    "recommend_items",
+    # Round-7 feature proof: the edge-variable and WITH/HAVING clause
+    # chains driver-proven the round they landed; recommend_items and
+    # temporal_graph_evolution (driver-green r4-r6) rotate out,
+    # keeping their pytest oracles.
+    "graph_edge_attr_filter",
+    "graph_with_having",
     # --- training-data pipeline (dedup / packing / curriculum)
     "semantic_dedup",
     "semantic_dedup_auto",

@@ -468,7 +468,14 @@ def q_comma_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct customers buying from the SAME supplier, counted per
     supplier — two chains joined over the shared s, compiled as one
     join tree (plans/pattern.py _compile_chain state threading). The
-    a < b WHERE keeps each unordered pair once."""
+    a < b WHERE keeps each unordered pair once.
+
+    SCALE NOTE: the pair space here is Σ(per-supplier degree)² — the
+    dense-projection shape coproduct_edges documents (345M pairs at
+    sf0.1 when keyed on supplier alone). Fine as a pattern-surface
+    exercise at oracle SF; a production same-seller query blocks on
+    the (supplier, part) composite like recommend_items, which keeps
+    group sizes bounded (measured max 3 at sf0.1)."""
     from torua_spark.plans.pattern import PropertyGraph
 
     pg = (
