@@ -118,3 +118,43 @@ def test_curriculum_phases_partition_corpus(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a["q_hi"] <= b["q_lo"] + 1e-9
     compare(out, pipeline_q.ORACLE["curriculum_phases"], sf_dir)
+
+
+def test_mixture_sample_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare
+
+    compare(
+        pipeline_q.q_mixture_sample(spark, sf_dir),
+        pipeline_q.ORACLE["mixture_sample"], sf_dir,
+    )
+
+
+def test_mixture_sample_semantics(spark, sf_dir):
+    """Deterministic; proportions track the weights (3.5-sigma band);
+    up-sampled sources repeat documents with contiguous epochs 1..k;
+    unweighted sources are absent."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = smp.mixture_sample(docs, {"src0": 6.0, "src1": 1.0, "src2": 1.0})
+    a = sorted(map(tuple, m.collect()))
+    assert a == sorted(map(tuple, smp.mixture_sample(
+        docs, {"src0": 6.0, "src1": 1.0, "src2": 1.0}).collect()))
+    by_src = {}
+    epochs = {}
+    for doc_id, src, epoch in a:
+        by_src[src] = by_src.get(src, 0) + 1
+        epochs.setdefault((src, doc_id), []).append(epoch)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    n_avail = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    total = n_avail["src0"] + n_avail["src1"] + n_avail["src2"]
+    # src0 rate = total * (6/8) / n_src0 > 1 -> every doc repeats
+    rate0 = total * (6.0 / 8.0) / n_avail["src0"]
+    assert rate0 > 1
+    for (src, doc_id), es in epochs.items():
+        assert es == list(range(1, len(es) + 1))  # contiguous epochs
+        if src == "src0":
+            assert len(es) >= int(rate0)  # floor guaranteed to all
+    # expected counts within a Bernoulli band around total * w
+    for src, w in (("src0", 0.75), ("src1", 0.125), ("src2", 0.125)):
+        expect = total * w
+        sd = (n_avail[src] * 0.25) ** 0.5 + 1  # loose bound on the
+        assert abs(by_src[src] - expect) < 3.5 * sd + 2, (src, by_src[src], expect)

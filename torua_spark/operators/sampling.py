@@ -295,3 +295,60 @@ def curriculum_phases(documents: DataFrame, n_phases: int = 4) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+def mixture_sample(documents: DataFrame, weights: dict[str, float],
+                   total: int | None = None,
+                   salt: str = "mix:") -> DataFrame:
+    """Deterministic training-data MIXTURE: resample the corpus so
+    each source contributes ``weights``-proportional rows to a
+    ``total``-row mix (default: corpus size — a same-size remix),
+    up-sampling scarce sources by integer REPETITION (the epochs-over-
+    a-small-source recipe every LLM data mix uses) and down-sampling
+    abundant ones by hash threshold. Returns (doc_id, source, epoch):
+    epoch enumerates a document's repetitions, so downstream packing
+    can interleave epochs instead of concatenating them.
+
+    Per-row copies for source s with rate r_s = total*w_s/n_s:
+    floor(r_s) + (hash_unit(doc_id) < frac(r_s)), so expected copies
+    = r_s exactly, decisions are per-document deterministic
+    (reproducible mixes — the property that makes training runs
+    comparable), and the SQL oracle replicates bit-for-bit.
+
+    Scale shape: ONE metadata aggregate (per-source counts,
+    sources-sized collect), a broadcast rates dim joined map-side,
+    and an in-row explode for repetitions — the corpus is never
+    shuffled; at 100 TB this is a single pass. Sources absent from
+    ``weights`` are dropped (inner join)."""
+    from torua_spark.sources.local import local_df
+
+    wsum = float(sum(weights.values()))
+    counts = {
+        r[0]: r[1]
+        for r in documents.groupBy("source").count().collect()
+        if r[0] in weights
+    }
+    if total is None:
+        total = sum(counts.values())
+    rates = [
+        (s, total * (weights[s] / wsum) / counts[s])
+        for s in sorted(counts)
+    ]
+    rdf = local_df(
+        documents.sparkSession, rates, "source string, rate double"
+    )
+    u = hash_unit(F.col("doc_id").cast("string"), salt)
+    copies = (
+        F.floor("rate")
+        + (u < F.col("rate") - F.floor("rate")).cast("long")
+    ).cast("long")
+    return (
+        documents.select("doc_id", "source")
+        .join(F.broadcast(rdf), "source")
+        .withColumn("copies", copies)
+        .filter(F.col("copies") >= 1)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+        )
+    )

@@ -220,3 +220,55 @@ def _curriculum_oracle_sql() -> str:
 
 
 ORACLE["curriculum_phases"] = _curriculum_oracle_sql()
+
+
+# ---- Mixture sampling (round 7): source-weighted training mix with
+# deterministic up/down-sampling (operators/sampling.mixture_sample).
+
+MIX_WEIGHTS = {f"src{i}": w for i, w in
+               [(0, 4.0), (1, 4.0), (2, 2.0), (3, 2.0), (4, 1.0), (5, 1.0)]}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remix six sources at 4:4:2:2:1:1 into a corpus-sized mix:
+    heavy sources repeat documents (epoch > 1), light ones thin by
+    hash threshold — the reproducible-mix contract a training run
+    needs (same inputs, same mix, any cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.mixture_sample(docs, MIX_WEIGHTS)
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+
+def _mixture_oracle_sql() -> str:
+    wsum = sum(MIX_WEIGHTS.values())
+    wvals = ", ".join(
+        f"('{s}', {w / wsum!r})" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    u = _u_sql("mix:")
+    return f"""
+        WITH w(source, wgt) AS (VALUES {wvals}),
+        counts AS (
+            SELECT d.source, count(*)::BIGINT AS n
+            FROM documents d JOIN w ON w.source = d.source
+            GROUP BY 1
+        ),
+        total AS (SELECT sum(n)::BIGINT AS t FROM counts),
+        rates AS (
+            SELECT w.source, CAST(t AS DOUBLE) * w.wgt / n AS rate
+            FROM w JOIN counts USING (source), total
+        ),
+        kept AS (
+            SELECT d.doc_id, d.source,
+                   CAST(floor(r.rate) + CASE WHEN {u} < r.rate - floor(r.rate)
+                        THEN 1 ELSE 0 END AS BIGINT) AS copies
+            FROM documents d JOIN rates r ON r.source = d.source
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(1, copies)) AS epoch
+        FROM kept WHERE copies >= 1
+    """
+
+
+ORACLE["mixture_sample"] = _mixture_oracle_sql()
