@@ -766,3 +766,20 @@ def test_with_drops_attribute_access(spark):
             "MATCH (a:person)-[:KNOWS]->(b) WITH a "
             "RETURN b"
         )
+
+
+def test_where_is_null_anti_join_idiom(spark):
+    """The Cypher anti-join: OPTIONAL MATCH, pipe through WITH, keep
+    the unmatched anchors with IS NULL — compiles to a left join +
+    null filter Catalyst rewrites as an anti join."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "WITH a, b WHERE b IS NULL RETURN a ORDER BY a"
+    ).collect()
+    assert [r.a for r in got] == [2, 4, 5]  # no outgoing KNOWS
+    got2 = pg.query(
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "WITH a, b WHERE b IS NOT NULL RETURN count(*) AS n"
+    ).collect()
+    assert got2[0].n == 4  # the four KNOWS edges

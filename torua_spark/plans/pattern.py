@@ -40,6 +40,10 @@ onto an existing DataFrame op (VERDICT r5 #4):
   ``r__col`` into the binding only when named — column pruning drops
   them otherwise). ``count(DISTINCT x)`` / ``sum(DISTINCT x)``
   aggregate items are supported alongside the plain forms.
+- ``IS [NOT] NULL`` WHERE terms (round 7): with OPTIONAL MATCH +
+  WITH this is Cypher's anti-join idiom (``WITH a, b WHERE b IS
+  NULL`` keeps only unmatched anchors — Catalyst rewrites the
+  null-filtered left join into an anti join).
 - ``WITH [DISTINCT] <items>`` (round 7): Cypher's pipeline stage —
   project/aggregate mid-query; the projected names become the
   variable space downstream, so ``WITH a, count(b) AS n WHERE n > 2``
@@ -465,6 +469,19 @@ class PropertyGraph:
         for cond in re.split(
             r"(?i)\bAND\b(?=(?:[^']*'[^']*')*[^']*$)", part
         ):
+            m_null = re.match(
+                r"(?i)^\s*(\w+(?:\.\w+)?)\s+IS\s+(NOT\s+)?NULL\s*$", cond
+            )
+            if m_null:
+                # IS [NOT] NULL — after OPTIONAL MATCH this is
+                # Cypher's anti-join idiom (`WHERE b IS NULL` keeps
+                # only unmatched anchors); Catalyst rewrites the
+                # null-check over a left join into an anti/semi join.
+                col = self._resolve(m_null.group(1), labels, owner)[0]
+                binding = binding.filter(
+                    col.isNotNull() if m_null.group(2) else col.isNull()
+                )
+                continue
             m = self._COND.match(cond)
             if not m:
                 raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
