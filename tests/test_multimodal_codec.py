@@ -360,3 +360,37 @@ class TestGif:
         # fake tier: 3000 bytes -> 2 frames -> every_n=2 samples just [0]
         fake_rows = [r.frame_idx for r in out if r.doc_id == 2]
         assert fake_rows == [0]
+
+
+# ------------------------------------------------------------------ PGM
+class TestPgm:
+    def test_roundtrip(self):
+        from torua_spark.operators.codecs import decode_pgm, encode_pgm
+
+        px = bytes(range(12))  # 4x3 grayscale
+        b = encode_pgm(4, 3, px)
+        assert decode_pgm(b) == (4, 3, px)
+        assert decode_header(b) == (4, 3, "L")
+
+    def test_rejects_p6_and_truncation(self):
+        from torua_spark.operators.codecs import decode_pgm, encode_pgm
+
+        assert decode_pgm(encode_ppm(2, 2, bytes(12))) is None
+        assert decode_pgm(encode_pgm(4, 3, bytes(12))[:-1]) is None
+
+    def test_resize_pixels_grayscale_hand_computed(self, spark):
+        """The grayscale pixel path end-to-end through mapInPandas:
+        4x2 L image, box=2 -> 2x1, nearest picks columns [0, 2]."""
+        from torua_spark.operators.codecs import encode_pgm
+        from torua_spark.operators.multimodal import resize_pixels
+
+        px = bytes([10, 20, 30, 40, 50, 60, 70, 80])  # row0, row1
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_pgm(4, 2, px)), "image/x-portable-graymap", "s")],
+            "doc_id long, payload binary, mime string, source string",
+        )
+        out = resize_pixels(df, box=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.new_width, r.new_height) == (2, 1)
+        assert bytes(r.pixels) == bytes([10, 30])

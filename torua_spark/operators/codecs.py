@@ -110,10 +110,33 @@ def decode_ppm(b: bytes):
     return w, h, px
 
 
+def decode_pgm(b: bytes):
+    """Full binary-PGM (P5, maxval<=255) decode: (w, h, pixel bytes —
+    row-major grayscale). None if not a decodable P5. The grayscale
+    sibling of ``decode_ppm`` — together they give the resize
+    operator a real pixel path for both PNM channel layouts."""
+    m = _PNM_HEADER.match(b)
+    if not m or m.group(1) != b"P5":
+        return None
+    w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255 or w == 0 or h == 0:
+        return None
+    px = b[m.end(): m.end() + w * h]
+    if len(px) < w * h:
+        return None
+    return w, h, px
+
+
 def encode_ppm(w: int, h: int, pixels: bytes) -> bytes:
     """Test/fixture helper: pack RGB bytes as a P6 payload."""
     assert len(pixels) == w * h * 3
     return b"P6\n%d %d\n255\n" % (w, h) + pixels
+
+
+def encode_pgm(w: int, h: int, pixels: bytes) -> bytes:
+    """Test/fixture helper: pack grayscale bytes as a P5 payload."""
+    assert len(pixels) == w * h
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels
 
 
 def resize_nearest(pixels: bytes, w: int, h: int, nw: int, nh: int,

@@ -163,26 +163,38 @@ RESIZED_SCHEMA = "doc_id long, new_width int, new_height int, pixels binary"
 
 
 def _resample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Pixel resample: REAL nearest-neighbor geometry for binary PPM
-    payloads (operators/codecs.py — executes genuinely in this
-    container; pinned end-to-end in tests/test_multimodal_codec.py),
-    deterministic fake pixels (md5 keystream tiled to min(1 KiB,
-    w*h*3) bytes) for everything else. A full deployment adds PIL for
-    the remaining formats; the operator contract — Arrow batches of
-    (payload, target geometry) in, binary pixel column out — is
-    identical on both paths."""
-    from torua_spark.operators.codecs import decode_ppm, resize_nearest
+    """Pixel resample: REAL nearest-neighbor geometry for binary PNM
+    payloads — RGB P6 and grayscale P5 (operators/codecs.py —
+    executes genuinely in this container; pinned end-to-end in
+    tests/test_multimodal_codec.py), deterministic fake pixels (md5
+    keystream tiled to min(1 KiB, w*h*3) bytes) for everything else.
+    A full deployment adds PIL for the remaining formats; the
+    operator contract — Arrow batches of (payload, target geometry)
+    in, binary pixel column out — is identical on every path."""
+    from torua_spark.operators.codecs import (
+        decode_pgm,
+        decode_ppm,
+        resize_nearest,
+    )
 
     for pdf in batches:
         pixels = []
         for p, w, h in zip(pdf["payload"], pdf["new_width"], pdf["new_height"]):
-            ppm = decode_ppm(bytes(p))
+            b = bytes(p)
+            ppm = decode_ppm(b)
             if ppm is not None:
                 sw, sh, px = ppm
                 pixels.append(resize_nearest(px, sw, sh, int(w), int(h)))
                 continue
+            pgm = decode_pgm(b)
+            if pgm is not None:
+                sw, sh, px = pgm
+                pixels.append(
+                    resize_nearest(px, sw, sh, int(w), int(h), channels=1)
+                )
+                continue
             n = min(1024, int(w) * int(h) * 3)
-            seed = hashlib.md5(bytes(p) + f"_{w}x{h}".encode()).digest()
+            seed = hashlib.md5(b + f"_{w}x{h}".encode()).digest()
             pixels.append((seed * (n // 16 + 1))[:n])
         yield pd.DataFrame(
             {
