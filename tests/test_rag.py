@@ -616,3 +616,44 @@ def test_semantic_dedup_refined_blocking_past_cap(spark, sf_dir):
     }
     assert ref_pairs <= cell_pairs
     assert ref_pairs, "refined blocking must still find pairs"
+
+
+def test_ivf_index_persist_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Persisted IVF index (round 7): the cell-partitioned layout IS
+    the index — a probe reads ONLY its nprobe cell directories
+    (inputFiles() proof), and the persisted path probes the identical
+    cells as the in-memory learned path (same portable arithmetic)."""
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    report = sim.ivf_index_write(emb, path)
+    assert report["cells"] > 3 and report["files"] >= report["cells"]
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    out = sim.ivf_index_topk(spark, path, qvec, k=10, nprobe=3)
+    rows = out.collect()
+    assert len(rows) == 10
+    # the query vector itself lives in the index: top hit, sim 1.0
+    assert rows[0]["vec_id"] == 0 and rows[0]["sim"] == 1.0
+
+    # partition pruning: the cell IN (...) predicate lands in the
+    # scan's PartitionFilters (directory-level pruning — unprobed
+    # cell= dirs are never opened), not as a post-scan data filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and " IN " in m.group(1), plan[:2000]
+    # and only the probed cells appear in the pushed IN-list
+    in_list = re.search(r" IN \(([^)]*)\)", m.group(1)).group(1)
+    in_cells = {int(x) for x in re.findall(r"\d+", in_list)}
+    probed_cells = {r["cell"] for r in rows}
+    assert probed_cells <= in_cells and len(in_cells) == 3
+
+    # parity with the in-memory learned path (excluding the query
+    # vector, which the in-memory API filters out)
+    mem = sim.ivf_topk_learned(emb, 0, 10, nprobe=3).collect()
+    got = [(r["vec_id"], r["sim"]) for r in rows if r["vec_id"] != 0][:5]
+    want = [(r["vec_id"], r["sim"]) for r in mem][:5]
+    assert got == want

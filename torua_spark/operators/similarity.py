@@ -970,3 +970,74 @@ def pq_topk_reranked(embeddings: DataFrame, query_vec_id: int = 0,
         .select("vec_id", "label", round4(d2).alias("l2_dist"))
     )
     return global_topk(exact, [F.col("l2_dist").asc(), F.col("vec_id").asc()], k)
+
+
+def ivf_index_write(embeddings: DataFrame, path: str,
+                    kmeans_k: int = KMEANS_K,
+                    iterations: int = KMEANS_ITERATIONS) -> dict:
+    """Persist an IVF index AT REST: the corpus cell-partitioned by
+    its learned coarse quantizer (hive ``cell=`` directories) plus the
+    centroid codebook as a tiny side relation — B7's vector search
+    meeting B14's index-as-layout. The probe path
+    (``ivf_index_topk``) then touches only ``nprobe`` directories:
+    at 100 TB the index IS the partitioning, and a query reads
+    nprobe/k of the corpus with no index structure beyond the file
+    layout (the same contract as the reference's aspirational
+    "semantic search" surface, re-expressed as storage).
+
+    Returns a layout report (cells, vectors, files)."""
+    import pathlib
+
+    cents = kmeans_centroids(embeddings, kmeans_k, iterations)
+    cells = assign_cells(embeddings, cents)
+    (
+        embeddings.join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    vec_dir = pathlib.Path(f"{path}/vectors")
+    return {
+        "cells": len(list(vec_dir.glob("cell=*"))),
+        "files": len(list(vec_dir.rglob("*.parquet"))),
+    }
+
+
+def ivf_index_topk(spark, path: str, query_vec, k: int = 10,
+                   nprobe: int = 3) -> DataFrame:
+    """Query a PERSISTED IVF index by explicit query vector: rank the
+    codebook driver-side (centroids are index-metadata-sized — k
+    rows, never the corpus), then scan ONLY the top-``nprobe``
+    ``cell=`` directories; hive partition pruning keeps every other
+    cell's files untouched (asserted via inputFiles() in
+    tests/test_rag.py). Cell ranking replicates ``ivf_topk``'s
+    portable arithmetic (round4 + cell tie-break), so the persisted
+    path and the in-memory path probe identical cells."""
+    import math
+
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    nq = float(np.linalg.norm(q))
+
+    def _r4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5 + 1e-9) / 10000.0
+
+    ranked = []
+    for r in spark.read.parquet(f"{path}/centroids").collect():
+        c = np.asarray(r["centroid"], dtype=np.float64)
+        nc = float(np.linalg.norm(c))
+        sim = float(q @ c) / (nq * nc) if nq > 0 and nc > 0 else -1.0
+        ranked.append((-_r4(sim), r["cell"]))
+    probe = [cell for _, cell in sorted(ranked)[:nprobe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probe))
+        .select(
+            "vec_id", "cell",
+            round4(cosine(to_double_array("embedding"), qcol)).alias("sim"),
+        )
+    )
+    return global_topk(scored, [F.col("sim").desc(), F.col("vec_id")], k)
