@@ -65,3 +65,24 @@ def test_pack_after_filters(spark, sf_dir):
     assert sum(r["tok_mass"] for r in packed) == total_tokens
     assert all(r["n_docs"] >= 1 for r in packed)
     assert len(packed) >= total_tokens // PACK_BUDGET
+
+
+def test_mix_stage_targets_output_proportions(spark, sf_dir):
+    """The mix stage re-proportions to weights over the SURVIVING
+    corpus (post-filter), repeating scarce sources as epochs."""
+    from torua_spark.pipeline import CorpusPipeline
+    from torua_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = CorpusPipeline(spark, docs).quality_filter(min_chars=50).mix(
+        {"src0": 3.0, "src1": 1.0}
+    )
+    rows = m.collect()
+    assert set(m.columns) == {"doc_id", "source", "epoch"}
+    srcs = {r.source for r in rows}
+    assert srcs <= {"src0", "src1"} and len(rows) > 0
+    # deterministic re-run
+    again = CorpusPipeline(spark, docs).quality_filter(min_chars=50).mix(
+        {"src0": 3.0, "src1": 1.0}
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

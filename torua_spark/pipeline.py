@@ -132,6 +132,18 @@ class CorpusPipeline:
             rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
         return self._with(self._docs.filter(u < rate))
 
+    def mix(self, weights: dict[str, float],
+            total: int | None = None) -> DataFrame:
+        """Source-weighted training MIX (round 7): terminal stage —
+        re-proportion the surviving corpus to ``weights`` with
+        hash-threshold downsampling and epoch-repetition upsampling
+        (operators/sampling.mixture_sample). Returns the (doc_id,
+        source, epoch) mix manifest a training loader consumes; join
+        back on doc_id for text. Unlike `sample` (per-stratum keep
+        rates), `mix` targets OUTPUT proportions, repeating scarce
+        sources — the LLM-data-mix recipe."""
+        return smp.mixture_sample(self._docs, weights, total)
+
     def split(self) -> DataFrame:
         """Hash-banded train/val/test assignment column attached to the
         surviving corpus (the artifact a pipeline writes per doc)."""
