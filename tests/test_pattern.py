@@ -783,3 +783,24 @@ def test_where_is_null_anti_join_idiom(spark):
         "WITH a, b WHERE b IS NOT NULL RETURN count(*) AS n"
     ).collect()
     assert got2[0].n == 4  # the four KNOWS edges
+
+
+def test_relabeling_bound_vars_raises(spark):
+    """A label on an already-bound variable must match or raise —
+    never silently skip the type filter."""
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="not supported"):
+        # x bound unlabeled in chain 1, labeled in chain 2
+        pg.query(
+            "MATCH (a:person)-[:KNOWS]->(x) MATCH (x:person)-[:KNOWS]->(c) "
+            "RETURN a, c"
+        )
+    with pytest.raises(ValueError, match="cycle variable"):
+        # cycle close relabels the unlabeled b
+        pg.match("MATCH (a:person)-[:KNOWS]->(b)-[:KNOWS]->(b:person)")
+    # matching label on the repeated anchor is fine
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(x) MATCH (a:person)-[:KNOWS]->(c) "
+        "RETURN DISTINCT a ORDER BY a"
+    ).collect()
+    assert [r.a for r in got] == [0, 1, 3]

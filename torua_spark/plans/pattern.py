@@ -251,7 +251,14 @@ class PropertyGraph:
             binding, bound, labels, owner = state
             if var0 in bound:
                 # continuation from a bound variable — no new relation
-                if label0 is not None and labels.get(var0) not in (None, label0):
+                if label0 is not None and labels.get(var0) != label0:
+                    if labels.get(var0) is None:
+                        raise ValueError(
+                            f"variable {var0!r} was bound unlabeled — "
+                            f"labeling it :{label0} in a later chain is "
+                            f"not supported (label it at first binding); "
+                            f"a silent ignore would skip the type filter"
+                        )
                     raise ValueError(
                         f"variable {var0!r} rebinds :{labels[var0]} to "
                         f":{label0} across chains"
@@ -344,7 +351,16 @@ class PropertyGraph:
                     labels[evar] = _EDGE_LABEL_PREFIX + rel
             if var in bound:
                 # Cycle close (triangle shape): the hop must land on
-                # the id this variable is already bound to.
+                # the id this variable is already bound to. A label on
+                # the repeated occurrence must MATCH the original —
+                # silently ignoring it would skip a type filter.
+                if label is not None and labels.get(var) != label:
+                    raise ValueError(
+                        f"cycle variable {var!r} is bound "
+                        f"{':' + labels[var] if labels.get(var) else 'unlabeled'}"
+                        f" — relabeling it :{label} at the cycle close is "
+                        f"not supported"
+                    )
                 binding = binding.filter(F.col(dst_col) == F.col(var))
                 prev = var
                 continue
