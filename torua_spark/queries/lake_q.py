@@ -324,3 +324,148 @@ ORACLE = {
     "lake_purge_keys": _PURGE_ORACLE,
     "lake_merge_upsert": _MERGE_ORACLE,
 }
+
+
+def q_streaming_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC INTO the lake (round 7): a file-stream delivers
+    two change waves — the full orders snapshot, then the same
+    update+insert batch lake_merge_upsert uses — and ``foreachBatch``
+    MERGEs each micro-batch into the hive-partitioned lake with the
+    same ``merge_upsert`` (two-rename swap, LWW). maxFilesPerTrigger=1
+    + staggered mtimes pin wave order, so the final lake equals the
+    batch merge exactly — one proof that the streaming ingest path
+    and the maintenance path compose. The report row carries batches
+    processed and the summed update/insert counters."""
+    import os
+    import pathlib
+    import uuid
+
+    orders5 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    hit = orders5.filter(F.col("o_orderkey") % _MERGE_MOD == 0)
+    upd = hit.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(_MERGE_PRICE_BUMP)
+    )
+    ins = (
+        hit.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET))
+        .withColumn("o_totalprice", F.lit(_MERGE_INSERT_PRICE))
+        .withColumn("o_orderpriority", F.lit("5-NEW"))
+    )
+    base = tempfile.mkdtemp(prefix="torua_lake_cdc_")
+    try:
+        stream_dir = f"{base}/waves"
+        lake = f"{base}/orders"
+        pathlib.Path(stream_dir).mkdir()
+        now = None
+        for i, wave in enumerate((orders5, upd.unionByName(ins))):
+            tmp = f"{base}/w{i}"
+            wave.coalesce(1).write.parquet(tmp)
+            part = next(pathlib.Path(tmp).glob("*.parquet"))
+            dst = f"{stream_dir}/wave{i}.parquet"
+            part.rename(dst)
+            if now is None:
+                import time
+
+                now = time.time()
+            os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+        totals = {"batches": 0, "updated": 0, "inserted": 0}
+
+        def _merge(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            r = merge_upsert(
+                spark, lake, batch_df, "o_orderkey", "o_orderstatus"
+            )
+            totals["batches"] += 1
+            totals["updated"] += r["rows_updated"]
+            totals["inserted"] += r["rows_inserted"]
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(orders5.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .load(stream_dir)
+            .writeStream.foreachBatch(_merge)
+            .option(
+                "checkpointLocation", f"{base}/ckpt_{uuid.uuid4().hex[:8]}"
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        parts = (
+            spark.read.parquet(lake)
+            .groupBy(F.col("o_orderstatus").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_poly(
+                    ("o_orderkey", "num"), ("o_custkey", "num"),
+                    ("o_orderpriority", "str"),
+                ).alias("row_checksum"),
+                _cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (r["part"], r["n_rows"], r["row_checksum"], r["price_cents"],
+         None, None, None)
+        for r in parts
+    ] + [(
+        "_report", None, None, None,
+        totals["batches"], totals["updated"], totals["inserted"],
+    )]
+    return local_df(
+        spark, rows,
+        "part string, n_rows long, row_checksum long, price_cents long, "
+        "batches long, rows_updated long, rows_inserted long",
+    )
+
+
+# Final lake state == the batch merge's merged relation (wave 1 is the
+# full snapshot, wave 2 the same update+insert batch); the report sums
+# per-batch counters: batch 1 inserts everything, batch 2 updates the
+# hit keys and inserts the offset keys.
+_CDC_ORACLE = f"""
+    WITH hit AS (
+        SELECT * FROM orders WHERE o_orderkey % {_MERGE_MOD} = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM hit)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + {_MERGE_PRICE_BUMP}, o_orderpriority
+        FROM hit
+        UNION ALL
+        SELECT o_orderkey + {_MERGE_KEY_OFFSET}, o_custkey, o_orderstatus,
+               {_MERGE_INSERT_PRICE}, '5-NEW'
+        FROM hit
+    )
+    SELECT o_orderstatus AS part, count(*)::BIGINT AS n_rows,
+           {_row_poly_sql(('o_orderkey', 'num'), ('o_custkey', 'num'), ('o_orderpriority', 'str'))} AS row_checksum,
+           {_CENTS_SQL.format(c='o_totalprice')} AS price_cents,
+           CAST(NULL AS BIGINT) AS batches,
+           CAST(NULL AS BIGINT) AS rows_updated,
+           CAST(NULL AS BIGINT) AS rows_inserted
+    FROM merged GROUP BY 1
+    UNION ALL
+    SELECT '_report', NULL, NULL, NULL,
+           2,
+           (SELECT count(*) FROM hit),
+           (SELECT count(*) FROM orders) + (SELECT count(*) FROM hit)
+"""
+
+
+QUERIES["streaming_lake_cdc"] = q_streaming_lake_cdc
+ORACLE["streaming_lake_cdc"] = _CDC_ORACLE
