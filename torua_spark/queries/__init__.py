@@ -83,15 +83,20 @@ _DECLARED = [
     "vector_quantization",
     "dedup_simhash",
     "dedup_minhash_verified",
-    "dedup_cluster_canonical",
     "dedup_decontaminate_ngram",
     "text_repetition_scores",
     "text_vocabulary",
     "rag_hashed_retrieval",
     "rag_hybrid_rrf",
     "graphrag_retrieve",
-    "graphrag_ppr",
     "graphrag_hops",
+    # Round-7 second swap: the round's two NEW cross-subsystem entries
+    # driver-proven immediately — mixture_sample (source-weighted
+    # training mix) and streaming_lake_cdc (foreachBatch merge into
+    # the hive lake); dedup_cluster_canonical and graphrag_ppr
+    # (driver-green r4-r6) rotate out, keeping their pytest oracles.
+    "mixture_sample",
+    "streaming_lake_cdc",
     # --- graph (B1, B2, B3, B6)
     "graph_triangle_agg",
     "connected_components",
