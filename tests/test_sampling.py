@@ -158,3 +158,53 @@ def test_mixture_sample_semantics(spark, sf_dir):
         expect = total * w
         sd = (n_avail[src] * 0.25) ** 0.5 + 1  # loose bound on the
         assert abs(by_src[src] - expect) < 3.5 * sd + 2, (src, by_src[src], expect)
+
+
+def test_mixture_sample_by_token_units(spark, sf_dir):
+    """by='n_chars': the mix is sized in character units — realized
+    per-source char share tracks the weights within a few documents'
+    worth of slack (repetition is whole-document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 3.0, "src1": 1.0}
+    m = smp.mixture_sample(docs, weights, by="n_chars")
+    chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    got = {}
+    for r in m.collect():
+        got[r.source] = got.get(r.source, 0) + chars[r.doc_id]
+    total = sum(got.values())
+    assert abs(got["src0"] / total - 0.75) < 0.08
+    assert abs(got["src1"] / total - 0.25) < 0.08
+
+
+def test_mixture_sample_properties(spark, sf_dir):
+    """Property sweep over weight shapes: output only weighted
+    sources, epochs contiguous from 1, per-source count within a
+    Bernoulli band of total*w, deterministic across invocations."""
+    docs = load_table(spark, sf_dir, "documents")
+    cases = [
+        {"src0": 1.0},
+        {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 1.0},
+        {"src0": 10.0, "src1": 0.5},
+        {"src5": 2.5, "src9": 7.5},
+    ]
+    n_avail = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    for weights in cases:
+        rows = sorted(map(tuple, smp.mixture_sample(docs, weights).collect()))
+        assert rows == sorted(
+            map(tuple, smp.mixture_sample(docs, weights).collect())
+        )
+        wsum = sum(weights.values())
+        total = sum(n_avail[s] for s in weights)
+        by_src, epochs = {}, {}
+        for doc_id, src, epoch in rows:
+            assert src in weights
+            by_src[src] = by_src.get(src, 0) + 1
+            epochs.setdefault((src, doc_id), []).append(epoch)
+        for es in epochs.values():
+            assert es == list(range(1, len(es) + 1))
+        for s, w in weights.items():
+            expect = total * w / wsum
+            sd = (n_avail[s] * 0.25) ** 0.5 + 1
+            assert abs(by_src.get(s, 0) - expect) < 3.5 * sd + 2, (
+                weights, s, by_src.get(s), expect
+            )

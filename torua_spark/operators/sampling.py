@@ -299,7 +299,8 @@ def curriculum_phases(documents: DataFrame, n_phases: int = 4) -> DataFrame:
 
 def mixture_sample(documents: DataFrame, weights: dict[str, float],
                    total: int | None = None,
-                   salt: str = "mix:") -> DataFrame:
+                   salt: str = "mix:",
+                   by: str | None = None) -> DataFrame:
     """Deterministic training-data MIXTURE: resample the corpus so
     each source contributes ``weights``-proportional rows to a
     ``total``-row mix (default: corpus size — a same-size remix),
@@ -319,15 +320,24 @@ def mixture_sample(documents: DataFrame, weights: dict[str, float],
     sources-sized collect), a broadcast rates dim joined map-side,
     and an in-row explode for repetitions — the corpus is never
     shuffled; at 100 TB this is a single pass. Sources absent from
-    ``weights`` are dropped (inner join)."""
+    ``weights`` are dropped (inner join).
+
+    ``by``: size the mix in a COLUMN's units instead of rows — e.g.
+    ``by="n_chars"`` targets character(≈token)-proportional output,
+    the budget an actual LLM mix is specified in. The per-source
+    availability becomes sum(by) and each document's repetition count
+    still applies whole-document (a doc is repeated, never split), so
+    the realized unit share tracks the weights to within one
+    document's size."""
     from torua_spark.sources.local import local_df
 
-    wsum = float(sum(weights.values()))
+    agg = F.count(F.lit(1)) if by is None else F.sum(F.col(by))
     counts = {
         r[0]: r[1]
-        for r in documents.groupBy("source").count().collect()
+        for r in documents.groupBy("source").agg(agg.alias("n")).collect()
         if r[0] in weights
     }
+    wsum = float(sum(weights.values()))
     if total is None:
         total = sum(counts.values())
     rates = [
