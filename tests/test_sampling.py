@@ -208,3 +208,35 @@ def test_mixture_sample_properties(spark, sf_dir):
             assert abs(by_src.get(s, 0) - expect) < 3.5 * sd + 2, (
                 weights, s, by_src.get(s), expect
             )
+
+
+def test_source_cap_matches_oracle(spark, sf_dir):
+    from tests.oracle import compare
+
+    compare(
+        pipeline_q.q_source_cap(spark, sf_dir),
+        pipeline_q.ORACLE["source_cap"], sf_dir,
+    )
+
+
+def test_source_cap_semantics(spark, sf_dir):
+    """At most cap per source; survivors are the LONGEST docs (every
+    kept doc >= every dropped doc of its source, doc_id tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = smp.source_cap(docs, 5)
+    kept_rows = kept.collect()
+    per_src = {}
+    for r in kept_rows:
+        per_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    assert all(len(v) <= 5 for v in per_src.values())
+    all_rows = docs.collect()
+    for src, kept_v in per_src.items():
+        dropped = [
+            (r.n_chars, r.doc_id) for r in all_rows
+            if r.source == src and (r.n_chars, r.doc_id) not in set(kept_v)
+        ]
+        if dropped:
+            # rank order: kept (-chars, id) keys all precede dropped
+            worst_kept = max((-c, i) for c, i in kept_v)
+            best_dropped = min((-c, i) for c, i in dropped)
+            assert worst_kept < best_dropped

@@ -297,6 +297,34 @@ def curriculum_phases(documents: DataFrame, n_phases: int = 4) -> DataFrame:
     )
 
 
+def source_cap(documents: DataFrame, cap: int,
+               rank_col: str = "n_chars",
+               group_col: str = "source") -> DataFrame:
+    """Per-source document cap — the crawl-pipeline rule that stops a
+    single domain from dominating a training mix: keep at most ``cap``
+    documents per ``group_col``, preferring the highest ``rank_col``
+    (quality proxy; ties break on doc_id so the cut is deterministic
+    and SQL-reproducible). Returns the surviving documents.
+
+    Scale shape: ONE shuffle on the group key + a per-group top-k
+    window. The window sorts only WITHIN each group's partition slice;
+    a pathological mega-domain (millions of rows through one task) is
+    the known skew case — at that scale pre-prune with an approximate
+    per-group count and only window the groups above the cap, or use
+    the two-level (group, salt) trick; at crawl-shaped group sizes
+    the direct window is the right plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(rank_col).desc(), F.col("doc_id")
+    )
+    return (
+        documents.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def mixture_sample(documents: DataFrame, weights: dict[str, float],
                    total: int | None = None,
                    salt: str = "mix:",

@@ -272,3 +272,40 @@ def _mixture_oracle_sql() -> str:
 
 
 ORACLE["mixture_sample"] = _mixture_oracle_sql()
+
+
+# ---- Per-source cap (round 7): the crawl-pipeline domain cap.
+
+SOURCE_CAP = 15
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at SOURCE_CAP docs, keeping the longest
+    (n_chars as the quality proxy, doc_id tie-break); report the
+    per-source survivor count and kept-char mass."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = smp.source_cap(docs, SOURCE_CAP)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("n_chars").alias("min_chars_kept"),
+    )
+
+
+QUERIES["source_cap"] = q_source_cap
+
+ORACLE["source_cap"] = f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_kept,
+           sum(n_chars)::BIGINT AS chars_kept,
+           min(n_chars)::BIGINT AS min_chars_kept
+    FROM ranked WHERE rk <= {SOURCE_CAP}
+    GROUP BY 1
+"""
