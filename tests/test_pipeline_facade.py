@@ -86,3 +86,23 @@ def test_mix_stage_targets_output_proportions(spark, sf_dir):
         {"src0": 3.0, "src1": 1.0}
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cap_then_mix_chain(spark, sf_dir):
+    from torua_spark.pipeline import CorpusPipeline
+    from torua_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        CorpusPipeline(spark, docs)
+        .cap_per_source(10)
+        .mix({"src0": 1.0, "src1": 1.0})
+    )
+    rows = m.collect()
+    assert len(rows) > 0
+    # base doc ids in the mix come only from the capped survivors
+    kept_ids = {
+        r.doc_id
+        for r in CorpusPipeline(spark, docs).cap_per_source(10).df().collect()
+    }
+    assert {r.doc_id for r in rows} <= kept_ids

@@ -132,6 +132,14 @@ class CorpusPipeline:
             rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
         return self._with(self._docs.filter(u < rate))
 
+    def cap_per_source(self, cap: int,
+                       rank_col: str = "n_chars") -> "CorpusPipeline":
+        """Per-source document cap (the crawl-pipeline domain cap):
+        keep the top ``cap`` docs per source by ``rank_col``
+        (deterministic tie-break) — runs before mixing so no single
+        domain dominates the weights."""
+        return self._with(smp.source_cap(self._docs, cap, rank_col))
+
     def mix(self, weights: dict[str, float],
             total: int | None = None) -> DataFrame:
         """Source-weighted training MIX (round 7): terminal stage —
