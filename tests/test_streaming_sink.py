@@ -120,3 +120,87 @@ def test_drain_to_files_matches_memory_sink(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     full = {key(r) for r in complete.collect()}
     assert set(got) <= full
+
+
+def test_streaming_cdc_crash_restart_converges(spark, tmp_path, monkeypatch):
+    """End-to-end durability of the streaming-CDC-to-lake path
+    (round 7): a crash INSIDE a micro-batch's partition swap kills
+    the streaming query; a fresh query over the SAME checkpoint
+    replays the uncommitted batch, _recover_swaps heals the
+    half-swapped partition first, and the lake converges to exactly
+    the LWW result — foreachBatch idempotence + the two-rename swap
+    protocol composing."""
+    import os
+    import pathlib
+    import time
+
+    import pytest
+
+    from torua_spark.sources import io
+
+    waves = tmp_path / "waves"
+    waves.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = spark.createDataFrame(
+        [(k, k % 2, "old") for k in range(10)], "key long, p long, val string"
+    )
+    v2 = spark.createDataFrame(
+        [(k, k % 2, "new") for k in range(5, 15)], "key long, p long, val string"
+    )
+    now = time.time()
+    for i, df in enumerate((v1, v2)):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = waves / f"wave{i}.parquet"
+        next(pathlib.Path(tmp).glob("*.parquet")).rename(dst)
+        os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    def run_stream():
+        def _merge(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                io.merge_upsert(spark, lake, batch_df, "key", "p")
+
+        q = (
+            spark.readStream.format("parquet")
+            .schema(v1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(waves))
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # crash the FIRST partition swap (wave 2's update path — wave 1
+    # is all inserts, which rename without swapping)
+    real_swap = io._swap_partition
+
+    def crash_between(live, tmp, trash):
+        os.rename(live, trash)
+        raise RuntimeError("injected crash between renames")
+
+    monkeypatch.setattr(io, "_swap_partition", crash_between)
+    with pytest.raises(Exception, match="injected"):
+        run_stream()
+    # wave 1 is committed in the checkpoint; wave 2's batch is not,
+    # and one partition sits mid-swap (live dir renamed to trash)
+    assert any(
+        d.name.startswith(".merge_trash_") for d in pathlib.Path(lake).iterdir()
+    )
+
+    monkeypatch.setattr(io, "_swap_partition", real_swap)
+    run_stream()  # same checkpoint: replays ONLY the failed batch
+
+    got = {r.key: r.val for r in spark.read.parquet(lake).collect()}
+    assert got == {
+        **{k: "old" for k in range(5)},
+        **{k: "new" for k in range(5, 15)},
+    }
+    assert not any(
+        d.name.startswith(".") for d in pathlib.Path(lake).iterdir() if d.is_dir()
+    )
