@@ -804,3 +804,29 @@ def test_relabeling_bound_vars_raises(spark):
         "RETURN DISTINCT a ORDER BY a"
     ).collect()
     assert [r.a for r in got] == [0, 1, 3]
+
+
+def test_where_or_disjunction(spark):
+    """AND-of-OR WHERE: each AND term may be a flat OR chain; quoted
+    literals containing ' OR ' survive the split."""
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) "
+        "WHERE b.name = 'p1' OR b.name = 'p2' AND a < 3 "
+        "RETURN a, b ORDER BY a, b"
+    ).collect()
+    # (OR group) AND (a < 3): edges to p1/p2 from sources < 3
+    assert [(r.a, r.b) for r in got] == [(0, 1), (0, 2), (1, 2)]
+    # a quoted literal containing OR must not split
+    got2 = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) "
+        "WHERE b.name = 'X OR Y' RETURN count(*) AS n"
+    ).collect()
+    assert got2[0].n == 0
+    # OR with IS NULL atoms composes
+    got3 = pg.query(
+        "MATCH (a:person) OPTIONAL MATCH (a)-[:KNOWS]->(b) "
+        "WITH a, b WHERE b IS NULL OR b = 2 RETURN DISTINCT a ORDER BY a"
+    ).collect()
+    # keeps: unmatched anchors {2,4,5} plus knowers of 2 {0,1}
+    assert [r.a for r in got3] == [0, 1, 2, 4, 5]

@@ -25,9 +25,10 @@ plus the surrounding clauses of the reference's example query
 (``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``), each a thin mapping
 onto an existing DataFrame op (VERDICT r5 #4):
 
-- ``WHERE``: conjunction of comparisons over ``var`` / ``var.attr``
-  terms — plain filters, Catalyst pushes them below the pattern's
-  joins. Scoped in READ ORDER (Cypher semantics): a WHERE directly
+- ``WHERE``: AND-of-OR over comparisons and ``IS [NOT] NULL`` terms
+  (``var`` / ``var.attr`` / ``edgevar.attr``) — plain filters,
+  Catalyst pushes them below the pattern's joins. Scoped in READ
+  ORDER (Cypher semantics): a WHERE directly
   after an OPTIONAL MATCH filters the optional side BEFORE the left
   join (null-extended anchors survive); anywhere else it filters the
   binding built so far.
@@ -475,40 +476,53 @@ class PropertyGraph:
 
     _INTERNAL = re.compile(r"^__(src|dst|vid)_")
 
+    def _cond_expr(self, cond: str, labels: dict, owner: dict):
+        """One atomic predicate: a comparison or ``term IS [NOT]
+        NULL``. The null form is Cypher's anti-join idiom after
+        OPTIONAL MATCH (`WHERE b IS NULL` keeps only unmatched
+        anchors); Catalyst rewrites the null-check over a left join
+        into an anti/semi join."""
+        m_null = re.match(
+            r"(?i)^\s*(\w+(?:\.\w+)?)\s+IS\s+(NOT\s+)?NULL\s*$", cond
+        )
+        if m_null:
+            col = self._resolve(m_null.group(1), labels, owner)[0]
+            return col.isNotNull() if m_null.group(2) else col.isNull()
+        m = self._COND.match(cond)
+        if not m:
+            raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
+        left = self._resolve(m.group(1), labels, owner)[0]
+        op = m.group(2)
+        right = self._literal_or_term(m.group(3), labels, owner)
+        return {
+            "=": left == right, "<>": left != right, "!=": left != right,
+            "<": left < right, "<=": left <= right,
+            ">": left > right, ">=": left >= right,
+        }[op]
+
+    @staticmethod
+    def _split_outside_quotes(kw: str, s: str) -> list[str]:
+        """Split on a keyword OUTSIDE single-quoted literals (an even
+        number of quotes must follow), so 'TRINIDAD AND TOBAGO'
+        survives an AND split and 'THIS OR THAT' an OR split."""
+        return re.split(
+            rf"(?i)\b{kw}\b(?=(?:[^']*'[^']*')*[^']*$)", s
+        )
+
     def _apply_where(self, binding: DataFrame, part: str,
                      labels: dict, owner: dict) -> DataFrame:
-        """Conjunction of ``term op literal-or-term`` comparisons as
-        plain filters — Catalyst pushes each below the joins it
-        commutes with. Splits only on AND outside string literals (an
-        even number of quotes must follow), so 'TRINIDAD AND TOBAGO'
-        survives."""
-        for cond in re.split(
-            r"(?i)\bAND\b(?=(?:[^']*'[^']*')*[^']*$)", part
-        ):
-            m_null = re.match(
-                r"(?i)^\s*(\w+(?:\.\w+)?)\s+IS\s+(NOT\s+)?NULL\s*$", cond
-            )
-            if m_null:
-                # IS [NOT] NULL — after OPTIONAL MATCH this is
-                # Cypher's anti-join idiom (`WHERE b IS NULL` keeps
-                # only unmatched anchors); Catalyst rewrites the
-                # null-check over a left join into an anti/semi join.
-                col = self._resolve(m_null.group(1), labels, owner)[0]
-                binding = binding.filter(
-                    col.isNotNull() if m_null.group(2) else col.isNull()
-                )
-                continue
-            m = self._COND.match(cond)
-            if not m:
-                raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
-            left = self._resolve(m.group(1), labels, owner)[0]
-            op = m.group(2)
-            right = self._literal_or_term(m.group(3), labels, owner)
-            expr = {
-                "=": left == right, "<>": left != right, "!=": left != right,
-                "<": left < right, "<=": left <= right,
-                ">": left > right, ">=": left >= right,
-            }[op]
+        """Conjunction of disjunctions: top-level AND over OR groups
+        of atomic predicates (AND binds tighter is the SQL/Cypher
+        rule — here OR binds tighter because the grammar has no
+        parentheses; each AND term may be a flat OR chain, which
+        covers the `a = 1 OR a = 2` shape without a full expression
+        parser). Each term is a plain filter — Catalyst pushes it
+        below the joins it commutes with."""
+        for group in self._split_outside_quotes("AND", part):
+            ors = self._split_outside_quotes("OR", group)
+            expr = self._cond_expr(ors[0], labels, owner)
+            for alt in ors[1:]:
+                expr = expr | self._cond_expr(alt, labels, owner)
             binding = binding.filter(expr)
         return binding
 
