@@ -830,3 +830,36 @@ def test_where_or_disjunction(spark):
     ).collect()
     # keeps: unmatched anchors {2,4,5} plus knowers of 2 {0,1}
     assert [r.a for r in got3] == [0, 1, 2, 4, 5]
+
+
+def test_where_in_list_and_string_predicates(spark):
+    pg = _pg_people(spark)
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) "
+        "WHERE b.name IN ['p1', 'p2'] RETURN a, b ORDER BY a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(0, 1), (0, 2), (1, 2), (3, 1)]
+    # empty list is never true (Cypher semantics)
+    assert pg.query(
+        "MATCH (a:person) WHERE a IN [] RETURN a"
+    ).count() == 0
+    # numeric IN over ids
+    got2 = pg.query(
+        "MATCH (a:person) WHERE a IN [1, 3, 5] RETURN a ORDER BY a"
+    ).collect()
+    assert [r.a for r in got2] == [1, 3, 5]
+    # string predicates: STARTS WITH / ENDS WITH / CONTAINS
+    got3 = pg.query(
+        "MATCH (a:person) WHERE a.name STARTS WITH 'p' AND "
+        "a.name ENDS WITH '2' RETURN a"
+    ).collect()
+    assert [r.a for r in got3] == [2]
+    got4 = pg.query(
+        "MATCH (a:person) WHERE a.name CONTAINS '4' OR a.name CONTAINS '5' "
+        "RETURN count(*) AS n"
+    ).collect()
+    assert got4[0].n == 2
+    # a quoted comma inside an IN item must not split the list
+    assert pg.query(
+        "MATCH (a:person) WHERE a.name IN ['x,y', 'p0'] RETURN a"
+    ).collect()[0].a == 0

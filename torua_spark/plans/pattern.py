@@ -488,6 +488,35 @@ class PropertyGraph:
         if m_null:
             col = self._resolve(m_null.group(1), labels, owner)[0]
             return col.isNotNull() if m_null.group(2) else col.isNull()
+        m_in = re.match(
+            r"(?i)^\s*(\w+(?:\.\w+)?)\s+IN\s+\[([^\]]*)\]\s*$", cond
+        )
+        if m_in:
+            col = self._resolve(m_in.group(1), labels, owner)[0]
+            items = [
+                self._literal_or_term(tok.strip(), labels, owner)
+                for tok in re.split(
+                    r",(?=(?:[^']*'[^']*')*[^']*$)", m_in.group(2)
+                )
+                if tok.strip()
+            ]
+            if not items:
+                return F.lit(False)  # Cypher: x IN [] is never true
+            return col.isin(*items)
+        m_str = re.match(
+            r"(?i)^\s*(\w+(?:\.\w+)?)\s+"
+            r"(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+'([^']*)'\s*$",
+            cond,
+        )
+        if m_str:
+            col = self._resolve(m_str.group(1), labels, owner)[0]
+            op = re.sub(r"\s+", " ", m_str.group(2).upper())
+            lit = m_str.group(3)
+            return {
+                "STARTS WITH": col.startswith(lit),
+                "ENDS WITH": col.endswith(lit),
+                "CONTAINS": col.contains(lit),
+            }[op]
         m = self._COND.match(cond)
         if not m:
             raise ValueError(f"unsupported WHERE condition: {cond.strip()!r}")
@@ -694,17 +723,25 @@ class PropertyGraph:
         spans = []
         pos = 0
         while True:
-            m = self._kw(r"(?:OPTIONAL\s+MATCH|MATCH|WHERE|WITH)", body, pos)
+            # STARTS WITH / ENDS WITH are string predicates, not the
+            # WITH clause — list them first so their WITH is consumed
+            m = self._kw(
+                r"(?:OPTIONAL\s+MATCH|MATCH|WHERE"
+                r"|STARTS\s+WITH|ENDS\s+WITH|WITH)",
+                body, pos,
+            )
             if not m:
                 break
-            kw = m.group(0).upper()
+            kw = re.sub(r"\s+", " ", m.group(0).upper())
+            pos = m.end()
+            if kw in ("STARTS WITH", "ENDS WITH"):
+                continue
             kind = (
                 "OPT" if kw.startswith("OPTIONAL")
                 else "MATCH" if kw == "MATCH"
                 else kw  # WHERE / WITH
             )
             spans.append((kind, m.start(), m.end()))
-            pos = m.end()
         if not spans or spans[0][0] != "MATCH" or body[: spans[0][1]].strip():
             raise ValueError(
                 "clause order must be MATCH [MATCH | OPTIONAL MATCH | "
