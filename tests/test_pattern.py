@@ -863,3 +863,22 @@ def test_where_in_list_and_string_predicates(spark):
     assert pg.query(
         "MATCH (a:person) WHERE a.name IN ['x,y', 'p0'] RETURN a"
     ).collect()[0].a == 0
+
+
+def test_skip_offset_pagination(spark):
+    pg = _pg_people(spark)
+    page1 = pg.query(
+        "MATCH (a:person) RETURN a ORDER BY a LIMIT 2"
+    ).collect()
+    page2 = pg.query(
+        "MATCH (a:person) RETURN a ORDER BY a SKIP 2 LIMIT 2"
+    ).collect()
+    page3 = pg.query(
+        "MATCH (a:person) RETURN a ORDER BY a SKIP 4 LIMIT 10"
+    ).collect()
+    assert [r.a for r in page1] == [0, 1]
+    assert [r.a for r in page2] == [2, 3]
+    assert [r.a for r in page3] == [4, 5]
+    # SKIP without LIMIT
+    rest = pg.query("MATCH (a:person) RETURN a ORDER BY a SKIP 5").collect()
+    assert [r.a for r in rest] == [5]

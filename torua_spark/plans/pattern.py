@@ -800,6 +800,11 @@ class PropertyGraph:
         if m_lim:
             limit_n = int(re.search(r"(?i)LIMIT\s+(\d+)", m_lim.group(0)).group(1))
             ret_part = ret_part[: m_lim.start()]
+        skip_n = None
+        m_skip = self._kw(r"SKIP\s+(\d+)", ret_part)
+        if m_skip:
+            skip_n = int(re.search(r"(?i)SKIP\s+(\d+)", m_skip.group(0)).group(1))
+            ret_part = ret_part[: m_skip.start()]
         order_part = None
         m_ob = self._kw(r"ORDER\s+BY", ret_part)
         if m_ob:
@@ -836,6 +841,11 @@ class PropertyGraph:
                     )
                 sort_cols.append(c.desc() if direction == "DESC" else c.asc())
             out = out.orderBy(*sort_cols)
+        if skip_n is not None:
+            # Cypher SKIP == DataFrame.offset; with LIMIT Spark plans
+            # a GlobalLimit(skip+limit) + offset — still a bounded
+            # per-partition heap, never a full sort materialization
+            out = out.offset(skip_n)
         if limit_n is not None:
             out = out.limit(limit_n)
         return out
