@@ -882,3 +882,27 @@ def test_skip_offset_pagination(spark):
     # SKIP without LIMIT
     rest = pg.query("MATCH (a:person) RETURN a ORDER BY a SKIP 5").collect()
     assert [r.a for r in rest] == [5]
+
+
+def test_union_and_union_all(spark):
+    pg = _pg_people(spark)
+    # sources ∪ targets of KNOWS: UNION dedups, UNION ALL keeps all
+    u = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) RETURN a AS pid "
+        "UNION MATCH (x:person)-[:KNOWS]->(y:person) RETURN y.pid AS pid"
+    ).collect()
+    assert sorted(r.pid for r in u) == [0, 1, 2, 3]
+    ua = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) RETURN a AS pid "
+        "UNION ALL MATCH (x:person)-[:KNOWS]->(y:person) RETURN y.pid AS pid"
+    ).collect()
+    assert len(ua) == 8  # 4 edges x both sides, no dedup
+    with pytest.raises(ValueError, match="mixing UNION"):
+        pg.query(
+            "MATCH (a:person) RETURN a UNION MATCH (b:person) RETURN b AS a "
+            "UNION ALL MATCH (c:person) RETURN c AS a"
+        )
+    with pytest.raises(ValueError, match="column mismatch"):
+        pg.query(
+            "MATCH (a:person) RETURN a UNION MATCH (b:person) RETURN b"
+        )

@@ -57,9 +57,13 @@ onto an existing DataFrame op (VERDICT r5 #4):
   already-bound variable — unmatched rows keep the binding and carry
   NULL for the new variables (``count(x)`` then counts matches only,
   so the zero-orders customer shows up with 0).
-- ``ORDER BY <returned-col> [ASC|DESC], ... LIMIT n``: top-k over the
-  projected relation (``orderBy``/``limit`` — Spark plans the sorted
-  limit as TakeOrderedAndProject, never a full sort at scale).
+- ``ORDER BY <returned-col> [ASC|DESC], ... [SKIP s] [LIMIT n]``:
+  top-k / pagination over the projected relation (``orderBy`` /
+  ``offset`` / ``limit`` — Spark plans the sorted limit as
+  TakeOrderedAndProject, never a full sort at scale).
+- ``UNION [ALL]`` between full queries (round 7): sides compile
+  independently and combine by column name; plain UNION dedups,
+  mixing the two forms raises (Cypher rule).
 
 See ``PropertyGraph.query``. Clause keywords are located with the
 same even-quote lookahead as the AND splitter, so string literals
@@ -711,6 +715,33 @@ class PropertyGraph:
         TakeOrderedAndProject — per-partition top-n + driver merge,
         never a global sort. No RETURN -> the binding table.
         """
+        # UNION [ALL] between full queries (round 7): compile each
+        # side independently, combine by column NAME; Cypher forbids
+        # mixing UNION and UNION ALL in one chain — so do we. Plain
+        # UNION dedups once over the whole chain (associative).
+        u_parts = re.split(
+            r"(?i)\bUNION(\s+ALL)?\b(?=(?:[^']*'[^']*')*[^']*$)", q
+        )
+        if len(u_parts) > 1:
+            subqueries = u_parts[0::2]
+            all_flags = [bool(f and f.strip()) for f in u_parts[1::2]]
+            if len(set(all_flags)) > 1:
+                raise ValueError(
+                    "mixing UNION and UNION ALL in one query is ambiguous "
+                    "— Cypher forbids it, pick one"
+                )
+            out = self.query(subqueries[0])
+            for sub in subqueries[1:]:
+                nxt = self.query(sub)
+                if nxt.columns != out.columns:
+                    raise ValueError(
+                        f"UNION column mismatch: {out.columns} vs "
+                        f"{nxt.columns} — all sides must RETURN the same "
+                        f"names in the same order"
+                    )
+                out = out.unionByName(nxt)
+            return out if all_flags[0] else out.distinct()
+
         m_ret = self._kw("RETURN", q)
         body = q[: m_ret.start()] if m_ret else q
         # Clause scan in READ ORDER (Cypher semantics): a sequence of
