@@ -567,3 +567,32 @@ ORACLE["graph_with_having"] = """
     SELECT o_custkey AS c_custkey, count(*) AS n_orders
     FROM orders GROUP BY 1 HAVING count(*) >= 10
 """
+
+
+def q_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 WHERE surface proof: OR disjunction + STARTS WITH +
+    IN-list, all compiled to pushable filters."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("nation", load_table(spark, sf_dir, "nation"),
+                    "n_nationkey", broadcast=True)
+        .add_edge("IN_NATION", None, "c_custkey", "c_nationkey")
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE n.n_name STARTS WITH 'A' OR n.n_name IN ['FRANCE', 'GERMANY'] "
+        "RETURN n.n_name AS nation, count(*) AS n_customers"
+    )
+
+
+QUERIES["graph_string_predicates"] = q_string_predicates
+
+ORACLE["graph_string_predicates"] = """
+    SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name LIKE 'A%' OR n.n_name IN ('FRANCE', 'GERMANY')
+    GROUP BY 1
+"""
