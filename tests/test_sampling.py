@@ -240,3 +240,15 @@ def test_source_cap_semantics(spark, sf_dir):
             worst_kept = max((-c, i) for c, i in kept_v)
             best_dropped = min((-c, i) for c, i in dropped)
             assert worst_kept < best_dropped
+
+
+def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="positive"):
+        smp.mixture_sample(docs, {})
+    with pytest.raises(ValueError, match="positive"):
+        smp.mixture_sample(docs, {"src0": 1.0, "src1": 0.0})
+    with pytest.raises(ValueError, match="positive"):
+        smp.mixture_sample(docs, {"src0": -2.0})

@@ -359,6 +359,11 @@ def mixture_sample(documents: DataFrame, weights: dict[str, float],
     document's size."""
     from torua_spark.sources.local import local_df
 
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"mixture weights must be non-empty and positive: {weights!r} "
+            f"(drop a source by omitting it, not by zeroing it)"
+        )
     agg = F.count(F.lit(1)) if by is None else F.sum(F.col(by))
     counts = {
         r[0]: r[1]
