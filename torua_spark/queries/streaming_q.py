@@ -187,3 +187,11 @@ ORACLE = {
 from torua_spark.queries import rag_q as _rag_q  # noqa: E402
 
 ORACLE["streaming_decontaminate"] = _rag_q.ORACLE["dedup_decontaminate_ngram"]
+
+
+from torua_spark.streaming.windows import streaming_index_dedup  # noqa: E402
+
+QUERIES["streaming_index_dedup"] = streaming_index_dedup
+# the union of per-batch index probes == the from-scratch cross-corpus
+# MinHash pass, so the same oracle applies verbatim
+ORACLE["streaming_index_dedup"] = _rag_q.ORACLE["dedup_decontaminate"]

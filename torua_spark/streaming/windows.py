@@ -346,3 +346,63 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str,
     return drain_to_batch(agg).filter(
         F.col("n_shared_ngrams") >= F.lit(min_overlap)
     )
+
+
+def streaming_index_dedup(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.5) -> DataFrame:
+    """Streaming near-dup detection against a PERSISTED MinHash index
+    (round 7) — the daily-ingest shape end-to-end: the historical
+    (eval-split) corpus is signatured ONCE into an index relation;
+    training documents arrive as a file stream and each micro-batch
+    probes the index via ``dedup.incremental_near_dups`` (batch-side
+    banded signatures broadcast into the index join; only candidate
+    corpus docs re-tokenize for the exact-Jaccard verify). The union
+    of per-batch hits equals the from-scratch cross-corpus pass —
+    the same DuckDB oracle as `dedup_decontaminate` hash-checks the
+    drained result (pair equivalence of the incremental and
+    from-scratch tiers is separately pinned in tests/test_rag.py)."""
+    from torua_spark.operators import dedup as dd
+    from torua_spark.operators.sampling import TRAIN_FRAC, VAL_FRAC, hash_unit
+
+    u = hash_unit(F.col("doc_id").cast("string"), "split:")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(u >= F.lit(TRAIN_FRAC + VAL_FRAC))
+        .localCheckpoint()
+    )
+    index = dd.minhash_signatures(ev).localCheckpoint()
+    train = (
+        documents_stream(spark, sf_dir)
+        .filter(u < F.lit(TRAIN_FRAC))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    hits: list[DataFrame] = []
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pairs = dd.incremental_near_dups(batch_df, ev, index, threshold)
+        # materialize NOW — the micro-batch relation is gone after
+        # the trigger; eager localCheckpoint pins the rows JVM-side
+        hits.append(pairs.localCheckpoint(eager=True))
+
+    q = train.writeStream.foreachBatch(_probe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(
+            spark, [], "train_id long, eval_id long, jaccard double"
+        )
+    return out.select(
+        F.col("new_id").alias("train_id"),
+        F.col("corpus_id").alias("eval_id"),
+        "jaccard",
+    )
