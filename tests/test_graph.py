@@ -146,3 +146,63 @@ def test_temporal_graph_evolution_matches_oracle(spark, sf_dir):
         graph_q.ORACLE["temporal_graph_evolution"],
         sf_dir,
     )
+
+
+def _bfs_reference(edges, source, max_hops):
+    """Pure-Python BFS with the same (hops, via) lexicographic
+    tie-break as graph.shortest_paths' struct-min."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if source not in adj:
+        return {}
+    dist = {source: (0, None)}
+    frontier = [source]
+    for _ in range(max_hops):
+        nxt = []
+        for a in frontier:
+            for b in adj[a]:
+                cand = (dist[a][0] + 1, a)
+                if b not in dist:
+                    dist[b] = cand
+                    nxt.append(b)
+                elif cand[0] == dist[b][0] and cand[1] < dist[b][1]:
+                    dist[b] = cand
+        frontier = nxt
+    return dist
+
+
+def test_shortest_paths_vs_python_bfs(spark, sf_dir):
+    edges = _edges(sf_dir)
+    expected = _bfs_reference(edges, graph_q.SSSP_SOURCE, graph_q.SSSP_MAX_HOPS)
+    got = {
+        r["id"]: (r["hops"], r["via"])
+        for r in graph_q.q_shortest_path(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_reconstruct_path_walks_predecessors(spark, sf_dir):
+    from torua_spark.operators import graph as g
+    from torua_spark.sources.catalog import load_table
+
+    edges_df = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    paths = g.shortest_paths(edges_df, graph_q.SSSP_SOURCE, graph_q.SSSP_MAX_HOPS)
+    rows = {r["id"]: r for r in paths.collect()}
+    # pick the farthest reached vertex (deterministic: max hops, then id)
+    target = max(rows.values(), key=lambda r: (r["hops"], r["id"]))["id"]
+    walk = g.reconstruct_path(paths, target)
+    assert walk[0] == graph_q.SSSP_SOURCE and walk[-1] == target
+    assert len(walk) == rows[target]["hops"] + 1
+    adj = set()
+    for a, b in _edges(sf_dir):
+        adj.add((a, b))
+        adj.add((b, a))
+    assert all((a, b) in adj for a, b in zip(walk, walk[1:]))
+    # hops along the walk are 0..k in order
+    assert [rows[v]["hops"] for v in walk] == list(range(len(walk)))
+    # unreached target returns []
+    assert g.reconstruct_path(paths, -999) == []

@@ -186,3 +186,46 @@ def test_resize_pixels_prunes_then_resamples(spark, sf_dir):
         assert (r["new_width"], r["new_height"]) == planned[r["doc_id"]]
         n = min(1024, r["new_width"] * r["new_height"] * 3)
         assert len(r["pixels"]) == n
+
+
+def test_kafka_shape_schema_and_roundtrip(spark, sf_dir):
+    """The wire schema IS Spark's Kafka source schema, and
+    parse(to_kafka_shape(e)) == e on the typed columns (batch twins of
+    the streaming constructors)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources import kafka_shaped as ks
+    from torua_spark.sources.catalog import load_table
+
+    # batch twin: the catalog loader applies the same ts normalization
+    # as events_stream
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wire = ks.to_kafka_shape(ev, "events")
+    # names + types (nullability differs: lit() columns are
+    # non-nullable while the real source marks everything nullable)
+    assert [(f.name, f.dataType) for f in wire.schema.fields] == \
+        [(f.name, f.dataType) for f in ks.KAFKA_SCHEMA.fields]
+
+    back = ks.parse_event_values(wire)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    a = sorted(map(tuple, ev.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+    # wire metadata invariants: offset unique per (topic, partition),
+    # partition within range, key bytes = utf-8 user_id
+    meta = wire.select("topic", "partition", "offset", "key").collect()
+    assert len({(m["topic"], m["partition"], m["offset"]) for m in meta}) == len(meta)
+    assert all(0 <= m["partition"] < ks.N_SIM_PARTITIONS for m in meta)
+    assert all(bytes(m["key"]).isdigit() for m in meta)
+
+
+def test_kafka_stream_raises_clear_error_without_connector(spark):
+    import pytest as _pytest
+
+    from torua_spark.sources.kafka_shaped import kafka_stream
+
+    with _pytest.raises(Exception):
+        kafka_stream(spark, "t", "localhost:9092")

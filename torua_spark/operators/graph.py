@@ -343,3 +343,90 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         # Materialize while the iteration partitioning is in force.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias("vertex"), round4("rank").alias("rank"))
+
+
+def shortest_paths(edges: DataFrame, source_id: int,
+                   max_hops: int = 6) -> DataFrame:
+    """B2 — Cypher ``shortestPath((src)-[*..k]-(v))`` parity: single-
+    source unweighted shortest paths over the undirected graph, with a
+    DETERMINISTIC predecessor per vertex so callers can reconstruct one
+    canonical shortest path (reference ARCHITECTURE.md:548-568 multi-hop
+    traversal; README.md:120-127 graph queries).
+
+    Returns (id, hops, via): `hops` = min distance from `source_id`
+    within `max_hops`, `via` = the smallest-id predecessor among all
+    shortest paths (NULL for the source itself). Determinism matters
+    because the driver hash-compares against a DuckDB oracle: ties are
+    broken lexicographically on (hops, via) via a struct-min, which both
+    engines order identically (hops first; `via` ties are always
+    non-null because only the source holds hops=0).
+
+    Scale shape — same sparse-frontier Pregel skeleton as
+    `bfs_hop_histogram`: state is the reached set only, rounds are
+    lazily chained eager=False checkpoints (one Spark job total), the
+    broadcast-state mode keeps the big edge list unshuffled inside the
+    loop, and message volume per round is the frontier's neighborhood,
+    not |E|. At 100 TB the edge table should be bucketed on `a` so the
+    per-round join is shuffle-free on the edge side.
+    """
+    und = _undirected(edges).localCheckpoint()
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
+        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        n_vertices = vertices.count()
+        dist = (
+            vertices.filter(F.col("id") == F.lit(source_id))
+            .select(
+                "id",
+                F.lit(0).cast("int").alias("hops"),
+                F.lit(None).cast("long").alias("via"),
+            )
+            .localCheckpoint()
+        )
+        bcast = _use_broadcast_state("auto", n_edges, n_vertices)
+        for _ in range(max_hops):
+            state = F.broadcast(dist) if bcast else dist
+            msgs = und.join(state, und.a == state.id).select(
+                F.col("b").alias("id"),
+                (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
+                F.col("a").cast("long").alias("via"),
+            )
+            dist = (
+                msgs.unionByName(dist.select("id", "hops", "via"))
+                .groupBy("id")
+                # struct-min = arg-min: smallest (hops, via) pair wins,
+                # making the surviving predecessor deterministic.
+                .agg(F.min(F.struct("hops", "via")).alias("s"))
+                .select("id", F.col("s.hops").alias("hops"), F.col("s.via").alias("via"))
+                .localCheckpoint(eager=False)
+            )
+        dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def reconstruct_path(paths: DataFrame, target_id: int) -> list[int]:
+    """Walk `shortest_paths` predecessors from `target_id` back to the
+    source; returns [source, ..., target] or [] if unreached.
+
+    The walk stays DISTRIBUTED: k rounds of broadcast-joining the
+    (≤1-row) current node's `via` back into the paths relation, chained
+    lazily, then ONE collect of the k+1 path rows. Never collects the
+    reached set itself (which is O(|V|) — the predecessor relation is
+    the distributed artifact; a path is O(k) rows)."""
+    paths = paths.localCheckpoint()
+    cur = paths.filter(F.col("id") == F.lit(target_id)).localCheckpoint()
+    head = cur.collect()  # 1 row: the target (or unreached)
+    if not head:
+        return []
+    chain = cur
+    for _ in range(int(head[0]["hops"])):
+        cur = (
+            paths.join(
+                F.broadcast(cur.select(F.col("via").alias("id"))), "id"
+            )
+            .select("id", "hops", "via")
+            .localCheckpoint(eager=False)
+        )
+        chain = chain.unionByName(cur)
+    rows = chain.select("id", "hops").collect()  # k+1 rows
+    return [r["id"] for r in sorted(rows, key=lambda r: r["hops"])]

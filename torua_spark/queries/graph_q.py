@@ -596,3 +596,64 @@ ORACLE["graph_string_predicates"] = """
     WHERE n.n_name LIKE 'A%' OR n.n_name IN ('FRANCE', 'GERMANY')
     GROUP BY 1
 """
+
+
+SSSP_SOURCE = 2       # customer 1 in the bipartite vertex encoding (2c)
+SSSP_MAX_HOPS = 6
+
+
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — Cypher shortestPath parity: single-source unweighted
+    shortest paths WITH deterministic predecessors over the bipartite
+    co-purchase graph (customer 2c / supplier 2s+1), source =
+    customer 1. Hash-checked including the `via` column, so the
+    tie-break (struct-min on (hops, via)) is driver-proven against the
+    loop-unrolled arg-min oracle."""
+    edges = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return g.shortest_paths(edges, SSSP_SOURCE, SSSP_MAX_HOPS)
+
+
+def _sssp_oracle_sql(source: int = SSSP_SOURCE,
+                     max_hops: int = SSSP_MAX_HOPS) -> str:
+    """Loop-unrolled BFS with arg-min predecessor: each round keeps,
+    per vertex, the lexicographically smallest (hops, via) — the same
+    deterministic tie-break as `graph.shortest_paths`' struct-min."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (
+                SELECT src AS a, dst AS b FROM e
+                UNION ALL SELECT dst AS a, src AS b FROM e
+            )
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        f"""d0 AS MATERIALIZED (
+            SELECT id, 0 AS hops, CAST(NULL AS BIGINT) AS via
+            FROM v WHERE id = {source}
+        )""",
+    ]
+    for k in range(max_hops):
+        ctes.append(f"""d{k + 1} AS MATERIALIZED (
+            SELECT id, hops, via FROM (
+                SELECT id, hops, via,
+                       row_number() OVER (PARTITION BY id ORDER BY hops, via) AS r
+                FROM (
+                    SELECT und.b AS id, d{k}.hops + 1 AS hops, d{k}.id AS via
+                    FROM und JOIN d{k} ON und.a = d{k}.id
+                    UNION ALL SELECT id, hops, via FROM d{k}
+                )
+            ) WHERE r = 1
+        )""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id, CAST(hops AS INTEGER) AS hops,
+               CAST(via AS BIGINT) AS via
+        FROM d{max_hops}"""
+
+
+QUERIES["graph_shortest_path"] = q_shortest_path
+ORACLE["graph_shortest_path"] = _sssp_oracle_sql()

@@ -195,3 +195,24 @@ QUERIES["streaming_index_dedup"] = streaming_index_dedup
 # the union of per-batch index probes == the from-scratch cross-corpus
 # MinHash pass, so the same oracle applies verbatim
 ORACLE["streaming_index_dedup"] = _rag_q.ORACLE["dedup_decontaminate"]
+
+
+from torua_spark.functions.hashing import fnv1a32_sql  # noqa: E402
+from torua_spark.sources.kafka_shaped import (  # noqa: E402
+    N_SIM_PARTITIONS,
+    kafka_events_agg,
+)
+
+QUERIES["streaming_kafka_events"] = kafka_events_agg
+# The oracle recomputes the simulator's wire contract from the raw
+# events table: the FNV-1a32 partitioner on the stringified key and
+# the event_id-as-offset rule — so a drift in serialization, parse, or
+# placement hash-fails, not just row-counts.
+ORACLE["streaming_kafka_events"] = f"""
+    SELECT event_type,
+           CAST(({fnv1a32_sql("CAST(user_id AS VARCHAR)")}) % {N_SIM_PARTITIONS} AS INTEGER) AS partition,
+           count(*)::BIGINT AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sum_value,
+           max(event_id) AS max_offset
+    FROM events GROUP BY 1, 2
+"""
