@@ -206,3 +206,57 @@ def test_reconstruct_path_walks_predecessors(spark, sf_dir):
     assert [rows[v]["hops"] for v in walk] == list(range(len(walk)))
     # unreached target returns []
     assert g.reconstruct_path(paths, -999) == []
+
+
+def _weighted_edges_py(sf_dir):
+    con = duck_connection(sf_dir)
+    try:
+        return con.execute(
+            "SELECT o_custkey * 2, l_suppkey * 2 + 1, min(CAST(l_quantity AS BIGINT)) "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_weighted_shortest_paths_vs_python_bellman_ford(spark, sf_dir):
+    adj = {}
+    for s, d, w in _weighted_edges_py(sf_dir):
+        adj.setdefault(s, {})[d] = min(w, adj.get(s, {}).get(d, w))
+        adj.setdefault(d, {})[s] = min(w, adj.get(d, {}).get(s, w))
+    src = graph_q.SSSP_SOURCE
+    dist = {src: (0, None)}
+    for _ in range(graph_q.WSSSP_ROUNDS):
+        cur = dict(dist)
+        for a, (da, _) in cur.items():
+            for b, w in adj.get(a, {}).items():
+                cand = (da + w, a)
+                if b not in dist or cand < dist[b]:
+                    dist[b] = cand
+    got = {
+        r["id"]: (r["dist"], r["via"])
+        for r in graph_q.q_weighted_shortest_path(spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+def test_label_propagation_vs_python_lpa(spark, sf_dir):
+    adj = {}
+    for a, b in _edges(sf_dir):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(graph_q.LPA_ROUNDS):
+        nxt = {}
+        for v in adj:
+            votes = {}
+            for u in adj[v]:
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            votes[labels[v]] = votes.get(labels[v], 0) + 1  # self-vote
+            nxt[v] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    got = {
+        r["vertex"]: r["community"]
+        for r in graph_q.q_label_propagation(spark, sf_dir).collect()
+    }
+    assert got == labels

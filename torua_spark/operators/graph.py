@@ -430,3 +430,107 @@ def reconstruct_path(paths: DataFrame, target_id: int) -> list[int]:
         chain = chain.unionByName(cur)
     rows = chain.select("id", "hops").collect()  # k+1 rows
     return [r["id"] for r in sorted(rows, key=lambda r: r["hops"])]
+
+
+def weighted_shortest_paths(edges: DataFrame, source_id: int,
+                            rounds: int = 6) -> DataFrame:
+    """B2 weighted — k-bounded lightest paths (Bellman-Ford rounds)
+    over the undirected weighted graph: `dist` = minimum total edge
+    weight among paths of <= `rounds` edges from `source_id`, with the
+    same deterministic (dist, via) struct-min predecessor tie-break as
+    `shortest_paths` (reference ARCHITECTURE.md:548-568 — traversal
+    over edges carrying attributes).
+
+    Input `edges` must carry (src, dst, w) with an EXACT (integer)
+    weight column — exactness is what lets the driver hash-compare
+    the result against the loop-unrolled oracle (floating-point
+    min-plus would tie-break on rounding noise). Full Bellman-Ford is
+    `rounds = |V| - 1`; a bounded k is the weighted analog of Cypher's
+    `[*..k]` and keeps the job count fixed.
+
+    Scale shape: identical to `shortest_paths` — sparse state, one
+    aggregation shuffle per round, lazily chained checkpoints, the
+    edge list never re-shuffled in broadcast-state mode."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
+        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        n_vertices = vertices.count()
+        dist = (
+            vertices.filter(F.col("id") == F.lit(source_id))
+            .select(
+                "id",
+                F.lit(0).cast("long").alias("dist"),
+                F.lit(None).cast("long").alias("via"),
+            )
+            .localCheckpoint()
+        )
+        bcast = _use_broadcast_state("auto", n_edges, n_vertices)
+        for _ in range(rounds):
+            state = F.broadcast(dist) if bcast else dist
+            msgs = und.join(state, und.a == state.id).select(
+                F.col("b").alias("id"),
+                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+                F.col("a").cast("long").alias("via"),
+            )
+            dist = (
+                msgs.unionByName(dist.select("id", "dist", "via"))
+                .groupBy("id")
+                .agg(F.min(F.struct("dist", "via")).alias("s"))
+                .select("id", F.col("s.dist").alias("dist"), F.col("s.via").alias("via"))
+                .localCheckpoint(eager=False)
+            )
+        dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """B6 — community detection via synchronous label propagation with
+    a SELF-VOTE and a deterministic tie-break: each round every vertex
+    adopts the most frequent label among its neighbors plus itself,
+    ties broken by the smallest label (arg-max on (count, -label)).
+
+    The self-vote damps the 2-cycle oscillation synchronous LPA
+    exhibits on bipartite graphs (the co-purchase graph IS bipartite);
+    with a FIXED round count the run is deterministic either way, so
+    the loop-unrolled oracle matches round-for-round — the same
+    determinism contract as `pagerank`'s fixed power iteration.
+
+    Cost: two aggregation shuffles per round ((id, label) vote count,
+    then per-id arg-max) plus the message join — label state is one
+    row per vertex, the same sparse-state scaling as the other
+    iterative operators."""
+    und = _undirected(edges).localCheckpoint()
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
+        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        n_vertices = vertices.count()
+        labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+        bcast = _use_broadcast_state("auto", n_edges, n_vertices)
+        for _ in range(rounds):
+            state = F.broadcast(labels) if bcast else labels
+            votes = (
+                und.join(state, und.a == state.id)
+                .select(F.col("b").alias("id"), "label")
+                .unionByName(labels.select("id", "label"))  # self-vote
+            )
+            labels = (
+                votes.groupBy("id", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("id")
+                # arg-max (count, -label): most frequent label, ties to
+                # the smallest label value
+                .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("s"))
+                .select("id", (-F.col("s.neg")).alias("label"))
+                .localCheckpoint(eager=False)
+            )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("id").alias("vertex"), F.col("label").alias("community"))

@@ -81,15 +81,12 @@ _DECLARED = [
     "vector_pq_ann",
     "vector_neardup_pairs",
     "vector_quantization",
-    "dedup_simhash",
     "dedup_minhash_verified",
     "dedup_decontaminate_ngram",
     "text_repetition_scores",
     "text_vocabulary",
-    "rag_hashed_retrieval",
     "rag_hybrid_rrf",
     "graphrag_retrieve",
-    "graphrag_hops",
     # Round-7 second swap: the round's two NEW cross-subsystem entries
     # driver-proven immediately — mixture_sample (source-weighted
     # training mix) and streaming_lake_cdc (foreachBatch merge into
@@ -98,15 +95,25 @@ _DECLARED = [
     "mixture_sample",
     "streaming_lake_cdc",
     # --- graph (B1, B2, B3, B6)
-    "graph_triangle_agg",
-    "connected_components",
     "graph_pagerank",
+    # Round-7 third swap: the round's four NEW graph entries driver-
+    # proven immediately — shortest paths with deterministic
+    # predecessors (unweighted + Bellman-Ford-weighted), LPA
+    # communities, and the compiled string-predicate WHERE chain.
+    # graph_triangle_agg, connected_components, graph_2hop, and
+    # graphrag_hops (driver-green r1/r4-r6) rotate out, keeping their
+    # pytest oracles (CC additionally keeps the union-find reference
+    # test; the new iterative pair carries BFS/Bellman-Ford/LPA
+    # references of its own).
+    "graph_shortest_path",
+    "graph_weighted_shortest_path",
+    "graph_label_propagation",
+    "graph_string_predicates",
     # Round-7 rotation (VERDICT r6 #5): graph_optional_match — the one
     # never-driver-proven standalone entry — rotates IN for
     # graph_copurchase_degree (driver-green r6, pytest-oracled
     # forever), completing the every-entry-proven discipline.
     "graph_optional_match",
-    "graph_2hop",
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).
     "graph_pattern_topk",
@@ -129,6 +136,12 @@ _DECLARED = [
     "streaming_enriched_agg",
     "streaming_attribution_join",
     "streaming_decontaminate",
+    # Round-7 third swap (streaming half): the Kafka-shaped source
+    # proof and the index-probed streaming dedup rotate in for
+    # dedup_simhash and rag_hashed_retrieval (driver-green r4-r6,
+    # pytest-oracled forever).
+    "streaming_kafka_events",
+    "streaming_index_dedup",
     "multimodal_pipeline",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",

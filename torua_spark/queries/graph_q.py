@@ -583,7 +583,7 @@ def q_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pg.query(
         "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
-        "WHERE n.n_name STARTS WITH 'A' OR n.n_name IN ['FRANCE', 'GERMANY'] "
+        "WHERE n.n_name STARTS WITH 'NATION_1' OR n.n_name IN ['NATION_2', 'NATION_3'] "
         "RETURN n.n_name AS nation, count(*) AS n_customers"
     )
 
@@ -593,7 +593,8 @@ QUERIES["graph_string_predicates"] = q_string_predicates
 ORACLE["graph_string_predicates"] = """
     SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name LIKE 'A%' OR n.n_name IN ('FRANCE', 'GERMANY')
+    WHERE n.n_name LIKE 'NATION\\_1%' ESCAPE '\\'
+       OR n.n_name IN ('NATION_2', 'NATION_3')
     GROUP BY 1
 """
 
@@ -657,3 +658,133 @@ def _sssp_oracle_sql(source: int = SSSP_SOURCE,
 
 QUERIES["graph_shortest_path"] = q_shortest_path
 ORACLE["graph_shortest_path"] = _sssp_oracle_sql()
+
+
+WSSSP_ROUNDS = 6
+LPA_ROUNDS = 4
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-purchase edges carrying an EXACT integer weight:
+    w = min quantity ever shipped on the (customer, supplier) pair.
+    l_quantity is whole-valued in the testdata, so Spark's truncating
+    cast and DuckDB's rounding cast agree."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_quantity"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+
+
+def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 weighted — k-bounded lightest paths (6 Bellman-Ford rounds)
+    from customer 1 over min-quantity-weighted co-purchase edges;
+    hash-checked including the deterministic `via` predecessor."""
+    return g.weighted_shortest_paths(
+        _weighted_edges(spark, sf_dir), SSSP_SOURCE, WSSSP_ROUNDS
+    )
+
+
+def _wsssp_oracle_sql(source: int = SSSP_SOURCE,
+                      rounds: int = WSSSP_ROUNDS) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+                   min(CAST(l.l_quantity AS BIGINT)) AS w
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        )""",
+        """und AS MATERIALIZED (
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, min(w) AS w
+            FROM (
+                SELECT src AS a, dst AS b, w FROM e
+                UNION ALL SELECT dst AS a, src AS b, w FROM e
+            ) GROUP BY 1, 2
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        f"""d0 AS MATERIALIZED (
+            SELECT id, CAST(0 AS BIGINT) AS dist, CAST(NULL AS BIGINT) AS via
+            FROM v WHERE id = {source}
+        )""",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""d{k + 1} AS MATERIALIZED (
+            SELECT id, dist, via FROM (
+                SELECT id, dist, via,
+                       row_number() OVER (PARTITION BY id ORDER BY dist, via) AS r
+                FROM (
+                    SELECT und.b AS id, d{k}.dist + und.w AS dist, d{k}.id AS via
+                    FROM und JOIN d{k} ON und.a = d{k}.id
+                    UNION ALL SELECT id, dist, via FROM d{k}
+                )
+            ) WHERE r = 1
+        )""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist,
+               CAST(via AS BIGINT) AS via
+        FROM d{rounds}"""
+
+
+QUERIES["graph_weighted_shortest_path"] = q_weighted_shortest_path
+ORACLE["graph_weighted_shortest_path"] = _wsssp_oracle_sql()
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — community detection: 4 synchronous LPA rounds with
+    self-vote and min-label tie-break over the co-purchase graph."""
+    edges = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return g.label_propagation(edges, LPA_ROUNDS)
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Loop-unrolled synchronous LPA: per round, count neighbor+self
+    votes per (id, label), keep the arg-max by (count desc, label asc)
+    — the same tie-break as graph.label_propagation's struct-max."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (
+                SELECT src AS a, dst AS b FROM e
+                UNION ALL SELECT dst AS a, src AS b FROM e
+            )
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""l{k + 1} AS MATERIALIZED (
+            SELECT id, label FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS r
+                FROM (
+                    SELECT id, label, count(*) AS n FROM (
+                        SELECT und.b AS id, l{k}.label
+                        FROM und JOIN l{k} ON und.a = l{k}.id
+                        UNION ALL SELECT id, label FROM l{k}
+                    ) GROUP BY 1, 2
+                )
+            ) WHERE r = 1
+        )""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT CAST(id AS BIGINT) AS vertex, CAST(label AS BIGINT) AS community
+        FROM l{rounds}"""
+
+
+QUERIES["graph_label_propagation"] = q_label_propagation
+ORACLE["graph_label_propagation"] = _lpa_oracle_sql()
