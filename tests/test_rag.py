@@ -657,3 +657,55 @@ def test_ivf_index_persist_probe_prunes_partitions(spark, sf_dir, tmp_path):
     got = [(r["vec_id"], r["sim"]) for r in rows if r["vec_id"] != 0][:5]
     want = [(r["vec_id"], r["sim"]) for r in mem][:5]
     assert got == want
+
+
+def test_boilerplate_lines_semantics(spark):
+    from torua_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "COOKIE BANNER\nunique one\n\n  COOKIE BANNER  \nend1"),
+            ("d2", "COOKIE BANNER\nunique two\nend2"),
+            ("d3", "COOKIE BANNER\nunique three"),
+            ("d4", "solo repeat\nsolo repeat"),
+            ("d5", "COOKIE BANNER"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ta.remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    # trim-insensitive: the padded variant in d1 is removed too; the
+    # blank line is NEVER boilerplate and survives in place
+    assert out["d1"]["clean_text"] == "unique one\n\nend1"
+    assert (out["d1"]["n_lines"], out["d1"]["n_removed"]) == (5, 2)
+    assert out["d2"]["clean_text"] == "unique two\nend2"
+    assert out["d3"]["clean_text"] == "unique three"
+    # within-doc repetition is 1 distinct doc -> kept
+    assert out["d4"]["clean_text"] == "solo repeat\nsolo repeat"
+    assert out["d4"]["n_removed"] == 0
+    # a fully-boilerplate doc survives as an empty row, not a dropped one
+    assert out["d5"]["clean_text"] == ""
+    assert (out["d5"]["n_lines"], out["d5"]["n_removed"]) == (1, 1)
+
+    # the hashed-key scale path is byte-identical to the exact path
+    hashed = {
+        r["doc_id"]: r
+        for r in ta.remove_boilerplate_lines(
+            docs, min_docs=3, hash_lines=True
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in hashed.items()
+    }
+
+
+def test_boilerplate_corpus_nonvacuous(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = rag_q.QUERIES["text_boilerplate_lines"](spark, sf_dir)
+    removed, docs = out.agg(
+        F.sum("n_removed"), F.count(F.lit(1))
+    ).first()
+    assert docs > 0 and 0 < removed < docs * 10

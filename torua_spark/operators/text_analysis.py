@@ -323,3 +323,72 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         F.md5(red2).alias("redacted_md5"),
         (red2 != F.col("text")).alias("changed"),
     )
+
+
+def remove_boilerplate_lines(documents: DataFrame, min_docs: int = 3,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             sep: str = "\n",
+                             hash_lines: bool = False) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line (trimmed,
+    ``sep``-delimited segment) that appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license
+    headers) and is dropped from every document; blank lines are never
+    boilerplate. Returns (id_col, clean_text, n_lines, n_removed) —
+    documents whose every line is boilerplate survive with
+    ``clean_text = ''`` so the corpus row set is stable.
+
+    Plan shape (the 100 TB contract): one generate (posexplode, no
+    shuffle) feeding TWO consumers that both key on the line — a
+    count-distinct aggregation to find boilerplate and a left-anti
+    join to drop it — then one reassembly aggregation on the document
+    id. Three shuffles total; the boilerplate side is tiny after the
+    HAVING filter, so AQE broadcasts the anti-join. With
+    ``hash_lines=True`` the aggregation/join key is ``xxhash64(line)``
+    (8 bytes instead of the line text) — the CCNet trick for
+    shuffle-volume at corpus scale, at an astronomically small
+    collision risk (documented, off by default so the exact-string
+    path stays oracle-matchable).
+
+    Reference parity: the reference documents a cleaning pipeline over
+    raw documents (README.md:195-208); this is the standard line-dedup
+    pass every pretraining pipeline runs before MinHash.
+    """
+    import re as _re
+
+    lines = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    key = F.xxhash64(norm) if hash_lines else norm
+    boiler = (
+        lines.filter(norm != "")
+        .select(key.alias("bkey"), id_col)
+        .groupBy("bkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= F.lit(min_docs))
+        .select("bkey")
+    )
+    kept = lines.join(boiler, key == F.col("bkey"), "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = documents.select(
+        id_col,
+        F.size(F.split(F.col(text_col), _re.escape(sep))).cast("long").alias("n_lines"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1326,3 +1326,78 @@ ORACLE["text_redact_pii"] = """
         FROM documents
     )
 """.replace("__EM__", _PII_EMAIL_SQL).replace("__UR__", _PII_URL_SQL)
+
+
+BOILER_MIN_DOCS = 3
+BOILER_LINE_TOKENS = 8
+
+
+def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level boilerplate removal over the corpus. The
+    synthetic documents carry no newlines, so both engines derive
+    lines deterministically first — consecutive 8-token segments —
+    then run the REAL operator end-to-end (explode -> count-distinct
+    -> anti-join -> reassemble); the result row is the md5 of the
+    cleaned body plus the line ledger, so the relation stays small
+    while pinning every byte of the reassembly."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(BOILER_LINE_TOKENS)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * BOILER_LINE_TOKENS + 1, BOILER_LINE_TOKENS), " "
+        ),
+    )
+    seg = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = ta.remove_boilerplate_lines(seg, min_docs=BOILER_MIN_DOCS)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+QUERIES["text_boilerplate_lines"] = _q_text_boilerplate
+
+ORACLE["text_boilerplate_lines"] = f"""
+    WITH lines AS (
+        SELECT doc_id, unnest(ls) AS line,
+               unnest(range(len(ls)))::BIGINT AS lineno
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(l) / {BOILER_LINE_TOKENS}.0) AS BIGINT),
+                           1)),
+                       i -> array_to_string(
+                           l[i * {BOILER_LINE_TOKENS} + 1 :
+                             i * {BOILER_LINE_TOKENS} + {BOILER_LINE_TOKENS}],
+                           ' ')) AS ls
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        )
+    ),
+    boiler AS (
+        SELECT trim(line) AS nline FROM lines WHERE trim(line) <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT doc_id, lineno, line FROM lines
+        WHERE trim(line) NOT IN (SELECT nline FROM boiler)
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+    re AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY lineno) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN re r USING (doc_id)
+"""
