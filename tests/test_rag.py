@@ -709,3 +709,63 @@ def test_boilerplate_corpus_nonvacuous(spark, sf_dir):
         F.sum("n_removed"), F.count(F.lit(1))
     ).first()
     assert docs > 0 and 0 < removed < docs * 10
+
+
+def _exact_knn(rows, k):
+    """Reference kNN with the operator's exact contract: round4 cosine,
+    ties (sim desc, neighbor_id asc)."""
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.floor((Mn @ Mn.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
+    out = {}
+    for i, v in enumerate(ids):
+        cand = [(-S[i, j], int(ids[j])) for j in range(len(ids)) if j != i]
+        cand.sort()
+        out[int(v)] = [(nid, -negs) for negs, nid in cand[:k]]
+    return out
+
+
+def test_knn_join_full_probe_is_exact(spark, sf_dir):
+    """Probing EVERY cell removes the blocking approximation: the
+    operator must reproduce exact brute-force kNN bit-for-bit."""
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _exact_knn(emb.select("vec_id", "embedding").collect(), 5)
+    got = {}
+    for r in sim.knn_join(emb, 5, nprobe=sim.KMEANS_K).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+    assert set(got) == set(exact)
+    for v, lst in got.items():
+        lst.sort()
+        assert [(nid, s) for _, nid, s in lst] == [
+            (nid, pytest.approx(s, abs=1e-9)) for nid, s in exact[v]
+        ]
+
+
+def test_knn_join_blocked_recall_and_shape(spark, sf_dir):
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _exact_knn(emb.select("vec_id", "embedding").collect(), 1)
+    rows = sim.knn_join(emb, 5, nprobe=2).collect()
+    # shape: no self pairs, ranks are 1..m consecutive per vector
+    per = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["vec_id"]
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # recall@1 vs exact: uniform synthetic embeddings are the blocking
+    # WORST case (no cluster structure); nprobe=2 of 16 cells measured
+    # 0.426 — pin a conservative floor far above the 0.125 random rate
+    got1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    hits = sum(1 for v, n in got1.items() if exact[v][0][0] == n)
+    assert hits / len(got1) >= 0.30

@@ -1041,3 +1041,125 @@ def ivf_index_topk(spark, path: str, query_vec, k: int = 10,
         )
     )
     return global_topk(scored, [F.col("sim").desc(), F.col("vec_id")], k)
+
+
+def probe_cells(embeddings: DataFrame, cents: DataFrame,
+                nprobe: int = 2) -> DataFrame:
+    """Top-``nprobe`` nearest cells per vector under EXACTLY
+    ``assign_cells``'s metric (4-dp-rounded left-fold L2, ties to the
+    smaller cell id) — the IVF multi-probe set; ``crank = 1`` is the
+    hard assignment. Same Arrow ``mapInPandas`` shape and bit-identical
+    arithmetic, so the oracle's ``row_number() OVER (ORDER BY d4,
+    cell) <= nprobe`` walks the same decisions."""
+    crows = cents.select("cell", "centroid").collect()
+    cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cmat = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    order = np.argsort(cell_ids)
+    cell_ids, cmat = cell_ids[order], cmat[order]
+    p = min(nprobe, len(cell_ids))
+
+    def _probe(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            acc = np.zeros((emat.shape[0], cmat.shape[0]), dtype=np.float64)
+            for j in range(emat.shape[1]):  # exact left-fold per dim
+                diff = emat[:, j : j + 1] - cmat[:, j][None, :]
+                acc += diff * diff
+            d4 = np.floor(acc * 10000.0 + 0.5 + 1e-9) / 10000.0
+            # stable sort: equal d4 resolves to the smaller column
+            # index == smaller cell id (cell_ids is ascending)
+            nearest = np.argsort(d4, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "cell": cell_ids[nearest].reshape(-1).astype(np.int32),
+                    "crank": np.tile(np.arange(1, p + 1), n).astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _probe, "vec_id long, cell int, crank int"
+    )
+
+
+KNN_K = 5
+KNN_NPROBE = 2
+
+
+def knn_join(embeddings: DataFrame, k: int = KNN_K,
+             nprobe: int = KNN_NPROBE, cents: DataFrame | None = None,
+             kmeans_k: int = KMEANS_K) -> DataFrame:
+    """Approximate kNN SELF-join — every vector's ``k`` nearest
+    neighbors by cosine among vectors homed in any of its ``nprobe``
+    nearest k-means cells. The batch primitive under SemDeDup-style
+    diversification, kNN-graph construction, and retrieval-eval
+    labeling; ``brute_force_topk`` is the one-query exact case, this
+    is the all-queries blocked case.
+
+    Plan shape (the 100 TB contract): candidates are
+    ``probes(nprobe per vector) JOIN homes ON cell`` — each (q, n)
+    pair appears AT MOST ONCE because a neighbor has exactly one home
+    cell, so there is no cross-band distinct. One shuffle on ``cell``
+    builds the pair relation (per-vector candidates ~ nprobe x
+    cell-population, constant under the corpus-sized-k law), the dot
+    is one Arrow einsum per batch over precomputed norms, and the
+    per-query top-k is a window partitioned by ``vec_id`` (second
+    shuffle). Nothing is O(n^2) and nothing collects to the driver
+    but the (k-row) codebook. Recall < 1.0 by construction —
+    cross-boundary neighbors outside the probed cells are missed;
+    raise ``nprobe`` to buy recall linearly in candidate volume.
+
+    Reference parity: README.md:315-320 semantic search; the
+    cell-blocked pair relation is the same scatter-gather shape as
+    directed shard routing (ARCHITECTURE.md:519-534)."""
+    from torua_spark.functions.vectors import norm
+
+    if cents is None:
+        cents = kmeans_centroids(embeddings, k=kmeans_k)
+    home = assign_cells(embeddings, cents)
+    probes = probe_cells(embeddings, cents, nprobe)
+    base = embeddings.select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    q = probes.join(base, "vec_id").select(
+        "cell",
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    nb = home.join(base, "vec_id").select(
+        "cell",
+        F.col("vec_id").alias("nid"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    pair_dot = _pair_dot()
+    scored = (
+        q.join(nb, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            round4(
+                pair_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
+    )

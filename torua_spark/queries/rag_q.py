@@ -1401,3 +1401,52 @@ ORACLE["text_boilerplate_lines"] = f"""
            CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
     FROM totals t LEFT JOIN re r USING (doc_id)
 """
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN self-join (every vector's 5 nearest by cosine
+    within its 2 probed learned-k-means cells) — hash-checked
+    INCLUDING the rank column, so blocking, probe ranking, cosine
+    rounding, and the (sim desc, nid) tie-break are all driver-proven
+    against the loop-unrolled Lloyd + multi-probe oracle."""
+    return sim.knn_join(_emb(spark, sf_dir), sim.KNN_K, sim.KNN_NPROBE)
+
+
+def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
+                         kk: int = sim.KMEANS_K,
+                         iters: int = sim.KMEANS_ITERATIONS) -> str:
+    ctes = _kmeans_ctes(kk, iters)
+    ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
+    ctes.append(f"""probes AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d4, cell) AS rn
+            FROM (SELECT p.vec_id, c.cell,
+                         floor(sum((p.v - c.m) * (p.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                  FROM pos p JOIN cent{iters} c ON p.pos = c.pos
+                  GROUP BY p.vec_id, c.cell)
+        ) WHERE rn <= {nprobe})""")
+    ctes.append("""scored AS (
+        SELECT p.vec_id AS qid, a.vec_id AS nid,
+               floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                            en.embedding::DOUBLE[])
+                     * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        JOIN embeddings eq ON eq.vec_id = p.vec_id
+        JOIN embeddings en ON en.vec_id = a.vec_id)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT qid AS vec_id, nid AS neighbor_id, sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT qid, nid, sim,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+            FROM scored
+        ) WHERE rank <= {k}"""
+    )
+
+
+QUERIES["vector_knn_join"] = _q_knn_join
+ORACLE["vector_knn_join"] = _knn_join_oracle_sql()
