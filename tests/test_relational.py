@@ -30,3 +30,39 @@ def test_approx_stats_within_tolerance(spark, sf_dir):
         assert a["users_within_10pct"], et
         assert a["median_within_1pct_rank"], et
         assert a["p95_within_1pct_rank"], et
+
+
+def test_profile_table_semantics(spark):
+    from torua_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1, 2]),
+            (2, None, None, []),
+            (2, "b", 4.5, None),
+        ],
+        "k bigint, s string, v double, arr array<bigint>",
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s", "v", "arr"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0)
+    assert abs(k["avg_num"] - 5 / 3) < 1e-3
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None
+    v = out["v"]
+    assert (v["n_nulls"], v["min_num"], v["max_num"], v["avg_num"]) == (
+        1, 1.5, 4.5, 3.0,
+    )
+    # unsupported type still reports counts with null bounds
+    arr = out["arr"]
+    assert (arr["n_rows"], arr["n_nulls"], arr["n_distinct"]) == (3, 1, 2)
+    assert arr["min_str"] is None and arr["min_num"] is None
+
+    # column subset + approx sketch path: same counts, nd within HLL error
+    ap = {r["col_name"]: r for r in profile_table(df, ["k"], approx=True).collect()}
+    assert set(ap) == {"k"}
+    assert abs(ap["k"]["n_distinct"] - 2) <= 1

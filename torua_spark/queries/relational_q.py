@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from torua_spark.functions.compat import round4_sql
 from torua_spark.operators import relational as rel
 from torua_spark.sources.catalog import load_table
 
@@ -428,3 +429,58 @@ def _zorder_oracle() -> str:
 
 
 ORACLE["zorder_layout"] = _zorder_oracle()
+
+
+def q_profile_orders(spark, sf_dir):
+    """One-scan column profile of the orders table (counts, nulls,
+    exact distincts, typed min/max/avg) — the ingest data-quality
+    gate, hash-checked per column against per-column SQL."""
+    from torua_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES["profile_orders"] = q_profile_orders
+
+
+def _profile_orders_oracle() -> str:
+    num = {"o_orderkey": "bigint", "o_custkey": "bigint",
+           "o_totalprice": "double"}
+    strc = {"o_orderstatus": "string", "o_orderpriority": "string"}
+    tmp = {"o_orderdate": "timestamp_ntz"}
+    parts = []
+    for c, t in num.items():
+        parts.append(f"""
+            SELECT '{c}' AS col_name, '{t}' AS dtype,
+                   count(*)::BIGINT AS n_rows,
+                   (count(*) - count({c}))::BIGINT AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   {round4_sql(f'min({c}::DOUBLE)')} AS min_num,
+                   {round4_sql(f'max({c}::DOUBLE)')} AS max_num,
+                   {round4_sql(f'avg({c}::DOUBLE)')} AS avg_num
+            FROM orders""")
+    for c, t in strc.items():
+        parts.append(f"""
+            SELECT '{c}', '{t}', count(*)::BIGINT,
+                   (count(*) - count({c}))::BIGINT,
+                   count(DISTINCT {c})::BIGINT,
+                   min({c}), max({c}),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
+            FROM orders""")
+    for c, t in tmp.items():
+        parts.append(f"""
+            SELECT '{c}', '{t}', count(*)::BIGINT,
+                   (count(*) - count({c}))::BIGINT,
+                   count(DISTINCT {c})::BIGINT,
+                   strftime(min({c}), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max({c}), '%Y-%m-%d %H:%M:%S'),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
+            FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+ORACLE["profile_orders"] = _profile_orders_oracle()
