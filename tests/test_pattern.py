@@ -906,3 +906,96 @@ def test_union_and_union_all(spark):
         pg.query(
             "MATCH (a:person) RETURN a UNION MATCH (b:person) RETURN b"
         )
+
+
+def test_varlength_range_hop(spark):
+    pg = _pg_people(spark)
+    # paths of length 1..2: edges (0,1) (0,2) (1,2) (3,1) plus the
+    # 2-paths 0->1->2 and 3->1->2; one row PER PATH (UNION ALL)
+    got = sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS*1..2]->(b:person) RETURN a, b"
+        ).collect()
+    )
+    assert got == [(0, 1), (0, 2), (0, 2), (1, 2), (3, 1), (3, 2)]
+    # *..2 is sugar for *1..2
+    got2 = sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS*..2]->(b:person) RETURN a, b"
+        ).collect()
+    )
+    assert got2 == got
+    # RETURN DISTINCT collapses multi-path pairs
+    assert sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS*1..2]->(b:person) RETURN DISTINCT a, b"
+        ).collect()
+    ) == [(0, 1), (0, 2), (1, 2), (3, 1), (3, 2)]
+    # aggregates run ONCE over the unioned binding: count(*) counts
+    # paths of every length in the range
+    n = pg.query(
+        "MATCH (a:person)-[:KNOWS*1..2]->(b:person) RETURN count(*) AS n"
+    ).collect()
+    assert [r.n for r in n] == [6]
+    n2 = pg.query(
+        "MATCH (a:person)-[:KNOWS*2..2]->(b:person) RETURN count(*) AS n"
+    ).collect()
+    assert [r.n for r in n2] == [2]
+
+
+def test_varlength_range_errors(spark):
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="at most one"):
+        pg.query(
+            "MATCH (a:person)-[:KNOWS*1..2]->(b)-[:KNOWS*1..2]->(c) "
+            "RETURN a, c"
+        )
+    with pytest.raises(ValueError, match="1 <= min <= max"):
+        pg.query("MATCH (a:person)-[:KNOWS*3..2]->(b) RETURN a, b")
+    with pytest.raises(ValueError, match="query\\(\\)-only"):
+        pg.match("MATCH (a:person)-[:KNOWS*1..2]->(b)")
+    # a range in a LATER clause has no single variable space to union in
+    with pytest.raises(ValueError, match="initial MATCH"):
+        pg.query(
+            "MATCH (a:person) MATCH (a)-[:KNOWS*1..2]->(b:person) "
+            "RETURN a, b"
+        )
+    # no RETURN yields the unioned binding on the shortest variant's
+    # columns (anonymous intermediates projected away)
+    b = pg.query("MATCH (a:person)-[:KNOWS*1..2]->(b:person)")
+    assert b.count() == 6 and "a" in b.columns and "b" in b.columns
+    assert not any(c.startswith("_a_") for c in b.columns)
+
+
+def test_collect_aggregate(spark):
+    pg = _pg_people(spark)
+    got = {
+        r.a: r.bs
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b:person) "
+            "RETURN a, collect(b) AS bs"
+        ).collect()
+    }
+    assert got == {0: [1, 2], 1: [2], 3: [1]}
+    # collect an attribute; sorted canonical order
+    got2 = {
+        r.a: r.names
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b:person) "
+            "RETURN a, collect(b.name) AS names"
+        ).collect()
+    }
+    assert got2 == {0: ["p1", "p2"], 1: ["p2"], 3: ["p1"]}
+    # DISTINCT collapses duplicates (2 is reachable from 0 twice via
+    # the *1..2 range — collect sees the multiset, set dedups it)
+    got3 = {
+        r.a: r.bs
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS*1..2]->(b:person) "
+            "RETURN a, collect(DISTINCT b) AS bs"
+        ).collect()
+    }
+    assert got3 == {0: [1, 2], 1: [2], 3: [1, 2]}

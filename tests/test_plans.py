@@ -132,6 +132,8 @@ _PYTHON_OK = {
                                 # (bit-identical to the HOF fold; 4x at sf1)
     "vector_ann_ivf_learned",   # same assignment inside the Lloyd loop
     "vector_pq_ann",            # same assignment, per-subspace codebooks
+    "vector_knn_join",          # same assignment + multi-probe ranking,
+                                # plus the Arrow pair-dot einsum
 }
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin

@@ -50,9 +50,13 @@ onto an existing DataFrame op (VERDICT r5 #4):
   variable space downstream, so ``WITH a, count(b) AS n WHERE n > 2``
   is post-aggregation filtering (HAVING) and a following MATCH
   continues from any projected id column.
-- ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max
+- ``RETURN [DISTINCT]`` with aliases and count/sum/avg/min/max/collect
   aggregates (an aggregate item turns the projection into a groupBy
-  over the non-aggregate items).
+  over the non-aggregate items; collect() is canonicalized by sorting,
+  collect(DISTINCT x) is a sorted set).
+- variable-length RANGE hops ``[:R*1..3]`` / ``[:R*..3]`` in query():
+  per-length fixed-repeat expansion UNION ALLed — one row per path,
+  Cypher semantics.
 - ``OPTIONAL MATCH (v)-[:R]->(x)``: left-join continuation from an
   already-bound variable — unmatched rows keep the binding and carry
   NULL for the new variables (``count(x)`` then counts matches only,
@@ -140,6 +144,12 @@ class PropertyGraph:
         return self
 
     def _parse(self, pattern: str) -> tuple[list[tuple[str, str | None]], list[tuple]]:
+        if re.search(r"\*\d*\.\.", pattern):
+            raise ValueError(
+                "variable-length RANGE hops ([:R*1..3]) are query()-only "
+                "(the per-length bindings union on the RETURNed columns); "
+                "match() needs a fixed repeat like [:R*2]"
+            )
         pat = pattern.strip()
         if pat.upper().startswith("MATCH"):
             pat = pat[5:].strip()
@@ -198,6 +208,39 @@ class PropertyGraph:
                     f"has no edge relation to carry attributes"
                 )
         return nodes, edges
+
+    _RANGE_HOP = re.compile(r"\*(\d*)\.\.(\d+)")
+
+    def _compile_range(self, text: str, m: "re.Match") -> tuple:
+        """Variable-length RANGE hop ``[:R*lo..hi]`` (``*..hi`` = 1..hi)
+        in the initial MATCH clause: compile the fixed-repeat variant
+        for every length and UNION ALL the bindings — one row per
+        path, Cypher semantics — projected onto the SHORTEST variant's
+        columns. That projection is lossless for everything nameable:
+        a longer variant only adds anonymous intermediate columns
+        (``_a_R_1`` …), and every named variable/attribute column of
+        the shortest variant exists in all longer ones. DISTINCT,
+        WHERE, WITH, and aggregates then apply ONCE over the unioned
+        binding, so ``RETURN DISTINCT`` dedups across lengths and
+        ``count(*)`` counts all paths."""
+        if self._RANGE_HOP.search(text[m.end():]):
+            raise ValueError(
+                "at most one variable-length range hop per query — two "
+                "ranges would multiply into a cross product of variants"
+            )
+        lo, hi = int(m.group(1) or 1), int(m.group(2))
+        if lo < 1 or hi < lo:
+            raise ValueError(
+                f"range hop *{m.group(1)}..{hi}: need 1 <= min <= max"
+            )
+        binding = labels = owner = None
+        for k in range(lo, hi + 1):
+            b, lab, own = self._compile(text[: m.start()] + f"*{k}" + text[m.end():])
+            if binding is None:
+                binding, labels, owner = b, lab, own
+            else:
+                binding = binding.unionByName(b.select(*binding.columns))
+        return binding, labels, owner
 
     def match(self, pattern: str) -> DataFrame:
         """Compile a MATCH chain to its binding table: one ``var``
@@ -448,7 +491,7 @@ class PropertyGraph:
         r"('(?:[^']*)'|-?\d+(?:\.\d+)?|\w+(?:\.\w+)?)\s*$"
     )
     _AGG = re.compile(
-        r"(?i)^\s*(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?"
+        r"(?i)^\s*(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
         r"(\*|\w+(?:\.\w+)?)\s*\)\s*$"
     )
     _ITEM = re.compile(r"(?i)^\s*(.*?)(?:\s+AS\s+(\w+))?\s*$")
@@ -660,6 +703,15 @@ class PropertyGraph:
                             f"{fn}({'DISTINCT ' if dflag else ''}*) is not a thing"
                         )
                     aggs.append(F.count(F.lit(1)).alias(name))
+                elif fn == "collect":
+                    # Cypher's collect() is unordered; canonicalize by
+                    # sorting so output (and the DuckDB oracle's
+                    # list(x ORDER BY x)) is deterministic. DISTINCT
+                    # -> collect_set, else collect_list; NULLs are
+                    # skipped by both, matching Cypher.
+                    col = self._resolve(arg, labels, owner)[0]
+                    base = F.collect_set(col) if dflag else F.collect_list(col)
+                    aggs.append(F.array_sort(base).alias(name))
                 elif dflag:
                     col = self._resolve(arg, labels, owner)[0]
                     if fn == "count":
@@ -790,9 +842,21 @@ class PropertyGraph:
                 # _apply_optional filters the optional side pre-join
                 j += 1
             text = body[end: spans[j][1] if j < len(spans) else len(body)]
+            m_rng = self._RANGE_HOP.search(text)
+            if m_rng and not (kind == "MATCH" and binding is None):
+                raise ValueError(
+                    "variable-length RANGE hops are supported in the "
+                    "initial MATCH clause only (the per-length bindings "
+                    "union there; later clauses see one variable space)"
+                )
             if kind == "MATCH":
                 if binding is None:
-                    binding, labels, owner = self._compile(text)
+                    if m_rng:
+                        binding, labels, owner = self._compile_range(
+                            text, m_rng
+                        )
+                    else:
+                        binding, labels, owner = self._compile(text)
                 else:
                     # second MATCH clause == comma conjunction: walk
                     # its chains over the SAME binding state (bound =

@@ -788,3 +788,89 @@ def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
 
 QUERIES["graph_label_propagation"] = q_label_propagation
 ORACLE["graph_label_propagation"] = _lpa_oracle_sql()
+
+
+def q_varlength_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 range-hop proof: undirected walks of length 1..2 over
+    the bipartite co-purchase graph through the pattern compiler's
+    ``[:CP*1..2]`` expansion (per-length bindings union BEFORE the
+    aggregate, so count(*) counts walks of every length) — per-
+    endpoint walk counts, hash-checked."""
+    from torua_spark.plans.pattern import PropertyGraph
+    from pyspark.sql import functions as F
+
+    edges = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("node", nodes, "id")
+        .add_edge("CP", edges, "src", "dst")
+    )
+    return pg.query(
+        "MATCH (a:node)-[:CP*1..2]-(b) "
+        "RETURN b AS vertex, count(*) AS n_walks"
+    )
+
+
+QUERIES["graph_varlength_range"] = q_varlength_range
+
+# Oracle mirrors the compiler exactly: an undirected hop is
+# fwd UNION ALL rev of the (distinct) edge relation; the 1..2 range is
+# walks, not trails (homomorphic join semantics — edges may repeat).
+ORACLE["graph_varlength_range"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst AS a, src AS b FROM e
+    ),
+    walks AS (
+        SELECT a, b FROM und
+        UNION ALL
+        SELECT u1.a, u2.b FROM und u1 JOIN und u2 ON u1.b = u2.a
+    )
+    SELECT CAST(b AS BIGINT) AS vertex, count(*)::BIGINT AS n_walks
+    FROM walks GROUP BY 1
+"""
+
+
+def q_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 collect() proof: per-customer sorted DISTINCT order
+    priorities through the pattern compiler — array-valued aggregate
+    hash-checked element-for-element against DuckDB's
+    list(DISTINCT x ORDER BY x)."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("orders", load_table(spark, sf_dir, "orders"), "o_orderkey")
+        .add_edge(
+            "PLACED",
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+            "o_custkey", "o_orderkey",
+        )
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o:orders) "
+        "RETURN c AS c_custkey, collect(DISTINCT o.o_orderpriority) AS priorities, "
+        "count(*) AS n_orders"
+    )
+
+
+QUERIES["graph_collect_priorities"] = q_collect_priorities
+
+ORACLE["graph_collect_priorities"] = """
+    SELECT o_custkey AS c_custkey,
+           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY 1
+"""
