@@ -999,3 +999,53 @@ def test_collect_aggregate(spark):
         ).collect()
     }
     assert got3 == {0: [1, 2], 1: [2], 3: [1, 2]}
+
+
+def test_shortest_path_form(spark):
+    pg = _pg_people(spark)
+    # knows: (0,1) (0,2) (1,2) (3,1); undirected BFS from 0:
+    # 1@1 (via 0), 2@1 (via 0), 3@2 (via 1)
+    got = {
+        r.b: (r.len_p, r.name)
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 "
+            "RETURN b, length(p) AS len_p, b.name AS name"
+        ).collect()
+    }
+    assert got == {1: (1, "p1"), 2: (1, "p2"), 3: (2, "p3")}
+    # residual WHERE terms filter the result (incl. on length(p));
+    # ORDER BY / LIMIT ride the shared _finish tail
+    got2 = pg.query(
+        "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+        "WHERE a = 0 AND length(p) >= 2 "
+        "RETURN b, length(p) AS hops ORDER BY b LIMIT 1"
+    ).collect()
+    assert [(r.b, r.hops) for r in got2] == [(3, 2)]
+    # unreachable vertices (4, 5) never appear; the source is excluded
+    assert 0 not in got and 4 not in got and 5 not in got
+    # aggregate over the BFS relation
+    n = pg.query(
+        "MATCH p = shortestPath((a:person)-[:KNOWS*..1]-(b:person)) "
+        "WHERE a = 0 RETURN count(*) AS n"
+    ).collect()
+    assert [r.n for r in n] == [2]
+
+
+def test_shortest_path_form_errors(spark):
+    pg = _pg_people(spark)
+    with pytest.raises(ValueError, match="undirected"):
+        pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]->(b)) "
+            "WHERE a = 0 RETURN b"
+        )
+    with pytest.raises(ValueError, match="source pinned"):
+        pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b)) "
+            "WHERE b = 0 RETURN b"
+        )
+    with pytest.raises(ValueError, match="only \\*\\.\\.k"):
+        pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*2..6]-(b)) "
+            "WHERE a = 0 RETURN b"
+        )

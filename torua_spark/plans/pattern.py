@@ -211,6 +211,105 @@ class PropertyGraph:
 
     _RANGE_HOP = re.compile(r"\*(\d*)\.\.(\d+)")
 
+    _SHORTEST = re.compile(
+        r"(?i)^\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*"
+        r"\((\w+):(\w+)\)\s*-\[:(\w+)\*(\d*)\.\.(\d+)\]-(>?)\s*"
+        r"\((\w+)(?::(\w+))?\)\s*\)\s*(.*)$",
+        re.S,
+    )
+
+    def _query_shortest_path(self, m: "re.Match") -> DataFrame:
+        """``MATCH p = shortestPath((a:A)-[:R*..k]-(b[:B])) WHERE a =
+        <id> [AND <more>] RETURN ...`` — the Cypher shortest-path form
+        compiled onto the iterative BFS operator
+        (operators/graph.shortest_paths: sparse-frontier rounds,
+        deterministic (hops, via) predecessors), NOT onto joins: a
+        k-hop join tree enumerates every walk, BFS state is one row
+        per reached vertex. Scope: undirected hop only (the operator's
+        graph model — a directed ``->`` raises), the WHERE must pin
+        the source ``a`` to a literal id (single-source BFS), and
+        RETURN sees ``a``, ``b``, ``b.attr`` (when b is labeled) and
+        ``length(p)``; remaining WHERE terms filter the result."""
+        from torua_spark.operators import graph as _g
+
+        (pvar, a_var, la, rel, lo, hi, arrow, b_var, lb, rest) = m.groups()
+        if arrow:
+            raise ValueError(
+                "shortestPath compiles onto the undirected BFS operator "
+                "— write the hop as -[:R*..k]-, not ->"
+            )
+        if lo not in ("", "1"):
+            raise ValueError(
+                f"shortestPath range *{lo}..{hi}: only *..k / *1..k "
+                f"(the BFS emits each vertex at its minimum distance)"
+            )
+        if la not in self._v:
+            raise ValueError(f"unknown vertex label :{la}")
+        if lb is not None and lb not in self._v:
+            raise ValueError(f"unknown vertex label :{lb}")
+        if rel not in self._e or self._e[rel].df is None:
+            raise ValueError(
+                f"shortestPath needs a real edge relation :{rel} "
+                f"(FK edges have no traversable relation)"
+            )
+        # length(p) is projected as a plain column — rewrite references
+        rest = re.sub(
+            rf"(?i)\blength\s*\(\s*{pvar}\s*\)", f"{pvar}__len", rest
+        )
+        m_ret = self._kw("RETURN", rest)
+        head = rest[: m_ret.start()] if m_ret else rest
+        source, residual = None, []
+        m_w = re.match(r"(?i)^\s*WHERE\b", head)
+        if m_w:
+            for term in self._split_outside_quotes("AND", head[m_w.end():]):
+                m_src = re.match(rf"^\s*{a_var}\s*=\s*(-?\d+)\s*$", term)
+                if m_src and source is None:
+                    source = int(m_src.group(1))
+                else:
+                    residual.append(term)
+        elif head.strip():
+            raise ValueError(f"unparsed text before RETURN: {head.strip()!r}")
+        if source is None:
+            raise ValueError(
+                f"shortestPath needs the source pinned in WHERE "
+                f"({a_var} = <id>) — single-source BFS"
+            )
+        e = self._e[rel]
+        edges = e.df.select(
+            F.col(e.src_col).alias("src"), F.col(e.dst_col).alias("dst")
+        )
+        dist = _g.shortest_paths(edges, source, int(hi))
+        # private names so a vertex id column literally named "id"
+        # can't collide in the join below
+        binding = dist.filter(F.col("hops") > 0).select(  # min length 1
+            F.col("id").alias("__sp_id"), F.col("hops").alias("__sp_hops")
+        )
+        # the rewritten length(p) column resolves as a plain (unlabeled)
+        # variable in WHERE / RETURN / ORDER BY
+        labels: dict[str, str | None] = {
+            a_var: None, b_var: lb, f"{pvar}__len": None,
+        }
+        owner: dict[str, str] = {}
+        sel = [
+            F.lit(source).cast("long").alias(a_var),
+            F.col("__sp_id").alias(b_var),
+            F.col("__sp_hops").cast("long").alias(f"{pvar}__len"),
+        ]
+        if lb is not None:
+            v = self._v[lb]
+            vdf = F.broadcast(v.df) if v.broadcast else v.df
+            binding = binding.join(
+                vdf, binding["__sp_id"] == vdf[v.id_col], "inner"
+            )
+            owner[lb] = b_var
+            sel += [F.col(c) for c in v.df.columns]
+        binding = binding.select(*sel)
+        for term in residual:
+            binding = self._apply_where(binding, term, labels, owner)
+        if not m_ret:
+            return binding
+        return self._finish(binding, labels, owner, rest[m_ret.end():])
+
     def _compile_range(self, text: str, m: "re.Match") -> tuple:
         """Variable-length RANGE hop ``[:R*lo..hi]`` (``*..hi`` = 1..hi)
         in the initial MATCH clause: compile the fixed-repeat variant
@@ -794,6 +893,10 @@ class PropertyGraph:
                 out = out.unionByName(nxt)
             return out if all_flags[0] else out.distinct()
 
+        m_sp = self._SHORTEST.match(q)
+        if m_sp:
+            return self._query_shortest_path(m_sp)
+
         m_ret = self._kw("RETURN", q)
         body = q[: m_ret.start()] if m_ret else q
         # Clause scan in READ ORDER (Cypher semantics): a sequence of
@@ -888,8 +991,12 @@ class PropertyGraph:
 
         if not m_ret:
             return binding
-        ret_part = q[m_ret.end():]
+        return self._finish(binding, labels, owner, q[m_ret.end():])
 
+    def _finish(self, binding: DataFrame, labels: dict, owner: dict,
+                ret_part: str) -> DataFrame:
+        """RETURN tail: projection/aggregation then ORDER BY / SKIP /
+        LIMIT — shared by query() and the shortestPath() form."""
         limit_n = None
         m_lim = self._kw(r"LIMIT\s+(\d+)", ret_part)
         if m_lim:

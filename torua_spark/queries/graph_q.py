@@ -874,3 +874,44 @@ ORACLE["graph_collect_priorities"] = """
            count(*)::BIGINT AS n_orders
     FROM orders GROUP BY 1
 """
+
+
+def q_shortest_path_cypher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 Cypher shortestPath() FORM proof: the same single-source
+    BFS as `graph_shortest_path`, but entered through the pattern
+    front-end's ``MATCH p = shortestPath((a)-[:R*..k]-(b)) WHERE a =
+    <id> RETURN b, length(p)`` — compiled onto the iterative operator
+    (sparse-frontier rounds), never onto a k-hop join tree."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.plans.pattern import PropertyGraph
+
+    edges = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("node", nodes, "id")
+        .add_edge("CP", edges, "src", "dst")
+    )
+    return pg.query(
+        f"MATCH p = shortestPath((a:node)-[:CP*..{SSSP_MAX_HOPS}]-(b:node)) "
+        f"WHERE a = {SSSP_SOURCE} "
+        f"RETURN b AS id, length(p) AS hops"
+    )
+
+
+QUERIES["graph_shortest_path_cypher"] = q_shortest_path_cypher
+
+# the same loop-unrolled arg-min oracle as graph_shortest_path, minus
+# the source row (a path has length >= 1) and the via column (the
+# Cypher form projects b and length(p))
+ORACLE["graph_shortest_path_cypher"] = f"""
+    SELECT id, CAST(hops AS BIGINT) AS hops
+    FROM ({_sssp_oracle_sql()}) WHERE hops > 0
+"""
