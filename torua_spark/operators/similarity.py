@@ -1117,38 +1117,62 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K,
     Reference parity: README.md:315-320 semantic search; the
     cell-blocked pair relation is the same scatter-gather shape as
     directed shard routing (ARCHITECTURE.md:519-534)."""
-    from torua_spark.functions.vectors import norm
-
     if cents is None:
         cents = kmeans_centroids(embeddings, k=kmeans_k)
-    home = assign_cells(embeddings, cents)
-    probes = probe_cells(embeddings, cents, nprobe)
-    base = embeddings.select(
-        "vec_id", to_double_array("embedding").alias("e")
-    ).withColumn("nrm", norm(F.col("e")))
+    # crank=1 IS assign_cells' hard assignment (same metric and
+    # tie-break), so one probe pass yields both relations — one Arrow
+    # stage and one corpus scan instead of two
+    probes = probe_cells(embeddings, cents, nprobe).localCheckpoint()
+    # fresh lineage (new attribute ids): both cogroup sides descend
+    # from the probes checkpoint otherwise, and the analyzer rejects
+    # the self-referential `cell` as ambiguous
+    home = (
+        probes.filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+        .localCheckpoint()
+    )
+    base = embeddings.select("vec_id", "embedding")
+    # per-side aliases mint fresh attribute ids — both sides descend
+    # from the same probes/base plans, and unaliased shared columns
+    # trip the analyzer's ambiguous-self-join check under cogroup
     q = probes.join(base, "vec_id").select(
-        "cell",
+        F.col("cell").alias("qcell"),
         F.col("vec_id").alias("qid"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
+        F.col("embedding").alias("qe"),
     )
     nb = home.join(base, "vec_id").select(
-        "cell",
+        F.col("cell").alias("ncell"),
         F.col("vec_id").alias("nid"),
-        F.col("e").alias("ne"),
-        F.col("nrm").alias("nn"),
+        F.col("embedding").alias("ne"),
     )
-    pair_dot = _pair_dot()
-    scored = (
-        q.join(nb, "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            round4(
-                pair_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
-            ).alias("sim"),
+
+    # One normalized GEMM per cell via cogrouped applyInPandas: the
+    # vectors cross into Arrow once per ROW (per probed cell), never
+    # once per pair — the pair relation leaves Python as skinny
+    # (qid, nid, sim) scalars (a per-pair dot UDF shipped both arrays
+    # with every candidate pair: ~128 doubles/pair, measured the
+    # whole query's bottleneck at sf0.1). Same precision contract as
+    # _pair_dot: float64 matmul vs the oracle's list_cosine_similarity
+    # differ at ~1e-15 relative and the 4-dp floor(+1e-9) absorbs it.
+    def _gemm(key, qp, npd):
+        if len(qp) == 0 or len(npd) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        qm = np.stack([np.asarray(x, dtype=np.float64) for x in qp["qe"]])
+        nm = np.stack([np.asarray(x, dtype=np.float64) for x in npd["ne"]])
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+        sim = np.floor((qm @ nm.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
+        qid = np.repeat(qp["qid"].to_numpy(), len(npd))
+        nid = np.tile(npd["nid"].to_numpy(), len(qp))
+        keep = qid != nid
+        return pd.DataFrame(
+            {"qid": qid[keep], "nid": nid[keep], "sim": sim.reshape(-1)[keep]}
         )
+
+    scored = (
+        q.groupBy("qcell")
+        .cogroup(nb.groupBy("ncell"))
+        .applyInPandas(_gemm, "qid long, nid long, sim double")
     )
     from pyspark.sql import Window
 

@@ -213,7 +213,7 @@ class PropertyGraph:
 
     _SHORTEST = re.compile(
         r"(?i)^\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*"
-        r"\((\w+):(\w+)\)\s*-\[:(\w+)\*(\d*)\.\.(\d+)\]-(>?)\s*"
+        r"\((\w+)(?::(\w+))?\)\s*-\[:(\w+)\*(\d*)\.\.(\d+)\]-(>?)\s*"
         r"\((\w+)(?::(\w+))?\)\s*\)\s*(.*)$",
         re.S,
     )
@@ -243,7 +243,9 @@ class PropertyGraph:
                 f"shortestPath range *{lo}..{hi}: only *..k / *1..k "
                 f"(the BFS emits each vertex at its minimum distance)"
             )
-        if la not in self._v:
+        # both anchors may be unlabeled: the source is a literal id and
+        # an unlabeled b skips the vertex join entirely (pure BFS cost)
+        if la is not None and la not in self._v:
             raise ValueError(f"unknown vertex label :{la}")
         if lb is not None and lb not in self._v:
             raise ValueError(f"unknown vertex label :{lb}")

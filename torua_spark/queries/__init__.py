@@ -76,16 +76,23 @@ _MODULES = [
 # skew_report, temporal_windows.
 _DECLARED = [
     # --- LLM data pipeline: vectors / dedup / text / RAG (B7, B17)
-    "vector_kmeans_cells",
+    # Round-7 fourth swap: the round's six NEW operators driver-proven
+    # the round they landed — approximate kNN self-join (multi-probe
+    # IVF blocking), CCNet line-level boilerplate removal, the one-scan
+    # table profiler, and the pattern compiler's range-hop / collect()
+    # / Cypher-shortestPath() forms. OUT (each driver-green r4-r6,
+    # pytest-vs-DuckDB oracled every run): vector_kmeans_cells,
+    # vector_pq_ann, vector_quantization, semantic_dedup_auto,
+    # rag_hybrid_rrf, curriculum_phases.
+    "vector_knn_join",
     "vector_ann_ivf_learned",
-    "vector_pq_ann",
     "vector_neardup_pairs",
-    "vector_quantization",
     "dedup_minhash_verified",
     "dedup_decontaminate_ngram",
+    "text_boilerplate_lines",
     "text_repetition_scores",
     "text_vocabulary",
-    "rag_hybrid_rrf",
+    "profile_orders",
     "graphrag_retrieve",
     # Round-7 second swap: the round's two NEW cross-subsystem entries
     # driver-proven immediately — mixture_sample (source-weighted
@@ -123,12 +130,16 @@ _DECLARED = [
     # keeping their pytest oracles.
     "graph_edge_attr_filter",
     "graph_with_having",
+    # Round-7 fourth swap (graph half): range hops, collect()
+    # aggregates, and the Cypher shortestPath() form, each proven the
+    # round it landed (see the swap note at the list head).
+    "graph_varlength_range",
+    "graph_collect_priorities",
+    "graph_shortest_path_cypher",
     # --- training-data pipeline (dedup / packing / curriculum)
     "semantic_dedup",
-    "semantic_dedup_auto",
     "pack_sequences",
     "corpus_funnel",
-    "curriculum_phases",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_windows",
     "streaming_health_state",

@@ -813,17 +813,21 @@ def q_varlength_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add_edge("CP", edges, "src", "dst")
     )
     return pg.query(
-        "MATCH (a:node)-[:CP*1..2]-(b) "
-        "RETURN b AS vertex, count(*) AS n_walks"
+        f"MATCH (a:node)-[:CP*1..2]-(b) WHERE a = {VARLEN_SOURCE} "
+        f"RETURN b AS vertex, count(*) AS n_walks"
     )
 
+
+VARLEN_SOURCE = 2  # customer 1 in the bipartite encoding
 
 QUERIES["graph_varlength_range"] = q_varlength_range
 
 # Oracle mirrors the compiler exactly: an undirected hop is
 # fwd UNION ALL rev of the (distinct) edge relation; the 1..2 range is
 # walks, not trails (homomorphic join semantics — edges may repeat).
-ORACLE["graph_varlength_range"] = """
+# The source anchor keeps the walk relation a frontier, not sum(deg^2)
+# over the whole graph — Catalyst pushes a = const into the first hop.
+ORACLE["graph_varlength_range"] = f"""
     WITH e AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -833,13 +837,14 @@ ORACLE["graph_varlength_range"] = """
         UNION ALL SELECT dst AS a, src AS b FROM e
     ),
     walks AS (
-        SELECT a, b FROM und
+        SELECT a, b FROM und WHERE a = {{src}}
         UNION ALL
         SELECT u1.a, u2.b FROM und u1 JOIN und u2 ON u1.b = u2.a
+        WHERE u1.a = {{src}}
     )
     SELECT CAST(b AS BIGINT) AS vertex, count(*)::BIGINT AS n_walks
     FROM walks GROUP BY 1
-"""
+""".format(src=VARLEN_SOURCE)
 
 
 def q_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,25 +887,16 @@ def q_shortest_path_cypher(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-end's ``MATCH p = shortestPath((a)-[:R*..k]-(b)) WHERE a =
     <id> RETURN b, length(p)`` — compiled onto the iterative operator
     (sparse-frontier rounds), never onto a k-hop join tree."""
-    from pyspark.sql import functions as F
-
     from torua_spark.plans.pattern import PropertyGraph
 
     edges = g.copurchase_vertex_edges(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    pg = (
-        PropertyGraph()
-        .add_vertex("node", nodes, "id")
-        .add_edge("CP", edges, "src", "dst")
-    )
+    # unlabeled anchors: the source is a literal id and b needs no
+    # vertex join, so the form costs exactly the BFS operator
+    pg = PropertyGraph().add_edge("CP", edges, "src", "dst")
     return pg.query(
-        f"MATCH p = shortestPath((a:node)-[:CP*..{SSSP_MAX_HOPS}]-(b:node)) "
+        f"MATCH p = shortestPath((a)-[:CP*..{SSSP_MAX_HOPS}]-(b)) "
         f"WHERE a = {SSSP_SOURCE} "
         f"RETURN b AS id, length(p) AS hops"
     )

