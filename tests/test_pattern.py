@@ -1049,3 +1049,60 @@ def test_shortest_path_form_errors(spark):
             "MATCH p = shortestPath((a:person)-[:KNOWS*2..6]-(b)) "
             "WHERE a = 0 RETURN b"
         )
+
+
+def test_return_arithmetic_items(spark):
+    pg = _pg_people(spark)
+    got = {
+        r.a: (r.bal2, r.frac)
+        for r in pg.query(
+            "MATCH (a:person) WHERE a.bal > 0 "
+            "RETURN a, a.bal * 2 + 10 AS bal2, a.bal / 100 - 1 AS frac"
+        ).collect()
+    }
+    assert got == {i: (100 * i * 2 + 10, i - 1.0) for i in range(1, 6)}
+    # arithmetic inside aggregate arguments
+    got2 = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) "
+        "RETURN a, sum(b.bal * 2) AS twice ORDER BY a"
+    ).collect()
+    assert [(r.a, r.twice) for r in got2] == [(0, 600), (1, 400), (3, 200)]
+    # unary minus literal, and precedence: * binds before -
+    got3 = pg.query(
+        "MATCH (a:person) WHERE a = 2 RETURN a.bal - -1 * 2 AS v"
+    ).collect()
+    assert [r.v for r in got3] == [202]
+    # expression items need an alias
+    with pytest.raises(ValueError, match="AS alias"):
+        pg.query("MATCH (a:person) RETURN a.bal * 2")
+    with pytest.raises(ValueError, match="AS alias"):
+        pg.query("MATCH (a:person) RETURN sum(a.bal * 2)")
+
+
+def test_unwind_clause(spark):
+    pg = _pg_people(spark)
+    # literal list: one row per element per binding row
+    got = sorted(
+        (r.a, r.x)
+        for r in pg.query(
+            "MATCH (a:person) WHERE a IN [0, 1] UNWIND [10, 20] AS x "
+            "RETURN a, x"
+        ).collect()
+    )
+    assert got == [(0, 10), (0, 20), (1, 10), (1, 20)]
+    # empty list produces no rows (Cypher semantics)
+    assert pg.query(
+        "MATCH (a:person) UNWIND [] AS x RETURN a, x"
+    ).count() == 0
+    # UNWIND a collect() alias round-trips the grouping
+    got2 = sorted(
+        (r.a, r.x)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b:person) "
+            "WITH a, collect(b) AS bs UNWIND bs AS x RETURN a, x"
+        ).collect()
+    )
+    assert got2 == [(0, 1), (0, 2), (1, 2), (3, 1)]
+    # rebinding an existing variable is an error
+    with pytest.raises(ValueError, match="already bound"):
+        pg.query("MATCH (a:person) UNWIND [1] AS a RETURN a")

@@ -57,6 +57,10 @@ onto an existing DataFrame op (VERDICT r5 #4):
 - variable-length RANGE hops ``[:R*1..3]`` / ``[:R*..3]`` in query():
   per-length fixed-repeat expansion UNION ALLed — one row per path,
   Cypher semantics.
+- ``UNWIND <list> AS x`` (literal lists or bound array columns, e.g.
+  a collect() alias from a preceding WITH) and flat arithmetic
+  expressions (+ - * /, standard precedence, no parens) in RETURN/WITH
+  items and aggregate arguments (``sum(o.price * 0.9) AS d``).
 - ``OPTIONAL MATCH (v)-[:R]->(x)``: left-join continuation from an
   already-bound variable — unmatched rows keep the binding and carry
   NULL for the new variables (``count(x)`` then counts matches only,
@@ -593,9 +597,67 @@ class PropertyGraph:
     )
     _AGG = re.compile(
         r"(?i)^\s*(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
-        r"(\*|\w+(?:\.\w+)?)\s*\)\s*$"
+        r"(\*|[^()]+?)\s*\)\s*$"
     )
     _ITEM = re.compile(r"(?i)^\s*(.*?)(?:\s+AS\s+(\w+))?\s*$")
+
+    @staticmethod
+    def _expr_tokens(txt: str) -> list[str]:
+        """Tokenize a flat arithmetic expression: numeric literals
+        (incl. unary minus at expression start or after an operator),
+        ``var`` / ``var.attr`` terms, and + - * / operators. No
+        parentheses — RETURN items are flat in this grammar."""
+        toks: list[str] = []
+        i, n = 0, len(txt)
+        while i < n:
+            c = txt[i]
+            if c.isspace():
+                i += 1
+                continue
+            if c in "+*/" or (c == "-" and toks and toks[-1] not in "+-*/"):
+                toks.append(c)
+                i += 1
+                continue
+            m = re.match(r"-?\d+(?:\.\d+)?|\w+(?:\.\w+)?", txt[i:])
+            if not m:
+                raise ValueError(f"unparsable expression token at {txt[i:]!r}")
+            toks.append(m.group(0))
+            i += m.end()
+        return toks
+
+    def _arith(self, toks: list[str], labels, owner):
+        """Left-assoc arithmetic over tokenized terms with * / binding
+        tighter than + - (the standard precedence, no parens)."""
+        def atom(tok: str):
+            if re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
+                return F.lit(float(tok)) if "." in tok else F.lit(int(tok))
+            return self._resolve(tok, labels, owner)[0]
+
+        if len(toks) % 2 == 0:
+            raise ValueError(f"malformed expression: {' '.join(toks)!r}")
+        vals, ops = [atom(toks[0])], []
+        for i in range(1, len(toks), 2):
+            op, rhs = toks[i], atom(toks[i + 1])
+            if op not in "+-*/":
+                raise ValueError(f"expected operator, got {op!r}")
+            if op == "*":
+                vals[-1] = vals[-1] * rhs
+            elif op == "/":
+                vals[-1] = vals[-1] / rhs
+            else:
+                ops.append(op)
+                vals.append(rhs)
+        col = vals[0]
+        for op, v in zip(ops, vals[1:]):
+            col = col + v if op == "+" else col - v
+        return col
+
+    def _item_col(self, toks: list[str], arg: str, labels, owner):
+        """An aggregate argument: a plain term or a flat arithmetic
+        expression over terms and literals."""
+        if len(toks) > 1:
+            return self._arith(toks, labels, owner)
+        return self._resolve(arg.strip(), labels, owner)[0]
 
     def _literal_or_term(self, tok: str, labels, owner):
         if tok.startswith("'"):
@@ -794,6 +856,14 @@ class PropertyGraph:
             m = self._AGG.match(expr_txt)
             if m:
                 fn, dflag, arg = m.group(1).lower(), m.group(2), m.group(3)
+                arg_toks = (
+                    self._expr_tokens(arg) if arg != "*" else [arg]
+                )
+                if len(arg_toks) > 1 and alias is None:
+                    raise ValueError(
+                        f"{expr_txt.strip()!r}: an arithmetic aggregate "
+                        f"argument needs an AS alias"
+                    )
                 name = alias or (
                     f"{fn}{'_distinct' if dflag else ''}_"
                     f"{arg.replace('.', '_').replace('*', 'all')}"
@@ -810,11 +880,11 @@ class PropertyGraph:
                     # list(x ORDER BY x)) is deterministic. DISTINCT
                     # -> collect_set, else collect_list; NULLs are
                     # skipped by both, matching Cypher.
-                    col = self._resolve(arg, labels, owner)[0]
+                    col = self._item_col(arg_toks, arg, labels, owner)
                     base = F.collect_set(col) if dflag else F.collect_list(col)
                     aggs.append(F.array_sort(base).alias(name))
                 elif dflag:
-                    col = self._resolve(arg, labels, owner)[0]
+                    col = self._item_col(arg_toks, arg, labels, owner)
                     if fn == "count":
                         aggs.append(F.countDistinct(col).alias(name))
                     elif fn == "sum":
@@ -825,10 +895,20 @@ class PropertyGraph:
                     else:
                         raise ValueError(f"{fn}(DISTINCT ...) is unsupported")
                 else:
-                    col = self._resolve(arg, labels, owner)[0]
+                    col = self._item_col(arg_toks, arg, labels, owner)
                     aggs.append(getattr(F, fn)(col).alias(name))
             else:
                 term = expr_txt.strip()
+                toks = self._expr_tokens(term)
+                if len(toks) > 1:
+                    # arithmetic projection item (a.x * 2 - b.y ...)
+                    if alias is None:
+                        raise ValueError(
+                            f"{term!r}: an arithmetic item needs an AS alias"
+                        )
+                    keys.append(self._arith(toks, labels, owner).alias(alias))
+                    key_source[alias] = term
+                    continue
                 col, default = self._resolve(term, labels, owner)
                 out_name = alias or default
                 key_source[out_name] = term
@@ -915,7 +995,7 @@ class PropertyGraph:
             # WITH clause — list them first so their WITH is consumed
             m = self._kw(
                 r"(?:OPTIONAL\s+MATCH|MATCH|WHERE"
-                r"|STARTS\s+WITH|ENDS\s+WITH|WITH)",
+                r"|STARTS\s+WITH|ENDS\s+WITH|WITH|UNWIND)",
                 body, pos,
             )
             if not m:
@@ -927,13 +1007,13 @@ class PropertyGraph:
             kind = (
                 "OPT" if kw.startswith("OPTIONAL")
                 else "MATCH" if kw == "MATCH"
-                else kw  # WHERE / WITH
+                else kw  # WHERE / WITH / UNWIND
             )
             spans.append((kind, m.start(), m.end()))
         if not spans or spans[0][0] != "MATCH" or body[: spans[0][1]].strip():
             raise ValueError(
                 "clause order must be MATCH [MATCH | OPTIONAL MATCH | "
-                "WHERE]... [RETURN]"
+                "WHERE | WITH | UNWIND]... [RETURN]"
             )
 
         binding, labels, owner = None, None, None
@@ -987,6 +1067,43 @@ class PropertyGraph:
                 labels.clear()
                 labels.update({c: None for c in binding.columns})
                 owner.clear()
+            elif kind == "UNWIND":
+                # Cypher's UNWIND <list> AS x: one output row per list
+                # element (explode — empty/NULL lists yield no rows,
+                # matching Cypher). The list is either a literal
+                # ([1, 2, 'a']) or a bound array column, e.g. a
+                # collect() alias from a preceding WITH.
+                m_u = re.match(r"(?i)^\s*(.+?)\s+AS\s+(\w+)\s*$", text.strip())
+                if not m_u:
+                    raise ValueError(
+                        f"UNWIND needs '<list> AS var', got {text.strip()!r}"
+                    )
+                src, var = m_u.group(1).strip(), m_u.group(2)
+                if var in labels:
+                    raise ValueError(f"UNWIND AS {var}: variable already bound")
+                if src.startswith("["):
+                    if not src.endswith("]"):
+                        raise ValueError(f"unterminated list literal: {src!r}")
+                    items = [
+                        self._literal_or_term(t.strip(), labels, owner)
+                        for t in re.split(
+                            r",(?=(?:[^']*'[^']*')*[^']*$)", src[1:-1]
+                        )
+                        if t.strip()
+                    ]
+                    if not items:
+                        # UNWIND [] produces no rows
+                        binding = binding.filter(F.lit(False)).withColumn(
+                            var, F.lit(None)
+                        )
+                    else:
+                        binding = binding.withColumn(
+                            var, F.explode(F.array(*items))
+                        )
+                else:
+                    col = self._resolve(src, labels, owner)[0]
+                    binding = binding.withColumn(var, F.explode(col))
+                labels[var] = None
             else:
                 binding = self._apply_where(binding, text, labels, owner)
             i = j

@@ -911,3 +911,68 @@ ORACLE["graph_shortest_path_cypher"] = f"""
     SELECT id, CAST(hops AS BIGINT) AS hops
     FROM ({_sssp_oracle_sql()}) WHERE hops > 0
 """
+
+
+def q_return_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 expression-item proof: per-customer discounted revenue
+    (sum over an arithmetic aggregate argument) plus a projected
+    expression — both compiled from the RETURN text."""
+    from torua_spark.functions.compat import round4
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("orders", load_table(spark, sf_dir, "orders"), "o_orderkey")
+        .add_edge(
+            "PLACED",
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+            "o_custkey", "o_orderkey",
+        )
+    )
+    out = pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o:orders) "
+        "RETURN c AS c_custkey, count(*) AS n_orders, "
+        "sum(o.o_totalprice * 0.9) AS discounted"
+    )
+    return out.withColumn("discounted", round4("discounted"))
+
+
+QUERIES["graph_return_arithmetic"] = q_return_arithmetic
+
+ORACLE["graph_return_arithmetic"] = """
+    SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders,
+           floor((sum(o_totalprice * 0.9)) * 10000.0 + 0.5 + 1e-9)
+               / 10000.0 AS discounted
+    FROM orders GROUP BY 1
+"""
+
+
+def q_unwind_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 UNWIND proof: collect() then UNWIND round-trips the
+    grouping — per-customer DISTINCT priorities re-exploded to rows."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("orders", load_table(spark, sf_dir, "orders"), "o_orderkey")
+        .add_edge(
+            "PLACED",
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+            "o_custkey", "o_orderkey",
+        )
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o:orders) "
+        "WITH c, collect(DISTINCT o.o_orderpriority) AS ps "
+        "UNWIND ps AS p RETURN c AS c_custkey, p AS priority"
+    )
+
+
+QUERIES["graph_unwind_roundtrip"] = q_unwind_roundtrip
+
+ORACLE["graph_unwind_roundtrip"] = """
+    SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority AS priority
+    FROM orders
+"""
