@@ -176,3 +176,85 @@ def test_zvalue_python_reference_is_bijective(vals, bits):
         for i in range(bits):
             back[c] |= ((z >> (i * k + (k - 1 - c))) & 1) << i
     assert back == vals
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["cookie banner", "nav", "body text", "x y z",
+                             "", "  spaced  ", "unique"]),
+            min_size=0, max_size=6,
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_boilerplate_lines_property(spark, docs_lines, min_docs):
+    """remove_boilerplate_lines == the pure-Python reference for
+    arbitrary small corpora (incl. empty docs, blank and padded
+    lines, fully-boilerplate docs)."""
+    from torua_spark.operators.text_analysis import remove_boilerplate_lines
+
+    docs = [(f"d{i}", "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    # python reference
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for did, text in docs:
+        for ln in text.split("\n"):
+            if ln.strip():
+                seen[ln.strip()].add(did)
+    boiler = {k for k, v in seen.items() if len(v) >= min_docs}
+    want = {}
+    for did, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in boiler]
+        want[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, min_docs=min_docs).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+            st.one_of(st.none(), st.sampled_from(["a", "bb", "ccc", ""])),
+            st.one_of(st.none(),
+                      st.floats(min_value=-100, max_value=100,
+                                allow_nan=False, width=32)),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_profile_table_property(spark, rows):
+    """profile_table == pandas-computed column stats for arbitrary
+    nullable (long, string, double) rows."""
+    from torua_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(rows, "k bigint, s string, v double")
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    ks = [r[0] for r in rows]
+    ss = [r[1] for r in rows]
+    vs = [r[2] for r in rows]
+    for name, col in (("k", ks), ("s", ss), ("v", vs)):
+        nn = [x for x in col if x is not None]
+        p = out[name]
+        assert p["n_rows"] == len(rows)
+        assert p["n_nulls"] == len(rows) - len(nn)
+        assert p["n_distinct"] == len(set(nn))
+    knn = [x for x in ks if x is not None]
+    if knn:
+        assert out["k"]["min_num"] == float(min(knn))
+        assert out["k"]["max_num"] == float(max(knn))
+        assert abs(out["k"]["avg_num"] - sum(knn) / len(knn)) < 1e-3
+    snn = [x for x in ss if x is not None]
+    if snn:
+        assert out["s"]["min_str"] == min(snn)
+        assert out["s"]["max_str"] == max(snn)
