@@ -1,5 +1,7 @@
 """Streaming + multimodal queries vs oracles (batch-parity goldens)."""
 
+import math
+
 import pytest
 
 from tests.oracle import compare
@@ -229,3 +231,33 @@ def test_kafka_stream_raises_clear_error_without_connector(spark):
 
     with _pytest.raises(Exception):
         kafka_stream(spark, "t", "localhost:9092")
+
+
+def test_profile_drift_flags_are_mixed_and_consistent(spark, sf_dir):
+    """The drift monitor must separate in-band and out-of-band hourly
+    windows (both flag values present at this threshold), and every
+    flag must agree with recomputing the rounded predicate from the
+    row's own stats."""
+    from torua_spark.queries.streaming_q import QUERIES
+    from torua_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from torua_spark.functions.compat import round4
+
+    rows = QUERIES["streaming_profile_drift"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    flags = {r["drift"] for r in rows}
+    assert flags == {True, False}
+    base = float(
+        load_table(spark, sf_dir, "events")
+        .agg(round4(F.avg("value")).alias("b"))
+        .first()["b"]
+    )
+    from torua_spark.streaming.windows import DRIFT_REL_THRESHOLD
+
+    for r in rows:
+        ratio = (
+            math.floor(abs(r["avg_value"] - base) / abs(base) * 10000.0
+                       + 0.5 + 1e-9) / 10000.0
+        )
+        assert r["drift"] == (ratio > DRIFT_REL_THRESHOLD), r
+        assert r["n_events"] > 0 and r["min_value"] <= r["max_value"]

@@ -216,3 +216,35 @@ ORACLE["streaming_kafka_events"] = f"""
            max(event_id) AS max_offset
     FROM events GROUP BY 1, 2
 """
+
+
+from torua_spark.streaming.windows import (  # noqa: E402
+    DRIFT_REL_THRESHOLD,
+    streaming_profile_drift,
+)
+
+QUERIES["streaming_profile_drift"] = streaming_profile_drift
+
+# Batch-parity golden: same windowed stats + the same fully-rounded
+# drift predicate (round4 avg, round4 baseline, round4 ratio) so both
+# engines take the same branch at the threshold boundary.
+ORACLE["streaming_profile_drift"] = f"""
+    WITH base AS (
+        SELECT floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS b
+        FROM events
+    ),
+    w AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               count(*) AS n_events,
+               (count(*) - count(value))::BIGINT AS n_nulls,
+               floor((avg(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_value,
+               floor((min(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS min_value,
+               floor((max(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS max_value
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           n_events, n_nulls, avg_value, min_value, max_value,
+           floor((abs(avg_value - b) / abs(b)) * 10000.0 + 0.5 + 1e-9) / 10000.0
+               > {DRIFT_REL_THRESHOLD} AS drift
+    FROM w, base
+"""

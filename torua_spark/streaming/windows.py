@@ -406,3 +406,60 @@ def streaming_index_dedup(spark: SparkSession, sf_dir: str,
         F.col("corpus_id").alias("eval_id"),
         "jaccard",
     )
+
+
+DRIFT_REL_THRESHOLD = 0.3
+
+
+def streaming_profile_drift(spark: SparkSession, sf_dir: str,
+                            rel_threshold: float = DRIFT_REL_THRESHOLD) -> DataFrame:
+    """Declared `streaming_profile_drift`: the ingest drift monitor —
+    per-hour windowed column statistics over the event stream (count,
+    nulls, 4-dp avg/min/max of `value`) compared against the STATIC
+    corpus baseline; a window whose mean deviates from the baseline
+    mean by more than ``rel_threshold`` (relative) flags ``drift``.
+
+    The baseline is a one-row batch aggregate collected once and
+    closed over as literals — in production it is yesterday's profile
+    (a broadcast table), recomputed offline; the stream side holds
+    only one stats row per open window, O(windows) state. Every
+    quantity entering the drift decision is 4-dp-rounded BEFORE the
+    comparison (avg, baseline, then the ratio itself), so Spark and
+    the DuckDB oracle take the same branch even when raw double sums
+    differ in the last ulp.
+
+    Reference parity: per-shard stats (A7) lifted to the streaming
+    ingest path; the same observability contract as
+    operators/profile.profile_table, windowed."""
+    from torua_spark.functions.compat import round4
+    from torua_spark.sources.catalog import load_table
+
+    base_row = (
+        load_table(spark, sf_dir, "events")
+        .agg(round4(F.avg("value")).alias("b"))
+        .first()
+    )
+    base_avg = float(base_row["b"])
+    ratio = round4(
+        F.abs(round4(F.avg("value")) - F.lit(base_avg)) / F.lit(abs(base_avg))
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+            round4(F.avg("value")).alias("avg_value"),
+            round4(F.min("value")).alias("min_value"),
+            round4(F.max("value")).alias("max_value"),
+            (ratio > F.lit(rel_threshold)).alias("drift"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            "avg_value", "min_value", "max_value", "drift",
+        )
+    )
+    return drain_to_batch(agg)
