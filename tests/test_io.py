@@ -72,3 +72,46 @@ def test_time_partitioned_events_prune_and_cluster(spark, sf_dir, tmp_path):
         & (F.col("event_type") == "click")
     ).count()
     assert q.count() == expect
+
+
+def test_merge_changelog_agrees_with_merge_report(spark, sf_dir, tmp_path):
+    """The CDF preview and the merge itself must tell the same story:
+    per-change counts equal the report's updated/inserted split, and
+    post-merge the lake contains exactly the changelog's post-images."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import merge_changelog, merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    lake = str(tmp_path / "lake")
+    orders.repartition("o_orderstatus").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(lake)
+    batch = (
+        orders.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_totalprice", F.lit(1.0))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 70 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 999_999)
+            .withColumn("o_totalprice", F.lit(2.0))
+        )
+    )
+    log = merge_changelog(spark, lake, batch, "o_orderkey", "o_orderstatus")
+    by_change = {r["change"]: r["n"] for r in
+                 log.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()}
+    report = merge_upsert(spark, lake, batch, "o_orderkey", "o_orderstatus")
+    assert by_change.get("update", 0) == report["rows_updated"]
+    assert by_change.get("insert", 0) == report["rows_inserted"]
+    # every changelog post-image is present in the merged lake
+    merged = spark.read.parquet(lake)
+    missing = (
+        log.select("o_orderkey", "o_totalprice")
+        .join(
+            merged.select("o_orderkey", "o_totalprice"),
+            ["o_orderkey", "o_totalprice"],
+            "left_anti",
+        )
+        .count()
+    )
+    assert missing == 0

@@ -237,3 +237,41 @@ def daily_trend(events: DataFrame) -> DataFrame:
         (F.col("n") - prev).alias("dod_delta"),
         round4((F.col("n") - prev) / prev).alias("pct_change"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix (B9 batch analytics; the
+    user-engagement read every events pipeline serves): users
+    cohorted by FIRST-seen day, per-cohort active-user counts at each
+    day offset, and the retention ratio against the cohort size.
+
+    Plan shape: two user-keyed aggregations (first-seen, distinct
+    active days) that shuffle on the SAME key as their join, then a
+    tiny (cohort, offset) grid aggregation and a broadcast-sized
+    cohort-size join — at 100 TB everything heavy rides one user_id
+    hash partitioning; the grid is O(days^2) rows regardless of event
+    volume."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("aday")
+    ).distinct()
+    sizes = first.groupBy("cohort").agg(
+        F.count_distinct("user_id").alias("cohort_size")
+    )
+    grid = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("aday"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return grid.join(sizes, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        round4(F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )

@@ -469,3 +469,74 @@ _CDC_ORACLE = f"""
 
 QUERIES["streaming_lake_cdc"] = q_streaming_lake_cdc
 ORACLE["streaming_lake_cdc"] = _CDC_ORACLE
+
+
+def q_lake_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF proof: the changelog `merge_changelog` emits for the same
+    CDC batch as `lake_merge_upsert` (price bumps on existing keys +
+    brand-new keys), reduced to exact integers per (partition, change)
+    — row count, key checksum, post-image cents — and hash-checked
+    against the pure-SQL respelling (hit keys -> update, offset keys
+    -> insert). The op reads ONLY the hit partitions (partition-pruned
+    key scan), never rewrites anything."""
+    from torua_spark.sources.io import merge_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    hit = orders.filter(F.col("o_orderkey") % _MERGE_MOD == 0)
+    upd = hit.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(_MERGE_PRICE_BUMP)
+    )
+    ins = (
+        hit.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET))
+        .withColumn("o_totalprice", F.lit(_MERGE_INSERT_PRICE))
+        .withColumn("o_orderpriority", F.lit("5-NEW"))
+    )
+    base = tempfile.mkdtemp(prefix="torua_lake_cdf_")
+    try:
+        lake = f"{base}/orders"
+        orders.repartition("o_orderstatus").write.partitionBy(
+            "o_orderstatus"
+        ).parquet(lake)
+        log = merge_changelog(
+            spark, lake, upd.unionByName(ins), "o_orderkey", "o_orderstatus"
+        )
+        rows = (
+            log.groupBy(
+                F.col("o_orderstatus").alias("part"), F.col("change")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                _cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return local_df(
+        spark,
+        [tuple(r) for r in rows],
+        "part string, change string, n_rows long, key_sum long, price_cents long",
+    )
+
+
+QUERIES["lake_merge_changelog"] = q_lake_merge_changelog
+
+ORACLE["lake_merge_changelog"] = f"""
+    WITH hit AS (
+        SELECT * FROM orders WHERE o_orderkey % {_MERGE_MOD} = 0
+    )
+    SELECT o_orderstatus AS part, 'update' AS change,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor((o_totalprice + {_MERGE_PRICE_BUMP}) * 100.0
+                               + 0.5 + 1e-9) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM hit GROUP BY 1
+    UNION ALL
+    SELECT o_orderstatus, 'insert', count(*),
+           CAST(sum(o_orderkey + {_MERGE_KEY_OFFSET}) AS BIGINT),
+           CAST(count(*) * CAST(floor({_MERGE_INSERT_PRICE} * 100.0
+                                      + 0.5 + 1e-9) AS BIGINT) AS BIGINT)
+    FROM hit GROUP BY 1
+"""

@@ -382,3 +382,38 @@ ORACLE["temporal_trend"] = """
                  * 10000.0 + 0.5 + 1e-9) / 10000.0 AS pct_change
     FROM day
 """
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the events table — first-seen-day
+    cohorts x day offset, hash-checked including the ratio."""
+    return tmp.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+
+ORACLE["retention_cohorts"] = """
+    WITH f AS (
+        SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS aday
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM f GROUP BY 1
+    ),
+    grid AS (
+        SELECT f.cohort,
+               CAST(datediff('day', f.cohort, a.aday) AS BIGINT) AS day_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort_day,
+           day_offset, CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           floor((n_active::DOUBLE / cohort_size) * 10000.0 + 0.5 + 1e-9)
+               / 10000.0 AS retention
+    FROM grid g JOIN sizes USING (cohort)
+"""

@@ -331,16 +331,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     # aggregate — the old shape re-deduped and re-counted inside the
     # loop (4+ jobs per partition; this is 1 metadata job + 2 jobs per
     # partition: the hit-count probe and the rewrite itself).
-    seq = F.col(version_col) if version_col else F.monotonically_increasing_id()
-    value_cols = [c for c in updates.columns if c != key_col]
-    batch_all = (
-        updates.withColumn("_seq", seq)
-        .groupBy(key_col)
-        .agg(F.max(F.struct("_seq", *value_cols)).alias("_r"))
-        .select(key_col, "_r.*")
-        .drop("_seq")
-        .persist()
-    )
+    batch_all = _lww_dedup(updates, key_col, version_col).persist()
     try:
         batch_counts = {
             r[0]: r[1]
@@ -382,3 +373,76 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         "rows_updated": rows_updated,
         "rows_inserted": rows_inserted,
     }
+
+
+def _lww_dedup(updates: "DataFrame", key_col: str,
+               version_col: str | None) -> "DataFrame":
+    """Last-writer-wins dedup of a CDC batch: one shuffle on the key,
+    winner = max (version, values) struct. Without ``version_col`` a
+    physical row sequence breaks ties (tracks input order ONLY for a
+    never-repartitioned batch — pass the LSN column for real CDC)."""
+    from pyspark.sql import functions as F
+
+    seq = F.col(version_col) if version_col else F.monotonically_increasing_id()
+    value_cols = [c for c in updates.columns if c != key_col]
+    return (
+        updates.withColumn("_seq", seq)
+        .groupBy(key_col)
+        .agg(F.max(F.struct("_seq", *value_cols)).alias("_r"))
+        .select(key_col, "_r.*")
+        .drop("_seq")
+    )
+
+
+def merge_changelog(spark: SparkSession, path: str, updates: "DataFrame",
+                    key_col: str, partition_col: str,
+                    version_col: str | None = None) -> "DataFrame":
+    """Change-data-feed for ``merge_upsert``: the per-key change rows
+    the merge implies — ``change = 'update'`` where the (LWW-deduped)
+    batch key already exists in its partition, ``'insert'`` otherwise
+    — carrying the post-image value columns. Run before the merge as
+    a dry-run audit, or alongside it as the downstream changelog (the
+    Delta/Iceberg CDF contract on plain parquet).
+
+    Read-only and partition-pruned: the only lake access is a key
+    scan of the HIT partitions (``partition_col IN (batch values)``
+    reaches the directory listing), so cost scales with partitions
+    receiving writes, exactly like the merge itself. The same
+    key-cannot-change-partition constraint applies (a moved key
+    reports 'insert' in its new partition; the stale row is the
+    documented merge caveat)."""
+    from pyspark.sql import functions as F
+
+    batch_all = _lww_dedup(updates, key_col, version_col).persist()
+    try:
+        hit_parts = [
+            r[0] for r in batch_all.select(partition_col).distinct().collect()
+        ]
+        import pathlib
+
+        existing_dirs = [
+            pv for pv in hit_parts
+            if pathlib.Path(_partition_dir(path, partition_col, pv)).exists()
+        ]
+        if existing_dirs:
+            existing = (
+                spark.read.option("basePath", path)
+                .parquet(*[
+                    _partition_dir(path, partition_col, pv)
+                    for pv in existing_dirs
+                ])
+                .select(key_col, partition_col, F.lit(1).alias("_hit"))
+            )
+            out = batch_all.join(
+                existing, [key_col, partition_col], "left"
+            ).withColumn(
+                "change",
+                F.when(F.col("_hit").isNotNull(), F.lit("update")).otherwise(
+                    F.lit("insert")
+                ),
+            ).drop("_hit")
+        else:
+            out = batch_all.withColumn("change", F.lit("insert"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        batch_all.unpersist()
