@@ -87,10 +87,17 @@ _DECLARED = [
     "vector_knn_join",
     "vector_ann_ivf_learned",
     "vector_neardup_pairs",
-    "dedup_minhash_verified",
+    # Round-7 fifth (final) swap: the round's last five new oracled
+    # operators driver-proven the round they landed — streaming
+    # profile-drift monitor, lake merge change-data-feed, cohort
+    # retention, and the pattern compiler's arithmetic-expression /
+    # UNWIND proofs. OUT (each driver-green r4-r6, pytest-oracled
+    # forever): dedup_minhash_verified, text_repetition_scores,
+    # corpus_funnel, streaming_windows, temporal_analytics.
+    "lake_merge_changelog",
     "dedup_decontaminate_ngram",
     "text_boilerplate_lines",
-    "text_repetition_scores",
+    "retention_cohorts",
     "text_vocabulary",
     "profile_orders",
     "graphrag_retrieve",
@@ -139,9 +146,9 @@ _DECLARED = [
     # --- training-data pipeline (dedup / packing / curriculum)
     "semantic_dedup",
     "pack_sequences",
-    "corpus_funnel",
+    "graph_return_arithmetic",
     # --- streaming (B9 streaming half) + multimodal (B8)
-    "streaming_windows",
+    "streaming_profile_drift",
     "streaming_health_state",
     "streaming_dedup",
     "streaming_enriched_agg",
@@ -163,7 +170,7 @@ _DECLARED = [
     "cluster_ops",
     "routing_health",
     # --- temporal batch (B9) + as-of
-    "temporal_analytics",
+    "graph_unwind_roundtrip",
     "temporal_gapfill",
     "asof_next_order",
     # --- lake maintenance + layout (B14 index-usage-as-layout; the
