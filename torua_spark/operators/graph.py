@@ -534,3 +534,46 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             )
         labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("community"))
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """B6 — k-core membership by synchronous peeling: each round drops
+    every vertex whose degree in the INDUCED surviving subgraph is
+    < k; the fixpoint is the k-core. Returns (vertex, core_degree)
+    for surviving vertices, core_degree = induced degree at the
+    fixpoint. Peeling is monotone (survivors only shrink), so extra
+    rounds past convergence are idempotent — the loop-unrolled oracle
+    matches at ANY unroll depth >= the convergence round count, the
+    same contract as connected_components.
+
+    Cost per round: the alive set re-enters the edge relation as two
+    semi-joins (broadcast while it fits — the same state-size logic
+    as the other iterative operators) plus one degree aggregation;
+    state is one id per surviving vertex and the edge list is
+    checkpointed once. Rounds needed ~ the peeling depth (cascade
+    length), typically far below diameter."""
+    und = _undirected(edges).localCheckpoint()
+    n_edges = und.count()
+    with _iteration_partitions(und, n_edges):
+        alive = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+        n_vertices = alive.count()
+        bcast = _use_broadcast_state("auto", n_edges, n_vertices)
+        deg = None
+        for _ in range(rounds):
+            state = F.broadcast(alive) if bcast else alive
+            induced = und.join(
+                state.select(F.col("id").alias("a")), "a", "left_semi"
+            ).join(state.select(F.col("id").alias("b")), "b", "left_semi")
+            deg = induced.groupBy(F.col("a").alias("id")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+            alive = (
+                deg.filter(F.col("core_degree") >= F.lit(k))
+                .select("id")
+                .localCheckpoint(eager=False)
+            )
+        alive = alive.localCheckpoint(eager=True)
+        out = deg.join(alive, "id", "left_semi").select(
+            F.col("id").alias("vertex"), F.col("core_degree")
+        ).localCheckpoint(eager=True)
+    return out

@@ -976,3 +976,47 @@ ORACLE["graph_unwind_roundtrip"] = """
     SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority AS priority
     FROM orders
 """
+
+
+KCORE_K = 30
+KCORE_ROUNDS = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — 30-core of the co-purchase graph by synchronous peeling
+    (8 rounds, idempotent past convergence); hash-checked including
+    the fixpoint induced degree."""
+    return g.k_core(
+        g.copurchase_vertex_edges(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+        ),
+        KCORE_K, KCORE_ROUNDS,
+    )
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_VEDGES_SQL})",
+        """und AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst AS a, src AS b FROM e
+        )""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+            SELECT und.a AS id, count(*) AS cd FROM und
+            JOIN a{r} x ON und.a = x.id
+            JOIN a{r} y ON und.b = y.id
+            GROUP BY 1
+        )""")
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT id FROM d{r} WHERE cd >= {k})"
+        )
+    return f"""WITH {', '.join(ctes)}
+        SELECT CAST(d.id AS BIGINT) AS vertex, CAST(d.cd AS BIGINT) AS core_degree
+        FROM d{rounds - 1} d JOIN a{rounds} USING (id)"""
+
+
+QUERIES["graph_k_core"] = q_k_core
+ORACLE["graph_k_core"] = _kcore_oracle_sql()
