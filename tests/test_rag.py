@@ -769,3 +769,105 @@ def test_knn_join_blocked_recall_and_shape(spark, sf_dir):
     got1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
     hits = sum(1 for v, n in got1.items() if exact[v][0][0] == n)
     assert hits / len(got1) >= 0.30
+
+
+def test_dedup_doc_lines_semantics(spark):
+    from torua_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha\nbeta\nalpha\n\n  alpha  \nbeta"),
+            ("d2", "alpha\nalpha"),
+            ("d3", "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ta.dedup_doc_lines(docs).collect()}
+    # first occurrences survive in place; trim-equal repeats drop;
+    # the blank line is structure and always survives
+    assert out["d1"]["clean_text"] == "alpha\nbeta\n"
+    assert (out["d1"]["n_lines"], out["d1"]["n_removed"]) == (6, 3)
+    assert out["d2"]["clean_text"] == "alpha"
+    assert out["d3"]["clean_text"] == "solo"
+    assert out["d3"]["n_removed"] == 0
+
+
+def test_dedup_doc_lines_corpus_nonvacuous(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = rag_q.QUERIES["text_dedup_doc_lines"](spark, sf_dir)
+    removed = out.agg(F.sum("n_removed")).first()[0]
+    assert removed > 0
+
+
+def test_ivf_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incrementally upserting new + re-embedded vectors must leave
+    the index state equal to the merged relation, with re-homed
+    vectors correctly LEAVING their old cell, and the probe path must
+    return the same top-k as a fresh query over the updated corpus'
+    persisted state."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    before = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("vec_id", "cell").collect()
+    }
+
+    # batch: 5 brand-new vectors + 5 re-embedded existing ones (take
+    # another vector's embedding so most re-home to a different cell)
+    donors = emb.orderBy("vec_id").limit(20).collect()
+    rows = []
+    for i in range(5):
+        rows.append((1_000_000 + i, donors[i]["embedding"], donors[i]["label"]))
+    for i in range(5):
+        victim, donor = donors[i], donors[19 - i]
+        rows.append((victim["vec_id"], donor["embedding"], donor["label"]))
+    batch = spark.createDataFrame(rows, emb.schema)
+
+    report = sim.ivf_index_upsert(spark, path, batch)
+    assert report["rows_inserted"] == 10      # purge-first: all inserts
+    assert report["rows_updated"] == 0
+    assert report["rows_replaced"] == 5       # the 5 existing vec_ids
+
+    after = {
+        r["vec_id"]: (r["cell"], tuple(r["embedding"]))
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("vec_id", "cell", "embedding").collect()
+    }
+    # no duplicate vec_ids anywhere in the lake (the stale-twin hazard)
+    n_rows = spark.read.parquet(f"{path}/vectors").count()
+    assert n_rows == len(after) == len(before) + 5
+    # re-embedded vectors carry their new embedding and sit in the
+    # cell the SAVED codebook assigns for it
+    cents = spark.read.parquet(f"{path}/centroids")
+    want_cells = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells(batch, cents).collect()
+    }
+    for vid, _, _ in rows:
+        assert after[vid][0] == want_cells[vid]
+    # probe parity: top-k from the maintained index == top-k from a
+    # fresh index built over the SAME logical corpus with the SAME
+    # codebook (write the merged relation back out cell-partitioned)
+    q = donors[19]["embedding"]
+    got = sim.ivf_index_topk(spark, path, q, k=5).collect()
+    rebuilt = str(tmp_path / "rebuilt")
+    merged = (
+        emb.join(batch.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(batch)
+    )
+    merged.join(sim.assign_cells(merged, cents), "vec_id").write.partitionBy(
+        "cell"
+    ).parquet(f"{rebuilt}/vectors")
+    cents.write.parquet(f"{rebuilt}/centroids")
+    want = sim.ivf_index_topk(spark, rebuilt, q, k=5).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in want
+    ]

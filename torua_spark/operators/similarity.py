@@ -1187,3 +1187,41 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K,
             "rank",
         )
     )
+
+
+def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
+    """Incremental maintenance of a persisted IVF index (B7 meets the
+    lake life-cycle, B16): assign incoming vectors with the SAVED
+    codebook — the codebook is frozen; re-training re-homes every
+    vector and is a rebuild, not an upsert — purge any existing rows
+    for the incoming vec_ids, then LWW-merge into the hit ``cell=``
+    partitions.
+
+    The purge-first step is what makes RE-EMBEDDED vectors correct:
+    a changed embedding can land in a different cell, and a plain
+    partition-targeted merge could not see (or remove) the stale row
+    in the old cell (the documented merge constraint). ``purge_keys``
+    finds the true old cells with one COLUMN-pruned discovery scan
+    (vec_id + cell only, row-group skipping), so the total cost is
+    that scan plus rewrites of the partitions actually touched — the
+    index never rebuilds and untouched cells keep their exact bytes.
+    After the purge the merge is pure insert (rows_updated == 0 by
+    construction, asserted in tests)."""
+    from torua_spark.sources.io import merge_upsert, purge_keys
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = new_embeddings.join(
+        assign_cells(new_embeddings, cents), "vec_id"
+    )
+    pr = purge_keys(
+        spark, f"{path}/vectors", new_embeddings.select("vec_id"),
+        "vec_id", "cell",
+    )
+    mr = merge_upsert(spark, f"{path}/vectors", assigned, "vec_id", "cell")
+    return {
+        "rows_replaced": pr["rows_deleted"],
+        "partitions_purged": pr["partitions_rewritten"],
+        "rows_inserted": mr["rows_inserted"],
+        "rows_updated": mr["rows_updated"],
+        "partitions_written": mr["partitions_written"],
+    }

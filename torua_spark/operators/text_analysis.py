@@ -392,3 +392,55 @@ def remove_boilerplate_lines(documents: DataFrame, min_docs: int = 3,
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def dedup_doc_lines(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Intra-document line dedup (the CCNet companion pass to
+    ``remove_boilerplate_lines``): within each document keep only the
+    FIRST occurrence of every repeated (trimmed) line — killing
+    within-page repetition (repeated nav blocks, pagination echoes)
+    without any cross-document state. Blank lines are preserved
+    wherever they appear (they are structure, not content). Returns
+    (id_col, clean_text, n_lines, n_removed).
+
+    One explode + one window keyed (doc, line) ordered by position +
+    one reassembly aggregation — every shuffle keys on the document
+    id, so at 100 TB this co-partitions with any other per-doc pass
+    (and on a doc-bucketed table the shuffles vanish)."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    w = Window.partitionBy(id_col, norm).orderBy("pos")
+    kept = (
+        lines.withColumn("occ", F.row_number().over(w))
+        .filter((F.col("occ") == 1) | (norm == ""))
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = documents.select(
+        id_col,
+        F.size(F.split(F.col(text_col), _re.escape(sep))).cast("long").alias("n_lines"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1450,3 +1450,74 @@ def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
 
 QUERIES["vector_knn_join"] = _q_knn_join
 ORACLE["vector_knn_join"] = _knn_join_oracle_sql()
+
+
+DOC_LINE_TOKENS = 2  # 2-token segments: the corpus's small vocab
+# repeats them WITHIN documents (250 removals at sf0.01), so the
+# intra-doc proof is non-vacuous; 8-token lines never repeat in-doc.
+
+
+def _q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc line dedup over the corpus — same deterministic
+    line derivation as text_boilerplate_lines at 2-token width,
+    keeping each document's first occurrence of a repeated line."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(DOC_LINE_TOKENS)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * DOC_LINE_TOKENS + 1, DOC_LINE_TOKENS), " "
+        ),
+    )
+    seg = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = ta.dedup_doc_lines(seg)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_removed"
+    )
+
+
+QUERIES["text_dedup_doc_lines"] = _q_dedup_doc_lines
+
+ORACLE["text_dedup_doc_lines"] = f"""
+    WITH lines AS (
+        SELECT doc_id, unnest(ls) AS line,
+               unnest(range(len(ls)))::BIGINT AS lineno
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(l) / {DOC_LINE_TOKENS}.0) AS BIGINT),
+                           1)),
+                       i -> array_to_string(
+                           l[i * {DOC_LINE_TOKENS} + 1 :
+                             i * {DOC_LINE_TOKENS} + {DOC_LINE_TOKENS}],
+                           ' ')) AS ls
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        )
+    ),
+    occ AS (
+        SELECT doc_id, lineno, line,
+               row_number() OVER (
+                   PARTITION BY doc_id, trim(line) ORDER BY lineno) AS o
+        FROM lines
+    ),
+    kept AS (
+        SELECT doc_id, lineno, line FROM occ
+        WHERE o = 1 OR trim(line) = ''
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+    re AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY lineno) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN re r USING (doc_id)
+"""
