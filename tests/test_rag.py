@@ -871,3 +871,41 @@ def test_ivf_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in got] == [
         (r["vec_id"], r["sim"]) for r in want
     ]
+
+
+def test_ivf_index_knn_batch_prunes_and_matches_knn_join(spark, sf_dir, tmp_path):
+    """Batch ANN over the persisted index must (a) scan ONLY probed
+    cell directories, and (b) for self-queries with the same codebook
+    and nprobe, reproduce knn_join's result exactly."""
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    cents = spark.read.parquet(f"{path}/centroids")
+
+    queries = emb.orderBy("vec_id").limit(25)
+    out = sim.ivf_index_knn_batch(spark, path, queries, k=5, nprobe=2)
+    rows = out.collect()
+
+    # (a) partition pruning: inputFiles of the index scan stay within
+    # the probed cells
+    probed = {
+        r["cell"]
+        for r in sim.probe_cells(queries, cents, 2).select("cell").distinct().collect()
+    }
+    nb = spark.read.parquet(f"{path}/vectors").filter(
+        __import__("pyspark").sql.functions.col("cell").isin(sorted(probed))
+    )
+    for f in nb.inputFiles():
+        assert any(f"cell={c}/" in f for c in probed), f
+
+    # (b) parity with knn_join restricted to the same query set
+    want = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in sim.knn_join(emb, 5, 2, cents=cents).collect()
+        if r["vec_id"] in {q["vec_id"] for q in queries.collect()}
+    }
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"]) for r in rows}
+    assert got == want

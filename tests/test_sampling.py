@@ -252,3 +252,35 @@ def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
         smp.mixture_sample(docs, {"src0": 1.0, "src1": 0.0})
     with pytest.raises(ValueError, match="positive"):
         smp.mixture_sample(docs, {"src0": -2.0})
+
+
+def test_weighted_sample_aes_properties(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import sampling as smp
+
+    # 200 light rows (w=1) vs 200 heavy rows (w=50): the heavy half
+    # must dominate a 100-draw sample (A-ES bias toward weight), and
+    # the draw is a permutation prefix: ranks 1..n, keys non-increasing
+    rows = [(i, 1) for i in range(200)] + [(i, 50) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = smp.weighted_sample(df, "w", 100).collect()
+    assert len(out) == 100
+    assert sorted(r["draw"] for r in out) == list(range(1, 101))
+    keys = [r["key"] for r in sorted(out, key=lambda r: r["draw"])]
+    assert keys == sorted(keys, reverse=True)
+    heavy = sum(1 for r in out if r["w"] == 50)
+    assert heavy >= 75  # deterministic given the hash; measured high
+
+    # reproducible: same salt -> identical sample; different salt ->
+    # different sample (independent hash family)
+    again = smp.weighted_sample(df, "w", 100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = smp.weighted_sample(df, "w", 100, salt="ws2").collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
+
+    with pytest.raises(ValueError, match="non-positive"):
+        smp.weighted_sample(
+            spark.createDataFrame([(1, 0)], "doc_id long, w long"), "w", 1
+        )

@@ -395,3 +395,41 @@ def mixture_sample(documents: DataFrame, weights: dict[str, float],
             F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
         )
     )
+
+
+def weighted_sample(documents: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id",
+                    salt: str = "ws1") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from its salted
+    content hash and keys on ``u^(1/w)``; the top-``n`` keys are the
+    sample, which is distributionally identical to sequential
+    weighted draws without replacement. One scan + one
+    TakeOrderedAndProject (O(n) heap per partition) — the weighted
+    analog of reservoir sampling with no reservoir state, and fully
+    deterministic/reproducible (the hash IS the randomness, the
+    mixture_sample contract).
+
+    The key is 4-dp-rounded before ranking so Spark's Math.pow and
+    the oracle's libm pow cannot disagree at the last ulp; rounding
+    collapses some keys into ties, which break on the id — the same
+    portable-decision contract as every sampler here. Non-positive
+    weights raise (a zero weight is 'never sample': filter it out
+    instead of encoding it as -inf keys)."""
+    from torua_spark.functions.compat import round4
+    from torua_spark.functions.ranking import global_topk
+
+    bad = documents.filter(F.col(weight_col) <= 0).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_sample: non-positive {weight_col} present — "
+            f"filter zero/negative-weight rows first (they can never "
+            f"be drawn)"
+        )
+    u = hash_unit(F.col(id_col).cast("string"), salt)
+    key = round4(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")))
+    scored = documents.withColumn("_ws_key", key)
+    out = global_topk(
+        scored, [F.col("_ws_key").desc(), F.col(id_col)], n, rank_col="draw"
+    )
+    return out.select(id_col, weight_col, F.col("_ws_key").alias("key"), "draw")

@@ -1225,3 +1225,75 @@ def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
         "rows_updated": mr["rows_updated"],
         "partitions_written": mr["partitions_written"],
     }
+
+
+def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
+                        k: int = KNN_K, nprobe: int = KNN_NPROBE) -> DataFrame:
+    """Batch ANN against a PERSISTED IVF index: every query vector's
+    top-``k`` neighbors among index vectors homed in its ``nprobe``
+    nearest cells — the serving read path at corpus scale, and the
+    batch twin of ``ivf_index_topk`` (one query, driver-ranked) /
+    ``knn_join`` (self-join, in-memory).
+
+    The index is read ONCE, filtered to the UNION of all probed cells
+    — `cell IN (...)` reaches the directory listing, so hive
+    partition pruning keeps every unprobed cell's files untouched
+    (the inputFiles assertion in tests) — then one cogrouped per-cell
+    GEMM scores query-against-members exactly like ``knn_join``
+    (vectors cross into Arrow once per row), and a window on the
+    query id takes the top-k. Queries carry (vec_id, embedding);
+    output is (vec_id, neighbor_id, sim, rank). A query whose vec_id
+    also exists in the index never matches itself."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = probe_cells(queries, cents, nprobe).localCheckpoint()
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    q = probes.join(queries.select("vec_id", "embedding"), "vec_id").select(
+        F.col("cell").alias("qcell"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    nb = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probed_cells))
+        .select(
+            F.col("cell").alias("ncell"),
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("ne"),
+        )
+    )
+
+    def _gemm(key, qp, npd):
+        if len(qp) == 0 or len(npd) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        qm = np.stack([np.asarray(x, dtype=np.float64) for x in qp["qe"]])
+        nm = np.stack([np.asarray(x, dtype=np.float64) for x in npd["ne"]])
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+        sim = np.floor((qm @ nm.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
+        qid = np.repeat(qp["qid"].to_numpy(), len(npd))
+        nid = np.tile(npd["nid"].to_numpy(), len(qp))
+        keep = qid != nid
+        return pd.DataFrame(
+            {"qid": qid[keep], "nid": nid[keep], "sim": sim.reshape(-1)[keep]}
+        )
+
+    scored = (
+        q.groupBy("qcell")
+        .cogroup(nb.groupBy("ncell"))
+        .applyInPandas(_gemm, "qid long, nid long, sim double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
+    )

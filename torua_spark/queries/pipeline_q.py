@@ -309,3 +309,31 @@ ORACLE["source_cap"] = f"""
     FROM ranked WHERE rk <= {SOURCE_CAP}
     GROUP BY 1
 """
+
+
+WS_N = 100
+WS_SALT = "ws1"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (A-ES top-n on u^(1/n_chars)) —
+    deterministic, hash-checked including the draw order."""
+    return smp.weighted_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", WS_N, salt=WS_SALT
+    )
+
+
+QUERIES["sample_weighted"] = q_weighted_sample
+
+ORACLE["sample_weighted"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               floor(pow({_u_sql(WS_SALT)}, 1.0 / n_chars)
+                     * 10000.0 + 0.5 + 1e-9) / 10000.0 AS key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, key, CAST(draw AS INTEGER) AS draw FROM (
+        SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS draw
+        FROM keyed
+    ) WHERE draw <= {WS_N}
+"""
