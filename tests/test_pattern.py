@@ -1106,3 +1106,54 @@ def test_unwind_clause(spark):
     # rebinding an existing variable is an error
     with pytest.raises(ValueError, match="already bound"):
         pg.query("MATCH (a:person) UNWIND [1] AS a RETURN a")
+
+
+def test_where_exists_subpattern(spark):
+    pg = _pg_people(spark)
+    # knows: (0,1) (0,2) (1,2) (3,1); people with an outgoing edge:
+    got = sorted(
+        r.a
+        for r in pg.query(
+            "MATCH (a:person) WHERE EXISTS((a)-[:KNOWS]->(x)) RETURN a"
+        ).collect()
+    )
+    assert got == [0, 1, 3]
+    # NOT EXISTS = the complement
+    got2 = sorted(
+        r.a
+        for r in pg.query(
+            "MATCH (a:person) WHERE NOT EXISTS((a)-[:KNOWS]->(x)) RETURN a"
+        ).collect()
+    )
+    assert got2 == [2, 4, 5]
+    # correlated on TWO bound vars: pairs (a, b) where a ALSO knows
+    # someone b knows (a 2-path a->m<-?... here: both know a common
+    # target) — sub-pattern shares a AND b with the outer match
+    got3 = sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS]->(b:person) "
+            "WHERE EXISTS((a)-[:KNOWS]->(m)-[:KNOWS]->(b)) "
+            "RETURN a, b"
+        ).collect()
+    )
+    # 0->2 via 1 is the only edge with a parallel 2-path
+    assert got3 == [(0, 2)]
+    # EXISTS never multiplies rows: the semi-join row count equals the
+    # filtered base count even when the sub-pattern matches many ways
+    n = pg.query(
+        "MATCH (a:person) WHERE EXISTS((a)-[:KNOWS]->(x)) "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    assert n == 3
+    # guards: OR-composed EXISTS, unlabeled anchor, uncorrelated sub
+    with pytest.raises(ValueError, match="standalone AND"):
+        pg.query(
+            "MATCH (a:person) WHERE a = 1 OR EXISTS((a)-[:KNOWS]->(x)) "
+            "RETURN a"
+        )
+    with pytest.raises(ValueError, match="shares no variable"):
+        pg.query(
+            "MATCH (a:person) WHERE EXISTS((q:person)-[:KNOWS]->(x)) "
+            "RETURN a"
+        )

@@ -758,12 +758,68 @@ class PropertyGraph:
         parser). Each term is a plain filter — Catalyst pushes it
         below the joins it commutes with."""
         for group in self._split_outside_quotes("AND", part):
+            m_ex = re.match(
+                r"(?i)^\s*(NOT\s+)?EXISTS\s*\(\s*(\(.*\))\s*\)\s*$",
+                group.strip(), re.S,
+            )
+            if m_ex:
+                binding = self._apply_exists(
+                    binding, m_ex.group(2), bool(m_ex.group(1)), labels, owner
+                )
+                continue
+            if re.search(r"(?i)\bEXISTS\b", group):
+                raise ValueError(
+                    f"EXISTS predicates must be standalone AND conjuncts "
+                    f"(they compile to semi/anti joins, not column "
+                    f"expressions): {group.strip()!r}"
+                )
             ors = self._split_outside_quotes("OR", group)
             expr = self._cond_expr(ors[0], labels, owner)
             for alt in ors[1:]:
                 expr = expr | self._cond_expr(alt, labels, owner)
             binding = binding.filter(expr)
         return binding
+
+    def _apply_exists(self, binding: DataFrame, sub: str, negate: bool,
+                      labels: dict, owner: dict) -> DataFrame:
+        """``WHERE [NOT] EXISTS((a)-[:R]->(x))``: compile the
+        sub-pattern independently and semi-join (anti-join for NOT)
+        the binding on every sub-pattern variable that is already
+        bound — Cypher's existential subquery, which Catalyst executes
+        as LeftSemi/LeftAnti with the filter pushed into the
+        sub-pattern's own scan. The sub-pattern's anchor inherits its
+        label from the outer binding when written bare (``(a)``), so
+        the text reads like Cypher; fresh variables in the sub-pattern
+        never leak into the outer variable space."""
+        sub = sub.strip()
+        m0 = _NODE.match(sub)
+        if not m0:
+            raise ValueError(f"unparsable EXISTS pattern: {sub!r}")
+        var0, label0 = m0.group(1), m0.group(2)
+        if label0 is None:
+            outer = labels.get(var0)
+            if outer is None:
+                raise ValueError(
+                    f"EXISTS anchor {var0!r} must be a labeled outer "
+                    f"variable (or carry an explicit :label) — the "
+                    f"sub-pattern needs a vertex relation to start from"
+                )
+            sub = f"({var0}:{outer})" + sub[m0.end():]
+        sub_binding, sub_labels, _sub_owner = self._compile(sub)
+        corr = [
+            v for v in sub_labels
+            if v in binding.columns
+            and not (sub_labels[v] or "").startswith(_EDGE_LABEL_PREFIX)
+        ]
+        if not corr:
+            raise ValueError(
+                f"EXISTS pattern {sub!r} shares no variable with the "
+                f"outer MATCH — an uncorrelated existential is a "
+                f"constant; write the data condition directly"
+            )
+        how = "left_anti" if negate else "left_semi"
+        # no distinct: semi/anti joins never multiply left rows
+        return binding.join(sub_binding.select(*corr), corr, how)
 
     def _apply_optional(self, chain: str, binding: DataFrame,
                         labels: dict, owner: dict) -> DataFrame:

@@ -1020,3 +1020,44 @@ def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 QUERIES["graph_k_core"] = q_k_core
 ORACLE["graph_k_core"] = _kcore_oracle_sql()
+
+
+def q_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 existential-predicate proof: customers who placed at
+    least one order (EXISTS -> semi-join) but never an URGENT one
+    (NOT EXISTS -> anti-join) — both compiled from WHERE conjuncts,
+    with the urgent restriction expressed as its own edge relation."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.plans.pattern import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders")
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("PLACED", orders.select("o_custkey", "o_orderkey"),
+                  "o_custkey", "o_orderkey")
+        .add_edge(
+            "PLACED_URGENT",
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+            "o_custkey", "o_orderkey",
+        )
+    )
+    return pg.query(
+        "MATCH (c:customer) "
+        "WHERE EXISTS((c)-[:PLACED]->(o)) "
+        "AND NOT EXISTS((c)-[:PLACED_URGENT]->(u)) "
+        "RETURN c AS c_custkey, c.c_acctbal AS acctbal"
+    )
+
+
+QUERIES["graph_exists_filter"] = q_exists_filter
+
+ORACLE["graph_exists_filter"] = """
+    SELECT c_custkey, c_acctbal AS acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+"""
