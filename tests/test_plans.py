@@ -325,3 +325,50 @@ def test_no_forced_broadcast_of_corpus_proportional_relations(spark, sf_dir):
         if bad:
             failures.append(f"{name}: {len(bad)} forced non-scalar broadcast(s)")
     assert not failures, failures
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """At 100 TB the fact-fact shuffle is the cost center; Spark's
+    runtime bloom filter (on by default in our session) builds a
+    bloom over the SELECTIVE side's join keys and injects
+    might_contain into the big side's scan, cutting shuffle volume
+    before the exchange. Pin that the rewrite actually fires for the
+    canonical selective-dimension shape once the broadcast fast-path
+    is out of the picture (forced SMJ, thresholds sized to the test
+    data) — the production default would do this on real sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # sf0.001's scans are tiny; production sizes trip the default
+        # 10GB threshold on their own
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = plan_string(j)
+        assert "might_contain" in plan.lower(), plan[:2000]
+        # and it computes the same rows as the unfiltered-path join
+        n = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n == plain
