@@ -278,7 +278,8 @@ def copurchase_vertex_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame
 
 
 def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
-             state_mode: str = "auto") -> DataFrame:
+             state_mode: str = "auto",
+             weight_col: str | None = None) -> DataFrame:
     """B6 — PageRank via iterative DataFrame joins (directed edges).
 
     Standard power iteration: rank = (1-d) + d * sum(incoming rank /
@@ -307,14 +308,29 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         )
         n_vertices = vertices.count()
         # Fold the (loop-invariant) out-degree into the edge list ONCE:
-        # each edge carries w = 1/out_deg(src), so the loop body never
-        # joins `deg` again — one join per round instead of two.
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        ew = (
-            edges.join(deg, "src")
-            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-            .localCheckpoint()
-        )
+        # each edge carries w = 1/out_deg(src) — or, when weight_col is
+        # given, w_ij / sum_j w_ij (weighted PageRank: rank flows in
+        # proportion to edge weight) — so the loop body never joins
+        # `deg` again: one join per round instead of two.
+        if weight_col is None:
+            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+            ew = (
+                edges.join(deg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+                .localCheckpoint()
+            )
+        else:
+            tot = edges.groupBy("src").agg(
+                F.sum(F.col(weight_col).cast("double")).alias("wsum")
+            )
+            ew = (
+                edges.join(tot, "src")
+                .select(
+                    "src", "dst",
+                    (F.col(weight_col).cast("double") / F.col("wsum")).alias("w"),
+                )
+                .localCheckpoint()
+            )
         # Zero-contribution rows for every vertex replace the final
         # vertices left-join: dangling/no-inbound vertices survive the
         # groupBy, so rank update = union + ONE aggregation shuffle.

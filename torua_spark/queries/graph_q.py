@@ -1061,3 +1061,50 @@ ORACLE["graph_exists_filter"] = """
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
 """
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 weighted — PageRank where rank flows in proportion to the
+    exact integer min-quantity edge weight (w_ij / sum_j w_ij instead
+    of 1/out_deg); same chained power iteration, same oracle class."""
+    return g.pagerank(
+        _weighted_edges(spark, sf_dir), iterations=_PR_ITERATIONS,
+        weight_col="w",
+    )
+
+
+def _prw_oracle_sql(iterations: int = _PR_ITERATIONS,
+                    damping: float = 0.85) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+                   min(CAST(l.l_quantity AS BIGINT)) AS wq
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        )""",
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        """ew AS MATERIALIZED (
+            SELECT e.src, e.dst, CAST(e.wq AS DOUBLE) / t.wsum AS w
+            FROM e JOIN (SELECT src, sum(CAST(wq AS DOUBLE)) AS wsum
+                         FROM e GROUP BY src) t
+              ON e.src = t.src
+        )""",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM v)",
+    ]
+    for r in range(iterations):
+        ctes.append(f"""r{r + 1} AS MATERIALIZED (
+            SELECT id, {1.0 - damping} + {damping} * sum(c) AS rank FROM (
+                SELECT ew.dst AS id, r{r}.rank * ew.w AS c
+                FROM ew JOIN r{r} ON ew.src = r{r}.id
+                UNION ALL SELECT id, 0.0 FROM v
+            ) GROUP BY id
+        )""")
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT id AS vertex, "
+        f"floor(rank * 10000.0 + 0.5 + 1e-9) / 10000.0 AS rank FROM r{iterations}"
+    )
+
+
+QUERIES["graph_pagerank_weighted"] = q_pagerank_weighted
+ORACLE["graph_pagerank_weighted"] = _prw_oracle_sql()
