@@ -394,3 +394,93 @@ class TestPgm:
         r = out[0]
         assert (r.new_width, r.new_height) == (2, 1)
         assert bytes(r.pixels) == bytes([10, 30])
+
+
+# ---- WAV / PCM audio tier -------------------------------------------------
+
+
+def _wav16(values, rate=8000, nch=1):
+    import struct as st
+
+    from torua_spark.operators.codecs import encode_wav
+
+    frames = b"".join(st.pack("<h", v) for v in values)
+    return encode_wav(nch, rate, 16, frames)
+
+
+def test_wav_header_roundtrip_and_chunk_walk():
+    import struct as st
+
+    from torua_spark.operators.codecs import decode_wav_header, encode_wav
+
+    w = _wav16([0, 1000, -1000, 32767], rate=44100)
+    assert decode_wav_header(w) == (1, 44100, 16, 4, 44, 8)
+    # stereo 8-bit: frame = 2 bytes, offset-binary samples
+    w8 = encode_wav(2, 16000, 8, bytes([128, 128, 255, 0, 0, 255]))
+    assert decode_wav_header(w8) == (2, 16000, 8, 3, 44, 6)
+    # a LIST chunk (odd length, word-aligned) before fmt/data must be
+    # walked over, not tripped over
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", 4) + st.pack("<hh", 7, -7)
+    )
+    w2 = b"RIFF" + st.pack("<I", len(body)) + body
+    hdr = decode_wav_header(w2)
+    assert hdr[:4] == (1, 8000, 16, 2)
+    # hostile variants: float PCM (fmt 3), truncated data, not RIFF
+    wf = _wav16([1, 2, 3])
+    wf = wf.replace(st.pack("<HH", 1, 1), st.pack("<HH", 3, 1), 1)
+    assert decode_wav_header(wf) is None
+    trunc = _wav16([1, 2, 3, 4])[:-5]
+    h = decode_wav_header(trunc)
+    assert h is not None and h[3] == 1  # clamped to the frames present
+    assert decode_wav_header(b"RIFX" + b"\x00" * 64) is None
+
+
+def test_sample_pcm_values_and_spacing():
+    from torua_spark.operators.codecs import sample_pcm
+
+    w = _wav16([0, 16384, -16384, 32767, -32768, 100])
+    # n=4 over 6 frames -> indices 0,1,3,5
+    got = sample_pcm(w, 4)
+    assert got == [
+        0.0, 16384 / 32768, 32767 / 32768, 100 / 32768,
+    ]
+    # n >= frames -> every frame once
+    assert len(sample_pcm(w, 100)) == 6
+    # 8-bit offset-binary: 128 -> 0.0, 0 -> -1.0, 255 -> ~0.992
+    from torua_spark.operators.codecs import encode_wav
+
+    w8 = encode_wav(1, 8000, 8, bytes([128, 0, 255]))
+    got8 = sample_pcm(w8, 3)
+    assert got8[0] == 0.0 and got8[1] == -1.0 and abs(got8[2] - 127 / 128) < 1e-9
+    assert sample_pcm(b"not a wav") is None
+
+
+def test_audio_probe_mixed_corpus_through_mapinpandas(spark):
+    """Real WAVs take the real tier (exact header fields + the RMS of
+    the sampled frames), non-audio bytes take the documented fake —
+    coexisting in one Arrow batch."""
+    import math
+
+    from torua_spark.operators.multimodal import audio_probe
+
+    wav = _wav16([0, 16384, -16384, 32767], rate=22050)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"plain text bytes"))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_probe(media, n_samples=4).collect()}
+    real = out[1]
+    assert real["is_real"]
+    assert (real["n_channels"], real["sample_rate"], real["bits"],
+            real["n_frames"]) == (1, 22050, 16, 4)
+    samples = [0.0, 16384 / 32768, 16384 / 32768, 32767 / 32768]
+    want_rms = math.floor(
+        math.sqrt(sum(v * v for v in samples) / 4) * 10000.0 + 0.5 + 1e-9
+    ) / 10000.0
+    assert real["rms"] == want_rms
+    fake = out[2]
+    assert not fake["is_real"] and fake["bits"] == 16
+    assert fake["sample_rate"] in (8000, 16000, 22050, 44100)

@@ -115,6 +115,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
 # 1-row-side nested-loop joins.
 _PYTHON_OK = {
     "multimodal_features",      # mapInPandas codec plumbing (Arrow)
+    "multimodal_audio_probe",   # mapInPandas WAV/PCM probe (Arrow)
     "multimodal_resize",        # geometry over the same mapInPandas decode
     "multimodal_pipeline",      # composite of the two above
     "udaf_quality_by_lang",     # applyInPandas UDAF (Arrow)

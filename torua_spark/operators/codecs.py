@@ -217,3 +217,82 @@ def iter_gif_frames(b: bytes):
     except (ValueError, IndexError):
         return None
     return frames or None
+
+
+def decode_wav_header(b: bytes):
+    """(n_channels, sample_rate, bits_per_sample, n_frames, data_off,
+    data_len) for a RIFF/WAVE payload whose fmt chunk declares
+    integer PCM, else None. Walks the word-aligned chunk list (fmt
+    and data may be preceded by LIST/fact/cue chunks — real encoders
+    write them), tolerating a data chunk whose declared length
+    overruns a truncated payload (clamped to the bytes present)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i: i + 4]
+        clen = struct.unpack("<I", b[i + 4: i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            audio_fmt, nch, rate = struct.unpack("<HHI", b[i + 8: i + 16])
+            if i + 24 > len(b):
+                return None
+            bits = struct.unpack("<H", b[i + 22: i + 24])[0]
+            if audio_fmt != 1:  # integer PCM only
+                return None
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            data = (i + 8, min(clen, max(0, len(b) - (i + 8))))
+        i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    nch, rate, bits = fmt
+    if nch == 0 or rate == 0 or bits not in (8, 16, 24, 32):
+        return None
+    frame = nch * (bits // 8)
+    return nch, rate, bits, data[1] // frame, data[0], data[1]
+
+
+def sample_pcm(b: bytes, n: int = 16):
+    """Evenly spaced first-channel PCM samples as normalized floats in
+    [-1, 1] (8-bit unsigned offset-binary, 16/24/32-bit signed
+    little-endian) — the audio analog of video frame sampling: n
+    index computations + n frame reads, never a full decode of the
+    stream. Returns None for non-PCM payloads."""
+    hdr = decode_wav_header(b)
+    if hdr is None:
+        return None
+    nch, _rate, bits, n_frames, off, _dlen = hdr
+    if n_frames == 0:
+        return []
+    step = bits // 8
+    frame = nch * step
+    m = min(n, n_frames)
+    idx = [(k * (n_frames - 1)) // max(m - 1, 1) for k in range(m)]
+    out = []
+    for fi in sorted(set(idx)):
+        p = off + fi * frame
+        raw = b[p: p + step]
+        if len(raw) < step:
+            break
+        if bits == 8:
+            v = (raw[0] - 128) / 128.0
+        else:
+            x = int.from_bytes(raw, "little", signed=True)
+            v = x / float(1 << (bits - 1))
+        out.append(v)
+    return out
+
+
+def encode_wav(n_channels: int, sample_rate: int, bits: int,
+               frames: bytes) -> bytes:
+    """Minimal PCM WAV writer (the fixture-side twin of
+    ``decode_wav_header``): RIFF/WAVE + fmt + data."""
+    step = bits // 8
+    block = n_channels * step
+    byte_rate = sample_rate * block
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -276,3 +276,69 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _frame_gen(every_n), FRAME_SCHEMA
     )
+
+
+def _audio_batch(n_samples: int):
+    """Audio probe: REAL RIFF/WAVE decode where the bytes are a PCM
+    WAV (operators/codecs.decode_wav_header + sample_pcm — header walk
+    plus n evenly spaced frame reads, never a full stream decode),
+    md5-derived deterministic fake otherwise — the same tier contract
+    as `_decode_batch`, with `is_real` telling the tiers apart."""
+    import math
+
+    from torua_spark.operators.codecs import decode_wav_header, sample_pcm
+
+    _RATES = (8000, 16000, 22050, 44100)
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"], "n_bytes": [], "digest": [],
+                "n_channels": [], "sample_rate": [], "bits": [],
+                "n_frames": [], "rms": [], "is_real": [],
+            }
+            for p in pdf["payload"]:
+                b = bytes(p)
+                d = hashlib.md5(b).hexdigest()
+                rows["n_bytes"].append(len(b))
+                rows["digest"].append(d)
+                hdr = decode_wav_header(b)
+                if hdr is not None:
+                    nch, rate, bits, n_frames, _off, _dlen = hdr
+                    samples = sample_pcm(b, n_samples) or []
+                    rms = (
+                        math.sqrt(sum(v * v for v in samples) / len(samples))
+                        if samples else 0.0
+                    )
+                    rows["n_channels"].append(nch)
+                    rows["sample_rate"].append(rate)
+                    rows["bits"].append(bits)
+                    rows["n_frames"].append(n_frames)
+                    rows["rms"].append(
+                        math.floor(rms * 10000.0 + 0.5 + 1e-9) / 10000.0
+                    )
+                    rows["is_real"].append(True)
+                else:
+                    # DETERMINISTIC FAKE (documented): md5-derived.
+                    x = int(d[:8], 16)
+                    rows["n_channels"].append(1 + (x % 2))
+                    rows["sample_rate"].append(_RATES[(x // 2) % 4])
+                    rows["bits"].append(16)
+                    rows["n_frames"].append(1 + (x % 100000))
+                    rows["rms"].append((x % 10000) / 10000.0)
+                    rows["is_real"].append(False)
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def audio_probe(media: DataFrame, n_samples: int = 16) -> DataFrame:
+    """B8 audio: typed metadata + sampled-signal RMS per payload over
+    Arrow batches — the audio twin of `extract_features` (same
+    mapInPandas shape, same per-item tier fallback)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_batch(n_samples),
+        "doc_id long, n_bytes long, digest string, n_channels int, "
+        "sample_rate int, bits int, n_frames long, rms double, "
+        "is_real boolean",
+    )

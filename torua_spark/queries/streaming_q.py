@@ -248,3 +248,35 @@ ORACLE["streaming_profile_drift"] = f"""
                > {DRIFT_REL_THRESHOLD} AS drift
     FROM w, base
 """
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators.multimodal import audio_probe
+
+    return audio_probe(to_media_table(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES["multimodal_audio_probe"] = q_multimodal_audio
+
+# Text payloads are never RIFF/WAVE, so every corpus row takes the
+# documented md5-derived fake tier — which is exactly what makes the
+# probe DuckDB-reproducible; the REAL tier (WAV header walk + PCM
+# frame sampling) is pinned on hand-built fixtures in
+# tests/test_multimodal_codec.py.
+ORACLE["multimodal_audio_probe"] = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           CAST(1 + h % 2 AS INTEGER) AS n_channels,
+           CAST(CASE (h // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(1 + h % 100000 AS BIGINT) AS n_frames,
+           (h % 10000) / 10000.0 AS rms,
+           FALSE AS is_real
+    FROM (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        FROM documents
+    )
+"""
