@@ -66,3 +66,21 @@ def test_profile_table_semantics(spark):
     ap = {r["col_name"]: r for r in profile_table(df, ["k"], approx=True).collect()}
     assert set(ap) == {"k"}
     assert abs(ap["k"]["n_distinct"] - 2) <= 1
+
+
+def test_profile_correlations_semantics(spark):
+    import pytest
+
+    from torua_spark.operators.profile import profile_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0), (4.0, 8.0, 5.0)],
+        "x double, y double, c double",
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           profile_correlations(df).collect()}
+    assert out[("x", "y")] == 1.0          # perfectly linear
+    assert out[("x", "c")] is None         # zero variance -> NULL
+    assert set(out) == {("x", "y"), ("x", "c"), ("y", "c")}
+    with pytest.raises(ValueError, match=">= 2 numeric"):
+        profile_correlations(df.select("x"))

@@ -90,3 +90,48 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_str", "max_str", "min_num", "max_num", "avg_num",
     )
+
+
+def profile_correlations(df: DataFrame,
+                         columns: list[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlations over the numeric columns — the
+    profiling companion every feature-engineering pass runs before
+    trusting derived columns. ONE fused aggregation computes all
+    C(n,2) `corr` aggregates in a single scan (partial+final, shuffle
+    rows = partitions); the unpivot runs on the O(n^2) scalars.
+    Output: (col_a, col_b, corr) with col_a < col_b, corr 4-dp-rounded
+    (both engines compute sample Pearson; rounding absorbs summation-
+    order ulps). Constant columns yield NULL corr (zero variance), as
+    in SQL."""
+    from torua_spark.functions.compat import round4
+
+    dtypes = dict(df.dtypes)
+    if columns is None:
+        columns = [
+            c for c, t in df.dtypes
+            if t in _NUMERIC or t.startswith("decimal")
+        ]
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1:]
+    ]
+    if not pairs:
+        raise ValueError("profile_correlations needs >= 2 numeric columns")
+    def _corr(a: str, b: str):
+        # covar/(sd*sd) rather than F.corr: under ANSI mode corr()
+        # raises DIVIDE_BY_ZERO on a zero-variance column; the
+        # conditional keeps the division unevaluated there and yields
+        # SQL's NULL (DuckDB corr() semantics)
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        denom = F.stddev_samp(ca) * F.stddev_samp(cb)
+        return F.when(
+            denom.isNull() | (denom == 0), F.lit(None)
+        ).otherwise(F.covar_samp(ca, cb) / denom)
+
+    aggs = [round4(_corr(a, b)).alias(f"{a}__{b}") for a, b in pairs]
+    one = df.agg(*aggs)
+    stack = (
+        f"stack({len(pairs)}, "
+        + ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+        + ") AS (col_a, col_b, corr)"
+    )
+    return one.select(F.expr(stack))

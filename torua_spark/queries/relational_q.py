@@ -489,3 +489,32 @@ def _profile_orders_oracle() -> str:
 
 
 ORACLE["profile_orders"] = _profile_orders_oracle()
+
+
+def q_profile_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    in one fused scan, hash-checked per pair."""
+    from torua_spark.operators.profile import profile_correlations
+
+    return profile_correlations(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+QUERIES["profile_correlations"] = q_profile_correlations
+
+
+def _profile_corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            parts.append(f"""
+                SELECT '{a}' AS col_a, '{b}' AS col_b,
+                       {round4_sql(f'corr({a}::DOUBLE, {b}::DOUBLE)')} AS corr
+                FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+ORACLE["profile_correlations"] = _profile_corr_oracle()
