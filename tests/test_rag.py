@@ -909,3 +909,16 @@ def test_ivf_index_knn_batch_prunes_and_matches_knn_join(spark, sf_dir, tmp_path
     }
     got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"]) for r in rows}
     assert got == want
+
+
+def test_cell_gemm_chunking_is_invisible(spark, sf_dir, monkeypatch):
+    """Shrinking the query-chunk size must not change a single output
+    row (the chunking is purely a peak-memory bound)."""
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = sorted(map(tuple, sim.knn_join(emb, 5, 2).collect()))
+    monkeypatch.setattr(sim, "_GEMM_CHUNK", 7)
+    chunked = sorted(map(tuple, sim.knn_join(emb, 5, 2).collect()))
+    assert base == chunked

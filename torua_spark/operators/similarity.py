@@ -25,6 +25,8 @@ with DuckDB's list_cosine_similarity in double precision.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -1090,6 +1092,44 @@ def probe_cells(embeddings: DataFrame, cents: DataFrame,
 KNN_K = 5
 KNN_NPROBE = 2
 
+_GEMM_CHUNK = 1024
+
+
+def _cell_gemm(key, qp, npd, chunk=_GEMM_CHUNK):
+    """One normalized GEMM per cell for the cogrouped kNN paths
+    (knn_join / ivf_index_knn_batch): vectors cross into Arrow once
+    per ROW, never once per pair — the pair relation leaves Python as
+    skinny (qid, nid, sim) scalars (the per-pair dot UDF variant
+    shipped ~128 doubles per candidate pair and was the measured
+    bottleneck at sf0.1). Query rows are processed in chunks so peak
+    pair memory is bounded by chunk x |cell| regardless of how many
+    queries probe a hot cell; the member matrix itself is the memory
+    floor, which is why production sizes the cell count by the corpus
+    law (k ∝ n/128) — per-cell population stays constant. Precision
+    contract as _pair_dot: float64 matmul vs the oracle's
+    list_cosine_similarity differ at ~1e-15 relative and the 4-dp
+    floor(+1e-9) absorbs it."""
+    if len(qp) == 0 or len(npd) == 0:
+        return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+    nm = np.stack([np.asarray(x, dtype=np.float64) for x in npd["ne"]])
+    nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+    nid_all = npd["nid"].to_numpy()
+    parts = []
+    for s in range(0, len(qp), chunk):
+        cq = qp.iloc[s: s + chunk]
+        qm = np.stack([np.asarray(x, dtype=np.float64) for x in cq["qe"]])
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        sim = np.floor((qm @ nm.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
+        qid = np.repeat(cq["qid"].to_numpy(), len(npd))
+        nid = np.tile(nid_all, len(cq))
+        keep = qid != nid
+        parts.append(
+            pd.DataFrame(
+                {"qid": qid[keep], "nid": nid[keep], "sim": sim.reshape(-1)[keep]}
+            )
+        )
+    return pd.concat(parts, ignore_index=True)
+
 
 def knn_join(embeddings: DataFrame, k: int = KNN_K,
              nprobe: int = KNN_NPROBE, cents: DataFrame | None = None,
@@ -1146,33 +1186,13 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K,
         F.col("embedding").alias("ne"),
     )
 
-    # One normalized GEMM per cell via cogrouped applyInPandas: the
-    # vectors cross into Arrow once per ROW (per probed cell), never
-    # once per pair — the pair relation leaves Python as skinny
-    # (qid, nid, sim) scalars (a per-pair dot UDF shipped both arrays
-    # with every candidate pair: ~128 doubles/pair, measured the
-    # whole query's bottleneck at sf0.1). Same precision contract as
-    # _pair_dot: float64 matmul vs the oracle's list_cosine_similarity
-    # differ at ~1e-15 relative and the 4-dp floor(+1e-9) absorbs it.
-    def _gemm(key, qp, npd):
-        if len(qp) == 0 or len(npd) == 0:
-            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
-        qm = np.stack([np.asarray(x, dtype=np.float64) for x in qp["qe"]])
-        nm = np.stack([np.asarray(x, dtype=np.float64) for x in npd["ne"]])
-        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-        nm /= np.linalg.norm(nm, axis=1, keepdims=True)
-        sim = np.floor((qm @ nm.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
-        qid = np.repeat(qp["qid"].to_numpy(), len(npd))
-        nid = np.tile(npd["nid"].to_numpy(), len(qp))
-        keep = qid != nid
-        return pd.DataFrame(
-            {"qid": qid[keep], "nid": nid[keep], "sim": sim.reshape(-1)[keep]}
-        )
-
     scored = (
         q.groupBy("qcell")
         .cogroup(nb.groupBy("ncell"))
-        .applyInPandas(_gemm, "qid long, nid long, sim double")
+        .applyInPandas(
+            functools.partial(_cell_gemm, chunk=_GEMM_CHUNK),
+            "qid long, nid long, sim double",
+        )
     )
     from pyspark.sql import Window
 
@@ -1266,25 +1286,13 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
         )
     )
 
-    def _gemm(key, qp, npd):
-        if len(qp) == 0 or len(npd) == 0:
-            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
-        qm = np.stack([np.asarray(x, dtype=np.float64) for x in qp["qe"]])
-        nm = np.stack([np.asarray(x, dtype=np.float64) for x in npd["ne"]])
-        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-        nm /= np.linalg.norm(nm, axis=1, keepdims=True)
-        sim = np.floor((qm @ nm.T) * 10000.0 + 0.5 + 1e-9) / 10000.0
-        qid = np.repeat(qp["qid"].to_numpy(), len(npd))
-        nid = np.tile(npd["nid"].to_numpy(), len(qp))
-        keep = qid != nid
-        return pd.DataFrame(
-            {"qid": qid[keep], "nid": nid[keep], "sim": sim.reshape(-1)[keep]}
-        )
-
     scored = (
         q.groupBy("qcell")
         .cogroup(nb.groupBy("ncell"))
-        .applyInPandas(_gemm, "qid long, nid long, sim double")
+        .applyInPandas(
+            functools.partial(_cell_gemm, chunk=_GEMM_CHUNK),
+            "qid long, nid long, sim double",
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
