@@ -258,3 +258,54 @@ def test_profile_table_property(spark, rows):
     if snn:
         assert out["s"]["min_str"] == min(snn)
         assert out["s"]["max_str"] == max(snn)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0, max_size=40,
+    )
+)
+def test_pattern_compiler_random_graph_parity(spark, raw_edges):
+    """MATCH compilation == brute-force Python matching on an
+    arbitrary small graph: single edge, reverse, undirected, 2-hop
+    (homomorphic walk semantics), cycle close, and per-anchor counts."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    E = sorted(set(raw_edges))
+    people = spark.createDataFrame([(i,) for i in range(8)], "pid long")
+    knows = spark.createDataFrame(E or [(99, 99)], "ksrc long, kdst long")
+    if not E:
+        knows = knows.filter("ksrc < 0")  # empty relation, kept schema
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("K", knows, "ksrc", "kdst")
+    )
+
+    def rows(q, cols):
+        return sorted(tuple(r[c] for c in cols) for r in pg.query(q).collect())
+
+    assert rows("MATCH (a:person)-[:K]->(b) RETURN a, b", "ab") == E
+    assert rows("MATCH (a:person)<-[:K]-(b) RETURN a, b", "ab") == sorted(
+        (d, s) for s, d in E
+    )
+    und = sorted(E + [(d, s) for s, d in E])
+    assert rows("MATCH (a:person)-[:K]-(b) RETURN a, b", "ab") == und
+    two = sorted((s, d2) for s, d in E for s2, d2 in E if d == s2)
+    assert rows("MATCH (a:person)-[:K]->(m)-[:K]->(b) RETURN a, b", "ab") == two
+    cyc = sorted(set((s, d) for s, d in E if (d, s) in set(E)))
+    assert rows(
+        "MATCH (a:person)-[:K]->(b)-[:K]->(a) RETURN DISTINCT a, b", "ab"
+    ) == cyc
+    counts = {}
+    for s, _ in E:
+        counts[s] = counts.get(s, 0) + 1
+    got = {
+        (r["a"]): r["n"]
+        for r in pg.query(
+            "MATCH (a:person)-[:K]->(b) RETURN a, count(*) AS n"
+        ).collect()
+    }
+    assert got == counts
