@@ -106,3 +106,34 @@ def test_cap_then_mix_chain(spark, sf_dir):
         for r in CorpusPipeline(spark, docs).cap_per_source(10).df().collect()
     }
     assert {r.doc_id for r in rows} <= kept_ids
+
+
+def test_clean_lines_stage_rewrites_and_chains(spark):
+    from torua_spark.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE\nalpha\nalpha\nbody one", "en", "a", 0),
+            (2, "COOKIE\nbody two", "en", "a", 0),
+            (3, "COOKIE\nbody three", "en", "b", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", __import__("pyspark").sql.functions.length("text").cast("long"))
+    out = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in CorpusPipeline(spark, docs).clean_lines(min_docs=3).df().collect()
+    }
+    # COOKIE (3 docs) removed everywhere; doc 1's repeated alpha
+    # collapses to its first occurrence; n_chars tracks the rewrite
+    assert out[1] == ("alpha\nbody one", len("alpha\nbody one"))
+    assert out[2] == ("body two", len("body two"))
+    assert out[3] == ("body three", len("body three"))
+    # and schema/column order is unchanged so later stages chain
+    chained = (
+        CorpusPipeline(spark, docs)
+        .clean_lines(min_docs=3)
+        .quality_filter(min_chars=1, min_quality=0.0)
+        .df()
+    )
+    assert chained.columns == docs.columns
+    assert chained.count() == 3

@@ -71,6 +71,35 @@ class CorpusPipeline:
         ).select("doc_id")
         return self._with(self._docs.join(drop, "doc_id", "left_anti"))
 
+    def clean_lines(self, min_docs: int = 3, intra_doc: bool = True,
+                    sep: str = "\n") -> "CorpusPipeline":
+        """CCNet line-cleaning pass — the one stage family that
+        REWRITES text instead of filtering rows: cross-document
+        boilerplate-line removal (a trimmed line in >= ``min_docs``
+        distinct docs drops everywhere) then, by default, intra-
+        document repeated-line dedup. ``n_chars`` is recomputed when
+        present so downstream length gates see the cleaned body.
+        Canonical order: run BEFORE dedup/decontamination so shared
+        boilerplate doesn't glue unrelated documents into near-dup
+        pairs."""
+        cols = self._docs.columns
+
+        def _swap_text(docs, cleaned):
+            out = docs.drop("text").join(
+                cleaned.select("doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
+            return out
+
+        docs = _swap_text(
+            self._docs, ta.remove_boilerplate_lines(self._docs, min_docs, sep=sep)
+        )
+        if intra_doc:
+            docs = _swap_text(docs, ta.dedup_doc_lines(docs, sep=sep))
+        if "n_chars" in cols:
+            docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+        return self._with(docs.select(*cols))
+
     # ------------------------------------------------------------ dedup
     def dedup_exact(self) -> "CorpusPipeline":
         """Keep one survivor (min doc_id) per exact text duplicate."""
