@@ -261,3 +261,37 @@ def test_profile_drift_flags_are_mixed_and_consistent(spark, sf_dir):
         )
         assert r["drift"] == (ratio > DRIFT_REL_THRESHOLD), r
         assert r["n_events"] > 0 and r["min_value"] <= r["max_value"]
+
+
+def test_heavy_hitters_summary_properties(spark, sf_dir):
+    """The drained space-saving summaries: bounded size, reproducible
+    run-to-run (pinned fold order), and estimates honor the sketch
+    bounds against exact counts."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.streaming.heavy_hitters import (
+        HH_CAPACITY,
+        streaming_heavy_hitter_candidates,
+    )
+
+    cand = streaming_heavy_hitter_candidates(spark, sf_dir).collect()
+    per_key = {}
+    for r in cand:
+        per_key.setdefault(r["event_type"], []).append(r)
+    assert per_key
+    for rows in per_key.values():
+        assert len(rows) <= HH_CAPACITY
+        assert all(r["est"] >= r["err"] >= 0 for r in rows)
+    again = streaming_heavy_hitter_candidates(spark, sf_dir).collect()
+    assert sorted(map(tuple, cand)) == sorted(map(tuple, again))
+    exact = {
+        (r["event_type"], r["user_id"]): r["freq"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    for r in cand:
+        f = exact.get((r["event_type"], r["user_id"]), 0)
+        assert r["est"] >= f and r["est"] - r["err"] <= f

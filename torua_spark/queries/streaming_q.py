@@ -280,3 +280,27 @@ ORACLE["multimodal_audio_probe"] = """
         FROM documents
     )
 """
+
+
+from torua_spark.streaming.heavy_hitters import (  # noqa: E402
+    HH_CAPACITY,
+    streaming_heavy_hitters,
+)
+
+QUERIES["streaming_heavy_hitters"] = streaming_heavy_hitters
+
+# Tolerance oracle (the approx_stats contract): sketch contents are
+# arrival-order-dependent, but the space-saving GUARANTEES are not —
+# the oracle emits the exact stream length, the deterministic summary
+# size (capacity, or the distinct count when smaller), and TRUE for
+# every bound; the hash matches iff every sketch honored its bounds.
+ORACLE["streaming_heavy_hitters"] = f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(least({HH_CAPACITY}, count(DISTINCT user_id)) AS BIGINT)
+               AS n_candidates,
+           TRUE AS est_is_upper_bound,
+           TRUE AS est_minus_err_is_lower_bound,
+           TRUE AS contains_all_heavy_hitters
+    FROM events GROUP BY 1
+"""
