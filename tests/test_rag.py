@@ -922,3 +922,31 @@ def test_cell_gemm_chunking_is_invisible(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sim, "_GEMM_CHUNK", 7)
     chunked = sorted(map(tuple, sim.knn_join(emb, 5, 2).collect()))
     assert base == chunked
+
+
+def test_bigram_logprob_semantics(spark):
+    """Hand-computed add-1 bigram NLL on a two-doc corpus."""
+    import math
+
+    from torua_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in ta.bigram_logprob(docs).collect()}
+    # pairs: d1: (a,b) (b,a) (a,b); d2: (a,b) (b,c)
+    # c12: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3, b=2 ; V=3
+    v = 3
+    p_ab = (3 + 1) / (3 + v)
+    p_ba = (1 + 1) / (2 + v)
+    p_bc = (1 + 1) / (2 + v)
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5 + 1e-9) / 10000.0
+
+    want1 = r4(-(math.log(p_ab) * 2 + math.log(p_ba)) / 3)
+    want2 = r4(-(math.log(p_ab) + math.log(p_bc)) / 2)
+    assert (out[1]["n_bigrams"], out[1]["avg_nll"]) == (3, want1)
+    assert (out[2]["n_bigrams"], out[2]["avg_nll"]) == (2, want2)
+    # fluency ordering: the repeated (a,b) doc is LESS surprising
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]

@@ -444,3 +444,49 @@ def dedup_doc_lines(documents: DataFrame, id_col: str = "doc_id",
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def bigram_logprob(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Bigram language-model quality score — `unigram_logprob`'s
+    context-aware sibling and the closest cheap proxy to
+    perplexity-based corpus filtering: per-doc mean negative log of
+    the add-``alpha``-smoothed conditional
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + a) / (c(w_{i-1}) + a*V)``
+    under the corpus's own counts. Low = fluent under corpus
+    statistics; high = surprising transitions (boilerplate soup,
+    shuffled text, OCR noise).
+
+    Plan shape: the (doc, pos, token) relation is built once inside
+    the scan (posexplode); consecutive pairs come from a SELF-join on
+    (doc_id, pos+1) that rides one doc-keyed shuffle; the bigram and
+    context count tables are vocabulary-sized (no broadcast hint —
+    AQE decides, same rationale as unigram); the per-doc reduce is
+    partial+final. Deterministic: counts are exact integers, the only
+    float is the final smoothed log, round4-rounded."""
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
+    )
+    nxt = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("t2")
+    )
+    pairs = tok.join(nxt, ["doc_id", "pos"])
+    big = pairs.groupBy("t", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = pairs.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.count_distinct("t").alias("v"))
+    return (
+        pairs.join(big, ["t", "t2"])
+        .join(ctx, "t")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round4(
+                F.avg(
+                    -F.log(
+                        (F.col("c12") + F.lit(float(alpha)))
+                        / (F.col("c1") + F.lit(float(alpha)) * F.col("v"))
+                    )
+                )
+            ).alias("avg_nll"),
+        )
+    )

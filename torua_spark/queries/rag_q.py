@@ -1521,3 +1521,32 @@ ORACLE["text_dedup_doc_lines"] = f"""
            CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
     FROM totals t LEFT JOIN re r USING (doc_id)
 """
+
+
+QUERIES["text_bigram_logprob"] = lambda s, d: ta.bigram_logprob(_docs(s, d))
+
+# Context counts come from the PAIR relation (tokens that HAVE a
+# successor), not the raw unigram counts — last tokens of documents
+# are contexts of nothing; V is the raw distinct-token vocabulary.
+ORACLE["text_bigram_logprob"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS t,
+               unnest(range(len(string_split(text, ' '))))::BIGINT AS pos
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.t, b.t AS t2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    big AS (SELECT t, t2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT t, count(*) AS c1 FROM pairs GROUP BY 1),
+    voc AS (SELECT count(DISTINCT t) AS v FROM tok)
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           floor((avg(-ln((c12 + 1.0) / (c1 + 1.0 * v))))
+                 * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_nll
+    FROM pairs p JOIN big USING (t, t2) JOIN ctx USING (t), voc
+    GROUP BY p.doc_id
+"""
