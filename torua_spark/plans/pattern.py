@@ -61,6 +61,14 @@ onto an existing DataFrame op (VERDICT r5 #4):
   a collect() alias from a preceding WITH) and flat arithmetic
   expressions (+ - * /, standard precedence, no parens) in RETURN/WITH
   items and aggregate arguments (``sum(o.price * 0.9) AS d``).
+- ``WHERE [NOT] EXISTS((a)-[:R]->(x))`` (round 7): existential
+  sub-pattern predicates as standalone AND conjuncts — compiled to
+  semi/anti joins on every shared variable, rows never multiplied;
+  the anchor inherits its outer label when written bare.
+- ``MATCH p = shortestPath((a)-[:R*..k]-(b)) WHERE a = <id>``
+  (round 7): compiled onto the iterative BFS operator
+  (operators/graph.shortest_paths), never a k-hop join tree;
+  ``length(p)`` projects as a plain column for WHERE/RETURN/ORDER BY.
 - ``OPTIONAL MATCH (v)-[:R]->(x)``: left-join continuation from an
   already-bound variable — unmatched rows keep the binding and carry
   NULL for the new variables (``count(x)`` then counts matches only,
