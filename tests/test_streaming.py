@@ -295,3 +295,81 @@ def test_heavy_hitters_summary_properties(spark, sf_dir):
     for r in cand:
         f = exact.get((r["event_type"], r["user_id"]), 0)
         assert r["est"] >= f and r["est"] - r["err"] <= f
+
+
+def test_heavy_hitters_multi_batch_keeps_final_summary_only(spark, tmp_path):
+    """Two micro-batches with disjoint-ish user sets: users EVICTED in
+    batch 2 must NOT resurrect from their batch-1 emissions — the
+    capacity bound and the upper-bound guarantee must hold on the
+    final reconstruction (this is the exact failure mode of a
+    per-(key,user) latest-row rule)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from torua_spark.streaming.heavy_hitters import (
+        HH_CAPACITY,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _update,
+    )
+
+    src = tmp_path / "waves"
+    src.mkdir()
+    schema = "event_type string, user_id long, ts timestamp, event_id long"
+    # wave 1: users 0..9 once each (fills and churns the capacity-8
+    # summary); wave 2: users 100..104, 30 times each (true HHs)
+    w1 = [("a", u, f"2024-01-01 00:00:{u:02d}", u) for u in range(10)]
+    w2 = [
+        ("a", 100 + (i % 5), f"2024-01-01 01:{i // 60:02d}:{i % 60:02d}", 1000 + i)
+        for i in range(150)
+    ]
+    for i, wave in enumerate((w1, w2)):
+        spark.createDataFrame(
+            [(t, u, __import__("datetime").datetime.fromisoformat(ts), e)
+             for t, u, ts, e in wave],
+            schema,
+        ).coalesce(1).write.parquet(str(src / f"wave{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "wave*"))
+    )
+    result = stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"hhmb_{_uuid.uuid4().hex[:8]}"
+    q = result.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(name).localCheckpoint(eager=True)
+    assert snap.select("n").agg(F.max("n")).first()[0] == 160  # 2 batches ran
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    final = (
+        snap.withColumn("_m", F.max("n").over(w))
+        .filter(F.col("n") == F.col("_m"))
+        .collect()
+    )
+    assert 0 < len(final) <= HH_CAPACITY
+    exact = {}
+    for t, u, _, _ in w1 + w2:
+        exact[u] = exact.get(u, 0) + 1
+    for r in final:
+        assert r["est"] >= exact.get(r["user_id"], 0)
+        assert r["est"] - r["err"] <= exact.get(r["user_id"], 0)
+    # every true heavy hitter (freq > 160/8 = 20) is present
+    cands = {r["user_id"] for r in final}
+    for u, f_ in exact.items():
+        if f_ > 160 / HH_CAPACITY:
+            assert u in cands, (u, f_)

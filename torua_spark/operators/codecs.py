@@ -234,8 +234,6 @@ def decode_wav_header(b: bytes):
         clen = struct.unpack("<I", b[i + 4: i + 8])[0]
         if cid == b"fmt " and i + 24 <= len(b):
             audio_fmt, nch, rate = struct.unpack("<HHI", b[i + 8: i + 16])
-            if i + 24 > len(b):
-                return None
             bits = struct.unpack("<H", b[i + 22: i + 24])[0]
             if audio_fmt != 1:  # integer PCM only
                 return None

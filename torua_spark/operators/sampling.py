@@ -419,12 +419,18 @@ def weighted_sample(documents: DataFrame, weight_col: str, n: int,
     from torua_spark.functions.compat import round4
     from torua_spark.functions.ranking import global_topk
 
-    bad = documents.filter(F.col(weight_col) <= 0).limit(1).count()
+    bad = (
+        documents.filter(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+        )
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError(
-            f"weighted_sample: non-positive {weight_col} present — "
-            f"filter zero/negative-weight rows first (they can never "
-            f"be drawn)"
+            f"weighted_sample: NULL or non-positive {weight_col} present "
+            f"— filter those rows first (a NULL/zero weight can never "
+            f"be drawn, silently)"
         )
     u = hash_unit(F.col(id_col).cast("string"), salt)
     key = round4(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")))

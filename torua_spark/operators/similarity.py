@@ -1131,6 +1131,34 @@ def _cell_gemm(key, qp, npd, chunk=_GEMM_CHUNK):
     return pd.concat(parts, ignore_index=True)
 
 
+def _score_topk(q: DataFrame, nb: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of ``knn_join`` and ``ivf_index_knn_batch``
+    — the (sim desc, nid) tie-break, rank cast, and output schema are
+    ONE contract (the parity test pins the two paths equal): cogroup
+    per-cell GEMM, then a window top-k per query id."""
+    from pyspark.sql import Window
+
+    scored = (
+        q.groupBy("qcell")
+        .cogroup(nb.groupBy("ncell"))
+        .applyInPandas(
+            functools.partial(_cell_gemm, chunk=_GEMM_CHUNK),
+            "qid long, nid long, sim double",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
+    )
+
+
 def knn_join(embeddings: DataFrame, k: int = KNN_K,
              nprobe: int = KNN_NPROBE, cents: DataFrame | None = None,
              kmeans_k: int = KMEANS_K) -> DataFrame:
@@ -1186,27 +1214,7 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K,
         F.col("embedding").alias("ne"),
     )
 
-    scored = (
-        q.groupBy("qcell")
-        .cogroup(nb.groupBy("ncell"))
-        .applyInPandas(
-            functools.partial(_cell_gemm, chunk=_GEMM_CHUNK),
-            "qid long, nid long, sim double",
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("nid").alias("neighbor_id"),
-            "sim",
-            "rank",
-        )
-    )
+    return _score_topk(q, nb, k)
 
 
 def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
@@ -1264,8 +1272,6 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
     query id takes the top-k. Queries carry (vec_id, embedding);
     output is (vec_id, neighbor_id, sim, rank). A query whose vec_id
     also exists in the index never matches itself."""
-    from pyspark.sql import Window
-
     cents = spark.read.parquet(f"{path}/centroids")
     probes = probe_cells(queries, cents, nprobe).localCheckpoint()
     probed_cells = sorted(
@@ -1286,22 +1292,4 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
         )
     )
 
-    scored = (
-        q.groupBy("qcell")
-        .cogroup(nb.groupBy("ncell"))
-        .applyInPandas(
-            functools.partial(_cell_gemm, chunk=_GEMM_CHUNK),
-            "qid long, nid long, sim double",
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("nid").alias("neighbor_id"),
-            "sim",
-            "rank",
-        )
-    )
+    return _score_topk(q, nb, k)

@@ -1332,6 +1332,27 @@ BOILER_MIN_DOCS = 3
 BOILER_LINE_TOKENS = 8
 
 
+def _segmented_docs(spark: SparkSession, sf_dir: str, width: int):
+    """Deterministic line derivation shared by the line-cleaning
+    queries: the synthetic corpus carries no newlines, so both engines
+    re-shape each document into consecutive ``width``-token segments
+    joined by newlines before the REAL operator runs. The
+    greatest(...,1) clamp keeps an empty token list from producing a
+    descending sequence."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(width)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
 def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level boilerplate removal over the corpus. The
     synthetic documents carry no newlines, so both engines derive
@@ -1342,18 +1363,7 @@ def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     while pinning every byte of the reassembly."""
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n_seg = F.greatest(
-        F.ceil(F.size(toks) / F.lit(BOILER_LINE_TOKENS)).cast("int"), F.lit(1)
-    )
-    lines = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * BOILER_LINE_TOKENS + 1, BOILER_LINE_TOKENS), " "
-        ),
-    )
-    seg = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    seg = _segmented_docs(spark, sf_dir, BOILER_LINE_TOKENS)
     out = ta.remove_boilerplate_lines(seg, min_docs=BOILER_MIN_DOCS)
     return out.select(
         "doc_id",
@@ -1463,18 +1473,7 @@ def _q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping each document's first occurrence of a repeated line."""
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n_seg = F.greatest(
-        F.ceil(F.size(toks) / F.lit(DOC_LINE_TOKENS)).cast("int"), F.lit(1)
-    )
-    lines = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * DOC_LINE_TOKENS + 1, DOC_LINE_TOKENS), " "
-        ),
-    )
-    seg = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    seg = _segmented_docs(spark, sf_dir, DOC_LINE_TOKENS)
     out = ta.dedup_doc_lines(seg)
     return out.select(
         "doc_id", F.md5("clean_text").alias("clean_md5"), "n_lines", "n_removed"

@@ -116,17 +116,21 @@ def streaming_heavy_hitter_candidates(spark: SparkSession,
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # update-mode sink may hold one row per (key, user) per batch;
-    # keep the LAST emission per (event_type, user_id) — n is
-    # monotonically increasing, so max(n) marks it
+    # update-mode sink holds one emission PER BATCH per key; only the
+    # final batch's rows are the final summary. Keep rows carrying the
+    # KEY's max n (the whole-key last emission, which re-emits every
+    # surviving item) — a per-(key, user) latest-row rule would
+    # resurrect users EVICTED in later batches with stale counts,
+    # breaking both the capacity bound and the upper-bound guarantee
+    # on any multi-batch source.
     from pyspark.sql import Window, functions as F
 
     snap = spark.table(name).localCheckpoint(eager=True)
-    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("n").desc())
+    w = Window.partitionBy("event_type")
     return (
-        snap.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        snap.withColumn("_maxn", F.max("n").over(w))
+        .filter(F.col("n") == F.col("_maxn"))
+        .drop("_maxn")
     )
 
 
