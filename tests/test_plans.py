@@ -144,6 +144,7 @@ _NESTED_LOOP_OK = {
     "graphrag_retrieve", "graphrag_ppr", "graphrag_hops",
     # broadcast of single-row corpus statistics (N, avgdl) likewise
     "rag_tfidf_topk", "rag_bm25_topk", "text_unigram_logprob",
+    "text_bigram_logprob",      # 1-row vocabulary-size broadcast likewise
     "text_stats_tokens",        # composite leg shares the stats broadcast
     # 5-row stage list inequality-joined to a 5-row depth histogram
     "corpus_funnel",

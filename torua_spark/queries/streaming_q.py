@@ -304,3 +304,13 @@ ORACLE["streaming_heavy_hitters"] = f"""
            TRUE AS contains_all_heavy_hitters
     FROM events GROUP BY 1
 """
+
+
+from torua_spark.streaming.windows import streaming_knn  # noqa: E402
+
+QUERIES["streaming_knn"] = streaming_knn
+
+# Streaming every corpus vector through the persisted index equals the
+# batch self-kNN exactly — same codebook, same probe set, same
+# tie-break — so the drained stream reuses vector_knn_join's oracle.
+ORACLE["streaming_knn"] = _rag_q.ORACLE["vector_knn_join"]

@@ -463,3 +463,62 @@ def streaming_profile_drift(spark: SparkSession, sf_dir: str,
         )
     )
     return drain_to_batch(agg)
+
+
+def streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN against a PERSISTED IVF index (the online-
+    retrieval shape, `streaming_index_dedup`'s vector twin): the
+    corpus is indexed ONCE (cell-partitioned parquet + frozen
+    codebook), query vectors arrive as a file stream, and each
+    micro-batch runs the partition-pruned batch ANN
+    (`similarity.ivf_index_knn_batch`). Streaming every corpus vector
+    through as a query makes the unioned result EXACTLY the batch
+    self-kNN, so the drained stream hash-checks against
+    `vector_knn_join`'s loop-unrolled Lloyd oracle — blocking, probe
+    ranking, cosine rounding and rank tie-break all driver-proven
+    through the streaming path."""
+    import shutil
+    import tempfile
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = tempfile.mkdtemp(prefix="torua_stream_knn_")
+    path = f"{base}/ivf"
+    try:
+        sim.ivf_index_write(emb, path)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .load(sf_dir)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        hits: list[DataFrame] = []
+
+        def _probe(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            topk = sim.ivf_index_knn_batch(
+                spark, path, batch_df, sim.KNN_K, sim.KNN_NPROBE
+            )
+            hits.append(topk.localCheckpoint(eager=True))
+
+        q = stream.writeStream.foreachBatch(_probe).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(
+            spark, [], "vec_id long, neighbor_id long, sim double, rank int"
+        )
+    return out
