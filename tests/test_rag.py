@@ -950,3 +950,26 @@ def test_bigram_logprob_semantics(spark):
     assert (out[2]["n_bigrams"], out[2]["avg_nll"]) == (2, want2)
     # fluency ordering: the repeated (a,b) doc is LESS surprising
     assert out[1]["avg_nll"] < out[2]["avg_nll"]
+
+
+def test_knn_join_auto_k_sizes_cells_by_corpus(spark, sf_dir):
+    """kmeans_k='auto' applies the corpus law: 500 vectors / 128 ->
+    4 cells; ranks stay a valid top-k and recall@1 vs exact stays
+    above the random rate for the coarser codebook."""
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sim.knn_join(emb, 5, nprobe=2, kmeans_k="auto").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+    assert len(per) == emb.count()
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # 4 cells, probe 2 -> candidates ~half the corpus; recall@1 should
+    # beat the fixed-16 config's 0.426 (more candidates per query)
+    exact = _exact_knn(emb.select("vec_id", "embedding").collect(), 1)
+    got1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    hits = sum(1 for v, n in got1.items() if exact[v][0][0] == n)
+    assert hits / len(got1) >= 0.5

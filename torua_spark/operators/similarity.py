@@ -1161,7 +1161,9 @@ def _score_topk(q: DataFrame, nb: DataFrame, k: int) -> DataFrame:
 
 def knn_join(embeddings: DataFrame, k: int = KNN_K,
              nprobe: int = KNN_NPROBE, cents: DataFrame | None = None,
-             kmeans_k: int = KMEANS_K) -> DataFrame:
+             kmeans_k: int | str = KMEANS_K,
+             target_cell: int = 128,
+             max_k: int = SEMANTIC_MAX_K) -> DataFrame:
     """Approximate kNN SELF-join — every vector's ``k`` nearest
     neighbors by cosine among vectors homed in any of its ``nprobe``
     nearest k-means cells. The batch primitive under SemDeDup-style
@@ -1186,6 +1188,16 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K,
     cell-blocked pair relation is the same scatter-gather shape as
     directed shard routing (ARCHITECTURE.md:519-534)."""
     if cents is None:
+        if kmeans_k == "auto":
+            # the corpus sizing law (same as semantic_dedup): cells
+            # grow with the corpus so per-cell population — and with
+            # it candidates/vector and the GEMM's member matrix —
+            # stays ~target_cell regardless of n. The fixed-k default
+            # exists for the oracle-matched declared query.
+            import math as _math
+
+            n_rows = embeddings.count()
+            kmeans_k = min(max(2, _math.ceil(n_rows / target_cell)), max_k)
         cents = kmeans_centroids(embeddings, k=kmeans_k)
     # crank=1 IS assign_cells' hard assignment (same metric and
     # tie-break), so one probe pass yields both relations — one Arrow
