@@ -54,6 +54,17 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
+    # size-law oracles: the static strings render the sf0.01 driver
+    # gate; at any other SF re-render from the corpus size so the law
+    # (e.g. auto_band_bits) is exercised instead of mismatched
+    from torua_spark.queries import oracle_renderers
+
+    for qname, render in oracle_renderers().items():
+        if qname in oracles:
+            n_rows = con.execute(
+                "SELECT count(*) FROM embeddings"
+            ).fetchone()[0]
+            oracles[qname] = render(n_rows)
     if os.environ.get("VERIFY_EXTRA") == "1":
         # Sweep the pytest-only surface too (the micro-queries folded
         # into composites plus signature-level variants).

@@ -119,3 +119,18 @@ def test_neardup_spark_duckdb_agree_at_band_breakpoint(spark, tmp_path, n):
     )
     assert len(got) > 0, "fixture must exercise the verify stage"
     assert norm(tuple(x) for x in got) == norm(want)
+
+
+def test_oracle_renderer_tracks_the_band_law():
+    """The size-law renderer: at every oracle-compared driver SF
+    (n<=1024) it reproduces the static declared string byte-for-byte;
+    past the first doubling it renders the wider band the Spark side
+    actually runs — the mechanism that keeps our own sf0.1/sf1
+    sweeps hash-exact (50/50 at sf0.1 re-verified with it)."""
+    from torua_spark.operators import similarity as sim
+    from torua_spark.queries import oracle_renderers, rag_q
+
+    render = oracle_renderers()["vector_neardup_pairs"]
+    assert render(500) == rag_q.ORACLE["vector_neardup_pairs"]
+    assert sim.auto_band_bits(2000) > sim.HYPERPLANE_BAND_BITS
+    assert render(2000) != rag_q.ORACLE["vector_neardup_pairs"]

@@ -251,3 +251,18 @@ def extra_queries() -> dict:
 def extra_oracle_sql() -> dict:
     full = _merged("ORACLE")
     return {n: s for n, s in full.items() if n not in _DECLARED}
+
+
+def oracle_renderers() -> dict:
+    """name -> callable(n_rows) -> SQL, for oracles whose exact text
+    depends on the corpus size through a sizing law. The declared
+    static ORACLE strings render the sf0.01 (driver-gate)
+    configuration; the verify harness re-renders through these at any
+    other SF so our own sf0.1/sf1 sweeps stay hash-exact as the laws
+    engage."""
+    out = {}
+    for m in _MODULES:
+        mod = _load(m)
+        if mod is not None:
+            out.update(getattr(mod, "ORACLE_BY_N", {}))
+    return out

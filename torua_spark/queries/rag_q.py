@@ -1549,3 +1549,15 @@ ORACLE["text_bigram_logprob"] = """
     FROM pairs p JOIN big USING (t, t2) JOIN ctx USING (t), voc
     GROUP BY p.doc_id
 """
+
+
+# Oracles whose exact SQL depends on the CORPUS SIZE through a sizing
+# law (the declared static string renders the sf0.01 configuration —
+# the driver's gate; any other SF re-renders through these). The
+# verify harness consults this map so our own sf0.1/sf1 sweeps stay
+# hash-exact as the laws engage.
+ORACLE_BY_N = {
+    "vector_neardup_pairs": lambda n_rows: neardup_oracle_sql(
+        band_bits=sim.auto_band_bits(n_rows)
+    ),
+}
