@@ -973,3 +973,15 @@ def test_knn_join_auto_k_sizes_cells_by_corpus(spark, sf_dir):
     got1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
     hits = sum(1 for v, n in got1.items() if exact[v][0][0] == n)
     assert hits / len(got1) >= 0.5
+
+
+def test_ivf_index_knn_batch_empty_queries(spark, sf_dir, tmp_path):
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    out = sim.ivf_index_knn_batch(spark, path, emb.filter("vec_id < 0"))
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "neighbor_id", "sim", "rank"]

@@ -1289,6 +1289,12 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
     probed_cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
+    if not probed_cells:  # empty query batch: empty result, no scan
+        from torua_spark.sources.local import local_df
+
+        return local_df(
+            spark, [], "vec_id long, neighbor_id long, sim double, rank int"
+        )
     q = probes.join(queries.select("vec_id", "embedding"), "vec_id").select(
         F.col("cell").alias("qcell"),
         F.col("vec_id").alias("qid"),
