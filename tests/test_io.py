@@ -115,3 +115,39 @@ def test_merge_changelog_agrees_with_merge_report(spark, sf_dir, tmp_path):
         .count()
     )
     assert missing == 0
+
+
+def test_purge_predicate_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
+    """Retention purge on a year-partitioned lake: only years holding
+    matching rows rewrite (others byte-identical by mtime); kept rows
+    are exactly the negated predicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import purge_predicate
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    lake = str(tmp_path / "lake")
+    orders.repartition("o_year").write.partitionBy("o_year").parquet(lake)
+    years = sorted(r[0] for r in orders.select("o_year").distinct().collect())
+    cutoff_year = years[1]  # delete strictly-before the second year
+    pred = f"o_orderdate < TIMESTAMP '{cutoff_year}-01-01 00:00:00'"
+    before_mtime = {
+        y: os.path.getmtime(f"{lake}/o_year={y}") for y in years
+    }
+    n_old = orders.filter(F.expr(pred)).count()
+    report = purge_predicate(spark, lake, pred, "o_year")
+    assert report["rows_deleted"] == n_old > 0
+    assert report["partitions_rewritten"] == 1  # only the first year
+    after = spark.read.parquet(lake)
+    assert after.count() == orders.count() - n_old
+    assert after.filter(F.expr(pred)).count() == 0
+    for y in years[1:]:
+        assert os.path.getmtime(f"{lake}/o_year={y}") == before_mtime[y]
+    # idempotent: a re-run deletes nothing and rewrites nothing
+    again = purge_predicate(spark, lake, pred, "o_year")
+    assert again["rows_deleted"] == 0 and again["partitions_rewritten"] == 0

@@ -275,3 +275,37 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         "cohort_size",
         round4(F.col("n_active") / F.col("cohort_size")).alias("retention"),
     )
+
+
+def ohlc_bars(events: DataFrame, every: str = "1 hour") -> DataFrame:
+    """Resample bars (B9): per event_type and time bucket, the OHLC
+    tuple — open = first value, close = last value, high/low = max/min
+    — plus volume (row count). The financial-resample shape, equally
+    the telemetry-rollup shape.
+
+    Open/close are struct-min/max over (ts, event_id, value): the
+    event_id tie-break makes simultaneous events deterministic, so
+    the relation is hash-checkable (DuckDB twin: row_number over the
+    same order). One partial+final aggregation — no window over the
+    raw events, so nothing sorts more than its group."""
+    bucket = F.date_trunc("hour", F.col("ts")) if every == "1 hour" else (
+        F.window("ts", every)["start"]
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.select("event_type", bucket.alias("bucket"), "ts", "event_id", "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            round4(first.getField("value")).alias("open"),
+            round4(F.max("value")).alias("high"),
+            round4(F.min("value")).alias("low"),
+            round4(last.getField("value")).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "open", "high", "low", "close", "volume",
+        )
+    )

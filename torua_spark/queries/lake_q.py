@@ -540,3 +540,78 @@ ORACLE["lake_merge_changelog"] = f"""
                                       + 0.5 + 1e-9) AS BIGINT) AS BIGINT)
     FROM hit GROUP BY 1
 """
+
+
+_RETENTION_CUTOFF = "1996-01-01 00:00:00"
+
+
+def q_lake_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL proof (`io.purge_predicate`): orders landed as a
+    YEAR-partitioned lake, everything before the cutoff purged by
+    predicate; the surviving relation + the report (partitions
+    rewritten must be exactly the years holding pre-cutoff rows)
+    hash-checked against pure SQL over the source."""
+    from torua_spark.sources.io import purge_predicate
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    pred = f"o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF}'"
+    base = tempfile.mkdtemp(prefix="torua_lake_ttl_")
+    try:
+        lake = f"{base}/orders"
+        orders.repartition("o_year").write.partitionBy("o_year").parquet(lake)
+        report = purge_predicate(spark, lake, pred, "o_year")
+        out = spark.read.parquet(lake)
+        parts = (
+            out.groupBy(F.col("o_year").cast("long").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_poly(
+                    ("o_orderkey", "num"), ("o_custkey", "num"),
+                    ("o_orderpriority", "str"),
+                ).alias("row_checksum"),
+                _cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (r["part"], r["n_rows"], r["row_checksum"], r["price_cents"],
+         None, None, None)
+        for r in parts
+    ] + [(
+        -1, None, None, None,
+        report["partitions_total"], report["partitions_rewritten"],
+        report["rows_deleted"],
+    )]
+    return local_df(
+        spark, rows,
+        "part long, n_rows long, row_checksum long, price_cents long, "
+        "partitions_total long, partitions_rewritten long, rows_deleted long",
+    )
+
+
+QUERIES["lake_retention_purge"] = q_lake_retention_purge
+
+ORACLE["lake_retention_purge"] = f"""
+    WITH kept AS (
+        SELECT *, CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF}')
+    )
+    SELECT o_year AS part, count(*)::BIGINT AS n_rows,
+           {_row_poly_sql(('o_orderkey', 'num'), ('o_custkey', 'num'), ('o_orderpriority', 'str'))} AS row_checksum,
+           {_CENTS_SQL.format(c='o_totalprice')} AS price_cents,
+           CAST(NULL AS BIGINT) AS partitions_total,
+           CAST(NULL AS BIGINT) AS partitions_rewritten,
+           CAST(NULL AS BIGINT) AS rows_deleted
+    FROM kept GROUP BY 1
+    UNION ALL
+    SELECT -1, NULL, NULL, NULL,
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders),
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF}'),
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF}')
+"""

@@ -417,3 +417,34 @@ ORACLE["retention_cohorts"] = """
                / 10000.0 AS retention
     FROM grid g JOIN sizes USING (cohort)
 """
+
+
+def q_temporal_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — open/close tie-broken on
+    (ts, event_id) so simultaneous events are deterministic."""
+    return tmp.ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["temporal_ohlc"] = q_temporal_ohlc
+
+ORACLE["temporal_ohlc"] = """
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts, event_id) AS rf,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts DESC, event_id DESC) AS rl
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           floor((max(CASE WHEN rf = 1 THEN value END)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS open,
+           floor((max(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS high,
+           floor((min(value)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS low,
+           floor((max(CASE WHEN rl = 1 THEN value END)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS close,
+           count(*) AS volume
+    FROM e GROUP BY 1, 2
+"""

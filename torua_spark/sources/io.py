@@ -446,3 +446,52 @@ def merge_changelog(spark: SparkSession, path: str, updates: "DataFrame",
         return out.localCheckpoint(eager=True)
     finally:
         batch_all.unpersist()
+
+
+def purge_predicate(spark: SparkSession, path: str, predicate: str,
+                    partition_col: str) -> dict:
+    """Predicate-targeted delete over a hive-partitioned parquet lake
+    — ``purge_keys``' general form and the RETENTION/TTL pass
+    (``purge_predicate(lake, "ts < '2023-01-01'", "dt")`` enforces a
+    data-retention policy without rewriting the retained petabytes).
+
+    Same contract and swap protocol as ``purge_keys``: one
+    COLUMN-pruned discovery scan (only ``partition_col`` and the
+    predicate's columns are read, with row-group min/max skipping —
+    a time predicate on a time-clustered layout prunes almost
+    everything) finds which partitions hold matching rows; ONLY those
+    directories rewrite with the negated predicate; every other
+    partition keeps its exact bytes. Idempotent; crash-recoverable
+    via ``_recover_swaps``. ``predicate`` is a SQL boolean expression
+    selecting the rows to DELETE."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    _recover_swaps(path, partition_col)
+
+    table = spark.read.parquet(path)
+    hits = {
+        r[0]: r[1]
+        for r in (
+            table.filter(F.expr(predicate))
+            .groupBy(partition_col)
+            .count()
+            .collect()
+        )
+    }
+    hit_parts = sorted(hits)
+    part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
+    for pv in hit_parts:
+        part_dir = part_dirs[pv]
+        kept = spark.read.parquet(part_dir).filter(~F.expr(predicate))
+        tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
+        kept.write.mode("overwrite").parquet(tmp)
+        _swap_partition(part_dir, tmp, f"{path}/.purge_trash_{partition_col}={pv}")
+    return {
+        "partitions_total": len(
+            [p for p in pathlib.Path(path).glob(f"{partition_col}=*")]
+        ),
+        "partitions_rewritten": len(hit_parts),
+        "rows_deleted": sum(hits.values()),
+    }
