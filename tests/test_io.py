@@ -151,3 +151,17 @@ def test_purge_predicate_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
     # idempotent: a re-run deletes nothing and rewrites nothing
     again = purge_predicate(spark, lake, pred, "o_year")
     assert again["rows_deleted"] == 0 and again["partitions_rewritten"] == 0
+
+
+def test_compact_files_rejects_ancestor_out_path(spark, sf_dir, tmp_path):
+    import pytest
+
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import compact_files
+
+    inner = str(tmp_path / "tbl" / "part=1")
+    load_table(spark, sf_dir, "nation").write.parquet(inner)
+    # overwrite-writing to an ANCESTOR would recursively delete the
+    # input mid-scan — must be rejected like the nested case
+    with pytest.raises(ValueError, match="outside the"):
+        compact_files(spark, inner, str(tmp_path / "tbl"))

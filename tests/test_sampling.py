@@ -284,3 +284,23 @@ def test_weighted_sample_aes_properties(spark):
         smp.weighted_sample(
             spark.createDataFrame([(1, 0)], "doc_id long, w long"), "w", 1
         )
+
+
+def test_mixture_sample_rejects_unavailable_sources(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import sampling as smp
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0), (3, "b", 5)],
+        "doc_id long, source string, n_chars long",
+    )
+    # all-zero unit column for source a -> loud error, not ZeroDivision
+    with pytest.raises(ValueError, match="no available n_chars"):
+        smp.mixture_sample(docs, {"a": 1.0, "b": 1.0}, by="n_chars")
+    # a weighted source absent from the corpus -> loud error too
+    with pytest.raises(ValueError, match="no available rows"):
+        smp.mixture_sample(docs, {"zz": 1.0})
+    # valid sources still work
+    assert smp.mixture_sample(docs, {"b": 1.0}, by="n_chars").count() >= 0

@@ -370,6 +370,19 @@ def mixture_sample(documents: DataFrame, weights: dict[str, float],
         for r in documents.groupBy("source").agg(agg.alias("n")).collect()
         if r[0] in weights
     }
+    # availability must be a positive number per weighted source: an
+    # all-NULL or all-zero `by` column (or a weighted source absent
+    # from the corpus) has no rate — fail loudly instead of a
+    # driver-side ZeroDivision/TypeError mid-plan
+    bad_avail = sorted(
+        s for s, n in counts.items() if n is None or n <= 0
+    ) + sorted(s for s in weights if s not in counts)
+    if bad_avail:
+        raise ValueError(
+            f"mixture_sample: weighted source(s) with no available "
+            f"{'rows' if by is None else by}: {bad_avail} — drop them "
+            f"from weights or fix the unit column"
+        )
     wsum = float(sum(weights.values()))
     if total is None:
         total = sum(counts.values())

@@ -25,8 +25,9 @@ plus the surrounding clauses of the reference's example query
 (``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``), each a thin mapping
 onto an existing DataFrame op (VERDICT r5 #4):
 
-- ``WHERE``: AND-of-OR over comparisons and ``IS [NOT] NULL`` terms
-  (``var`` / ``var.attr`` / ``edgevar.attr``) — plain filters,
+- ``WHERE``: OR-of-AND over comparisons and ``IS [NOT] NULL`` terms
+  (``var`` / ``var.attr`` / ``edgevar.attr``) with the standard
+  Cypher/SQL precedence (AND binds tighter) — plain filters,
   Catalyst pushes them below the pattern's joins. Scoped in READ
   ORDER (Cypher semantics): a WHERE directly
   after an OPTIONAL MATCH filters the optional side BEFORE the left
@@ -457,9 +458,17 @@ class PropertyGraph:
                 bound.add(var0)
                 labels[var0] = label0
         prev = var0  # chain cursor: the column holding the current node's id
-        # hop aliases must stay unique ACROSS conjunct chains — offset
-        # by the internal columns earlier chains already contributed
-        hop_base = sum(1 for c in binding.columns if c.startswith("__src_"))
+        # hop aliases must stay unique ACROSS conjunct chains — start
+        # above the MAX index already present, not at the column
+        # COUNT: FK hops consume a hop index without contributing a
+        # __src_ column, so counting undercounts and a later chain
+        # would re-alias an existing __src_N (ambiguous-reference
+        # AnalysisException on a valid query)
+        _taken = [
+            int(c[len("__src_"):]) for c in binding.columns
+            if c.startswith("__src_") and c[len("__src_"):].isdigit()
+        ]
+        hop_base = (max(_taken) + 1) if _taken else 0
 
         for hop0, ((rel, d, evar), (var, label)) in enumerate(zip(edges, nodes[1:])):
             hop = hop_base + hop0
@@ -758,13 +767,31 @@ class PropertyGraph:
 
     def _apply_where(self, binding: DataFrame, part: str,
                      labels: dict, owner: dict) -> DataFrame:
-        """Conjunction of disjunctions: top-level AND over OR groups
-        of atomic predicates (AND binds tighter is the SQL/Cypher
-        rule — here OR binds tighter because the grammar has no
-        parentheses; each AND term may be a flat OR chain, which
-        covers the `a = 1 OR a = 2` shape without a full expression
-        parser). Each term is a plain filter — Catalyst pushes it
-        below the joins it commutes with."""
+        """Disjunction of conjunctions with the STANDARD Cypher/SQL
+        precedence — AND binds tighter than OR, so ``a AND b OR c``
+        is ``(a AND b) OR c``: split top-level on OR, then AND inside
+        each disjunct (no parentheses in the grammar). A pure-AND
+        WHERE stays a chain of independent filters so Catalyst pushes
+        each below the joins it commutes with, and EXISTS terms (which
+        compile to semi/anti JOINS, not column expressions) are only
+        legal there — an OR over a join has no relational form in
+        this grammar and raises."""
+        disjuncts = self._split_outside_quotes("OR", part)
+        if len(disjuncts) > 1:
+            if re.search(r"(?i)\bEXISTS\b", part):
+                raise ValueError(
+                    f"EXISTS predicates must be standalone AND conjuncts "
+                    f"(they compile to semi/anti joins, not column "
+                    f"expressions): {part.strip()!r}"
+                )
+            expr = None
+            for d in disjuncts:
+                conj = None
+                for term in self._split_outside_quotes("AND", d):
+                    ce = self._cond_expr(term, labels, owner)
+                    conj = ce if conj is None else (conj & ce)
+                expr = conj if expr is None else (expr | conj)
+            return binding.filter(expr)
         for group in self._split_outside_quotes("AND", part):
             m_ex = re.match(
                 r"(?i)^\s*(NOT\s+)?EXISTS\s*\(\s*(\(.*\))\s*\)\s*$",
@@ -781,11 +808,7 @@ class PropertyGraph:
                     f"(they compile to semi/anti joins, not column "
                     f"expressions): {group.strip()!r}"
                 )
-            ors = self._split_outside_quotes("OR", group)
-            expr = self._cond_expr(ors[0], labels, owner)
-            for alt in ors[1:]:
-                expr = expr | self._cond_expr(alt, labels, owner)
-            binding = binding.filter(expr)
+            binding = binding.filter(self._cond_expr(group, labels, owner))
         return binding
 
     def _apply_exists(self, binding: DataFrame, sub: str, negate: bool,

@@ -100,7 +100,12 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     import pathlib
 
     ap, ao = os.path.abspath(path), os.path.abspath(out_path)
-    if ao == ap or os.path.commonpath([ap, ao]) == ap:
+    common = os.path.commonpath([ap, ao])
+    # reject BOTH nesting directions: out inside in (later reads of
+    # `path` double-count) AND out as an ANCESTOR of in (the
+    # mode("overwrite") write recursively deletes out_path — including
+    # the still-being-read input underneath it)
+    if ao == ap or common == ap or common == ao:
         # Spark writes lazily INTO the directory it is still reading
         # from — an in-place "compaction" would truncate the input
         # mid-scan and destroy the table (ADVICE r5); a NESTED out_path
