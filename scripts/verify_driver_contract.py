@@ -39,6 +39,21 @@ def _norm(v):
     return str(v)
 
 
+def _canon_violation(rows, cols):
+    """The DRIVER canonicalizes results with pandas sort_values, which
+    raises ``unhashable type`` on list/dict cells (round-7
+    graph_collect_priorities lesson). For DECLARED entries this harness
+    must therefore REJECT container cells instead of stringifying them
+    — the permissive _norm path above remains only for extras, which
+    never cross the driver boundary. Returns 'col (type)' of the first
+    offending cell, or None."""
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple, set, dict)):
+                return f"{cols[i]} ({type(v).__name__})"
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("verify_driver_contract")
@@ -54,6 +69,7 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
+    declared = set(qs)  # entries facing the driver's strict pandas canon
     # size-law oracles: the static strings render the sf0.01 driver
     # gate; at any other SF re-render from the corpus size so the law
     # (e.g. auto_band_bits) is exercised instead of mismatched
@@ -87,6 +103,16 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        if name in declared:
+            bad = _canon_violation(srows, scols)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: driver-canon violation — container cell "
+                    f"in declared output column {bad}; serialize (array_join) "
+                    f"before declaring"
+                )
+                continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows ({time.perf_counter()-t0:.2f}s)")
             continue

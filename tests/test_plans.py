@@ -189,6 +189,37 @@ def test_no_row_python_and_no_cartesian_anywhere(spark, sf_dir):
     assert not failures, failures
 
 
+def test_declared_outputs_obey_driver_canon(spark, sf_dir):
+    """DRIVER-CANON GUARD (VERDICT r7 #1): the round driver
+    canonicalizes declared-query results with pandas sort_values +
+    hashing, which raises ``unhashable type`` on container cells. No
+    declared entry may therefore expose ArrayType/MapType/StructType
+    at the top level of its schema — serialize with array_join /
+    to_json first (graph_collect_priorities is the precedent; its
+    raw-array form lives in extras). Extras are exempt: they never
+    cross the driver boundary. Contract prose:
+    torua_spark/queries/__init__.py."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from torua_spark.queries import all_queries
+
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception as e:
+            failures.append(f"{name}: build failed: {e}")
+            continue
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                failures.append(
+                    f"{name}: declared column {field.name!r} is "
+                    f"{field.dataType.simpleString()} — driver canon "
+                    f"requires scalar columns (serialize via array_join)"
+                )
+    assert not failures, failures
+
+
 def test_global_topk_is_take_ordered(spark, sf_dir):
     """Every global top-k must compile to TakeOrderedAndProject (O(k)
     heap per partition), never a partition-less Window sort that

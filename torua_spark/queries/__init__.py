@@ -6,6 +6,24 @@ both sides at sf=0.01 and hash-compares; names missing from ``ORACLE``
 get a weaker rows-only check. ``__spark_entry__.py`` re-exports the
 merged registries.
 
+DRIVER-CANON CONTRACT (round-7 ``graph_collect_priorities`` lesson):
+a DECLARED query's output schema may contain only scalar columns —
+strings, numerics, booleans, dates/timestamps. The driver
+canonicalizes results through pandas ``sort_values`` + row hashing,
+which raises ``TypeError: unhashable type`` on list/dict cells, so an
+ArrayType/MapType/StructType top-level column records an ``err`` row
+(no match at all) even when the values are correct. Serialize before
+declaring: ``array_join(arr, ',')`` for arrays (oracle:
+``array_to_string(...)``), ``to_json`` for maps/structs — and keep
+the raw-container form as an extra if it is user-facing (precedent:
+``graph_collect_priorities`` serialized / ``_raw`` extra;
+``admin_q.node_shards`` via ``concat_ws``). Enforced twice:
+``tests/test_plans.py::test_declared_outputs_obey_driver_canon``
+pins every declared schema, and ``scripts/verify_driver_contract.py``
+rejects container cells for declared entries at verify time (the
+round-7 harness stringified them — more permissive than the driver —
+which is exactly how a red entry shipped in a "re-verified" round).
+
 The driver hash-checks the FIRST 50 registry entries, so the declared
 surface is exactly the 50 names in ``_DECLARED`` — ordered so the
 LLM-pipeline / graph / streaming block (driver-dark in round 1) comes

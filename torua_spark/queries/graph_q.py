@@ -847,11 +847,12 @@ ORACLE["graph_varlength_range"] = f"""
 """.format(src=VARLEN_SOURCE)
 
 
-def q_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-7 collect() proof: per-customer sorted DISTINCT order
-    priorities through the pattern compiler — array-valued aggregate
-    hash-checked element-for-element against DuckDB's
-    list(DISTINCT x ORDER BY x)."""
+def q_collect_priorities_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect() proof, raw-array form: per-customer sorted DISTINCT
+    order priorities through the pattern compiler. ArrayType output —
+    the driver's pandas canonicalization cannot hash list cells
+    (round-7 lesson), so this form lives in extras; the DECLARED entry
+    is :func:`q_collect_priorities`, which serializes it."""
     from torua_spark.plans.pattern import PropertyGraph
 
     pg = (
@@ -871,9 +872,36 @@ def q_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 re-declaration of the collect() proof (VERDICT r7 #1):
+    the compiler's sorted collect(DISTINCT) array is serialized with
+    array_join before it crosses the driver boundary — declared
+    outputs must stay scalar (see queries/__init__.py driver-canon
+    contract). The raw-array form remains available as the
+    ``graph_collect_priorities_raw`` extra."""
+    from pyspark.sql import functions as F
+
+    raw = q_collect_priorities_raw(spark, sf_dir)
+    return raw.select(
+        "c_custkey",
+        F.array_join("priorities", ",").alias("priorities"),
+        "n_orders",
+    )
+
+
 QUERIES["graph_collect_priorities"] = q_collect_priorities
+QUERIES["graph_collect_priorities_raw"] = q_collect_priorities_raw
 
 ORACLE["graph_collect_priorities"] = """
+    SELECT o_custkey AS c_custkey,
+           array_to_string(
+               list(DISTINCT o_orderpriority ORDER BY o_orderpriority), ','
+           ) AS priorities,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY 1
+"""
+
+ORACLE["graph_collect_priorities_raw"] = """
     SELECT o_custkey AS c_custkey,
            list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
            count(*)::BIGINT AS n_orders
