@@ -153,6 +153,42 @@ def test_purge_predicate_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
     assert again["rows_deleted"] == 0 and again["partitions_rewritten"] == 0
 
 
+def test_purge_predicate_on_partition_column_itself(spark, sf_dir, tmp_path):
+    """ADVICE r7: the advertised TTL shape generalizes to a predicate
+    on the PARTITION column ('o_year < cutoff'). The rewrite scan must
+    read with basePath so o_year resolves — and the rewritten files
+    must NOT embed o_year (hive layout carries it in the directory
+    name; a shadowing data column breaks every later read)."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import purge_predicate
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    lake = str(tmp_path / "lake")
+    orders.repartition("o_year").write.partitionBy("o_year").parquet(lake)
+    years = sorted(r[0] for r in orders.select("o_year").distinct().collect())
+    cutoff = years[1]
+    # mixed predicate: partition column AND a data column, so the kept
+    # set inside the hit partition is non-empty (a pure partition
+    # predicate would empty the directory)
+    pred = f"o_year < {cutoff} AND o_orderpriority = '1-URGENT'"
+    n_del = orders.filter(F.expr(pred)).count()
+    report = purge_predicate(spark, lake, pred, "o_year")
+    assert report["rows_deleted"] == n_del > 0
+    assert report["partitions_rewritten"] == 1
+    after = spark.read.parquet(lake)
+    assert after.count() == orders.count() - n_del
+    assert after.filter(F.expr(pred)).count() == 0
+    # the partition column appears once (from the directory), and the
+    # rewritten files themselves do not embed it
+    assert after.columns.count("o_year") == 1
+    raw = spark.read.parquet(f"{lake}/o_year={years[0]}")
+    assert "o_year" not in raw.columns
+
+
 def test_compact_files_rejects_ancestor_out_path(spark, sf_dir, tmp_path):
     import pytest
 

@@ -1115,6 +1115,71 @@ def test_unwind_clause(spark):
         pg.query("MATCH (a:person) UNWIND [1] AS a RETURN a")
 
 
+def test_shortest_path_where_standard_precedence(spark):
+    """ADVICE r7: mixed AND/OR in the shortestPath WHERE follows
+    STANDARD precedence — ``(pin AND x) OR (pin AND y)``, with the
+    source pin required in every disjunct — not the old AND-first
+    split's ``pin AND (x OR y)``."""
+    pg = _pg_people(spark)
+    # BFS from 0: 1@1, 2@1, 3@2. (len>=2) OR (b=2) -> {3, 2}
+    got = sorted(
+        r.b
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 AND length(p) >= 2 OR a = 0 AND b = 2 "
+            "RETURN b"
+        ).collect()
+    )
+    assert got == [2, 3]
+    # a pin in one disjunct does not constrain the other — raise, do
+    # not silently run a not-single-source query
+    with pytest.raises(ValueError, match="every"):
+        pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 AND length(p) >= 2 OR b = 2 RETURN b"
+        )
+    # two different pins is two sources
+    with pytest.raises(ValueError, match="different ids"):
+        pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 OR a = 1 AND b = 2 RETURN b"
+        )
+    # a bare-pin disjunct makes the residual disjunction TRUE
+    got2 = sorted(
+        r.b
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 OR a = 0 AND length(p) >= 2 RETURN b"
+        ).collect()
+    )
+    assert got2 == [1, 2, 3]
+
+
+def test_exists_fresh_var_colliding_with_attr_column(spark):
+    """ADVICE r7: a fresh EXISTS sub-pattern variable whose name
+    collides with an outer ATTRIBUTE column (here ``name``, carried by
+    the (a:person) binding) must stay existential — correlation is on
+    the outer VARIABLE space, never on binding.columns — not equi-join
+    vertex ids against attribute values (which silently empties the
+    semi-join)."""
+    pg = _pg_people(spark)
+    got = sorted(
+        r.a
+        for r in pg.query(
+            "MATCH (a:person) WHERE EXISTS((a)-[:KNOWS]->(name)) RETURN a"
+        ).collect()
+    )
+    assert got == [0, 1, 3]
+    # NOT EXISTS complement stays consistent
+    got2 = sorted(
+        r.a
+        for r in pg.query(
+            "MATCH (a:person) WHERE NOT EXISTS((a)-[:KNOWS]->(name)) RETURN a"
+        ).collect()
+    )
+    assert got2 == [2, 4, 5]
+
+
 def test_where_exists_subpattern(spark):
     pg = _pg_people(spark)
     # knows: (0,1) (0,2) (1,2) (3,1); people with an outgoing edge:

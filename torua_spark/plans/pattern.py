@@ -273,15 +273,46 @@ class PropertyGraph:
         )
         m_ret = self._kw("RETURN", rest)
         head = rest[: m_ret.start()] if m_ret else rest
-        source, residual = None, []
+        # STANDARD precedence (ADVICE r7): AND binds tighter than OR,
+        # so the source pin is extracted per-disjunct — with a
+        # top-level OR, every disjunct must carry the SAME pin for the
+        # query to stay a single-source BFS — and the de-pinned
+        # residual is re-joined and handed to _apply_where ONCE (the
+        # one place precedence is implemented), never term-by-term
+        # (the old AND-first split evaluated ``a=2 AND x OR y`` as
+        # ``a=2 AND (x OR y)``).
+        source, residual_sql = None, None
         m_w = re.match(r"(?i)^\s*WHERE\b", head)
         if m_w:
-            for term in self._split_outside_quotes("AND", head[m_w.end():]):
-                m_src = re.match(rf"^\s*{a_var}\s*=\s*(-?\d+)\s*$", term)
-                if m_src and source is None:
-                    source = int(m_src.group(1))
-                else:
-                    residual.append(term)
+            disjunct_residuals = []
+            for d in self._split_outside_quotes("OR", head[m_w.end():]):
+                pin, rest_terms = None, []
+                for term in self._split_outside_quotes("AND", d):
+                    m_src = re.match(rf"^\s*{a_var}\s*=\s*(-?\d+)\s*$", term)
+                    if m_src and pin is None:
+                        pin = int(m_src.group(1))
+                    else:
+                        rest_terms.append(term.strip())
+                if pin is None:
+                    raise ValueError(
+                        f"shortestPath needs the source pinned in every "
+                        f"OR disjunct ({a_var} = <id> AND ...) — AND "
+                        f"binds tighter than OR, so a pin in one "
+                        f"disjunct does not constrain the others"
+                    )
+                if source is None:
+                    source = pin
+                elif pin != source:
+                    raise ValueError(
+                        f"shortestPath source pinned to different ids "
+                        f"({source} vs {pin}) across OR disjuncts — "
+                        f"single-source BFS has one source"
+                    )
+                disjunct_residuals.append(" AND ".join(rest_terms))
+            if all(r.strip() for r in disjunct_residuals):
+                residual_sql = " OR ".join(disjunct_residuals)
+            # else: some disjunct was the bare pin, so the residual
+            # disjunction contains TRUE — no filter at all
         elif head.strip():
             raise ValueError(f"unparsed text before RETURN: {head.strip()!r}")
         if source is None:
@@ -319,8 +350,8 @@ class PropertyGraph:
             owner[lb] = b_var
             sel += [F.col(c) for c in v.df.columns]
         binding = binding.select(*sel)
-        for term in residual:
-            binding = self._apply_where(binding, term, labels, owner)
+        if residual_sql:
+            binding = self._apply_where(binding, residual_sql, labels, owner)
         if not m_ret:
             return binding
         return self._finish(binding, labels, owner, rest[m_ret.end():])
@@ -837,9 +868,15 @@ class PropertyGraph:
                 )
             sub = f"({var0}:{outer})" + sub[m0.end():]
         sub_binding, sub_labels, _sub_owner = self._compile(sub)
+        # correlate on the OUTER VARIABLE SPACE (labels), not on
+        # binding.columns alone: a fresh sub-pattern variable whose
+        # name collides with an outer vertex ATTRIBUTE column (e.g.
+        # EXISTS((c)-[:R]->(name)) under a binding that carries a
+        # 'name' attr) must stay uncorrelated, not equi-join a vertex
+        # id against attribute values (ADVICE r7)
         corr = [
             v for v in sub_labels
-            if v in binding.columns
+            if v in labels and v in binding.columns
             and not (sub_labels[v] or "").startswith(_EDGE_LABEL_PREFIX)
         ]
         if not corr:

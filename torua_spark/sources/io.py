@@ -489,7 +489,19 @@ def purge_predicate(spark: SparkSession, path: str, predicate: str,
     part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
     for pv in hit_parts:
         part_dir = part_dirs[pv]
-        kept = spark.read.parquet(part_dir).filter(~F.expr(predicate))
+        # basePath keeps partition_col visible to the rewrite scan, so
+        # a predicate referencing the partition column itself — the
+        # TTL shape generalizes to "dt < cutoff" (ADVICE r7) — resolves
+        # instead of raising; the column is dropped again before the
+        # write because hive layout encodes it in the directory name,
+        # and a data column shadowing the partition schema is a
+        # duplicate-column error on every future read.
+        kept = (
+            spark.read.option("basePath", path)
+            .parquet(part_dir)
+            .filter(~F.expr(predicate))
+            .drop(partition_col)
+        )
         tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
         kept.write.mode("overwrite").parquet(tmp)
         _swap_partition(part_dir, tmp, f"{path}/.purge_trash_{partition_col}={pv}")
