@@ -403,6 +403,23 @@ def hyperplane_matrix(n_bits: int = HYPERPLANE_BITS,
     ]
 
 
+def hyperplane_sig_arrays(
+    embeddings: DataFrame,
+    n_bits: int | None = None,
+    band_bits: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Unexploded form of :func:`hyperplane_bands`: one row per vector
+    with ALL band signatures as an array<long> — for paths that need a
+    vector's full signature vector on one row (the min-colliding-band
+    candidate dedup in ``embedding_near_dup_pairs``, which replaces a
+    pair-multiset DISTINCT shuffle with a per-row filter). Same exact
+    integer arithmetic and sizing laws as ``hyperplane_bands``
+    (identical docstring contract); ``hyperplane_bands`` is this
+    relation posexploded."""
+    return _hyperplane_sigs(embeddings, n_bits, band_bits, n_rows)
+
+
 def hyperplane_bands(
     embeddings: DataFrame,
     n_bits: int | None = None,
@@ -444,6 +461,17 @@ def hyperplane_bands(
     ``n_bits`` pin the legacy behavior regardless of corpus size
     (an explicit ``n_bits`` alone keeps the legacy band width and
     derives the band count from it — it is never silently ignored)."""
+    return _hyperplane_sigs(embeddings, n_bits, band_bits, n_rows).select(
+        "vec_id", F.posexplode("sigs").alias("band", "sig")
+    )
+
+
+def _hyperplane_sigs(
+    embeddings: DataFrame,
+    n_bits: int | None = None,
+    band_bits: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
     if band_bits is None:
         if n_bits is not None:
             # caller fixed the plane budget: legacy width, more bands
@@ -470,9 +498,7 @@ def hyperplane_bands(
         sigs = (bits.reshape(len(s), n_bands, band_bits) * weights).sum(axis=2)
         return pd.Series(list(sigs))
 
-    return embeddings.select(
-        "vec_id", F.posexplode(band_sigs("embedding")).alias("band", "sig")
-    )
+    return embeddings.select("vec_id", band_sigs("embedding").alias("sigs"))
 
 
 
@@ -516,6 +542,110 @@ def _pair_dot():
     return pair_dot
 
 
+# Above this many vectors the gather-verify's broadcast matrix stops
+# being a small side (262144 x 64 doubles ~ 128 MB before pickle
+# overhead) and pair verification falls back to the pair-carry join.
+# Past this size a production corpus should block the verify per cell
+# (knn_join's per-cell Arrow GEMM) rather than verify a global pair
+# relation at all.
+PAIR_VERIFY_GATHER_CAP = 1 << 18
+
+
+def _shuffle_width(df: DataFrame) -> int:
+    """The session's configured shuffle width, for explicit
+    repartitions that must not be AQE-coalesced (joins whose output
+    far exceeds their input). Falls back to defaultParallelism when
+    the conf is non-numeric (e.g. 'auto' on some platforms)."""
+    spark = df.sparkSession
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (ValueError, TypeError):
+        return max(1, spark.sparkContext.defaultParallelism)
+
+
+def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
+                        n_rows: int | None = None) -> DataFrame:
+    """Exact-cosine verification of a candidate pair relation:
+    (vec_a, vec_b) -> (vec_a, vec_b, sim) with sim >= threshold.
+    ``base`` carries (vec_id, e: array<double>, nrm: double).
+
+    Fast path (n <= PAIR_VERIFY_GATHER_CAP): broadcast ONE id-sorted
+    (ids, matrix, norms) triple to the executors and GATHER the two
+    rows per pair inside the Arrow batch — the pair relation then
+    ships 2 longs per row instead of 2 full embeddings. Every vector
+    is needed by ~E[pairs per vector] candidates (hundreds at sf1),
+    so re-shipping it per pair was the dominant Arrow volume of the
+    whole query (r8 measurement: 24 s of a 37 s sf1 wall). The
+    arithmetic is bit-identical to the join path: double einsum dot /
+    (na*nb), the same two-summation-order tolerance round4 absorbs.
+
+    Fallback above the cap: the pair-carry join (broadcast joins of
+    ``base`` onto the pair relation + per-pair einsum) — unbounded in
+    n, Arrow volume linear in candidates x dim."""
+    if n_rows is None:
+        n_rows = base.count()
+    if 0 < n_rows <= PAIR_VERIFY_GATHER_CAP:
+        rows = base.select("vec_id", "e", "nrm").collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        dim = next(
+            (len(rows[int(i)][1]) for i in order if rows[int(i)][1] is not None),
+            0,
+        )
+        # NULL / ragged embeddings become NaN rows -> NaN sim -> fail
+        # the threshold filter, matching the join path's behavior
+        mat = np.full((len(rows), max(dim, 1)), np.nan)
+        nrm = np.full(len(rows), np.nan)
+        for out_i, i in enumerate(order):
+            e = rows[int(i)][1]
+            if e is not None and len(e) == dim and dim > 0:
+                mat[out_i] = np.asarray(e, dtype=np.float64)
+            v = rows[int(i)][2]
+            if v is not None:
+                nrm[out_i] = v
+        sids = ids[order]
+        bc = base.sparkSession.sparkContext.broadcast((sids, mat, nrm))
+
+        @F.pandas_udf("double")
+        def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            s_ids, m, nr = bc.value
+            av = a.to_numpy(dtype=np.int64)
+            bv = b.to_numpy(dtype=np.int64)
+            if len(av) == 0:
+                return pd.Series([], dtype=np.float64)
+            last = len(s_ids) - 1
+            ia = np.clip(np.searchsorted(s_ids, av), 0, last)
+            ib = np.clip(np.searchsorted(s_ids, bv), 0, last)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.einsum("ij,ij->i", m[ia], m[ib]) / (nr[ia] * nr[ib])
+            # an id not in base (impossible for band-derived candidates,
+            # defensive for caller-supplied pair relations) -> NaN
+            out[(s_ids[ia] != av) | (s_ids[ib] != bv)] = np.nan
+            return pd.Series(out)
+
+        return (
+            cands.select("vec_a", "vec_b")
+            .withColumn("sim", round4(pair_cos("vec_a", "vec_b")))
+            .filter(F.col("sim") >= threshold)
+        )
+    a = base.select(F.col("vec_id").alias("vec_a"),
+                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"),
+                    F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pair_dot = _pair_dot()
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            round4(
+                pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35,
     cell_col: str | None = None, max_bucket: int | None = None,
@@ -536,7 +666,7 @@ def embedding_near_dup_pairs(
     cap the bucket emits star pairs to its min vec_id instead (linear,
     connectivity-preserving — within a flood every member verifies
     against the representative). See dedup._bucket_pairs."""
-    from torua_spark.functions.vectors import dot, norm
+    from torua_spark.functions.vectors import norm
 
     # Precompute each vector's norm once (2 aggregates per *vector*)
     # so the pair loop only evaluates the dot product — identical
@@ -546,6 +676,7 @@ def embedding_near_dup_pairs(
     ).withColumn("nrm", norm(F.col("e")))
     from torua_spark.operators.dedup import _bucket_pairs
 
+    n_rows: int | None = None
     if cell_col is not None:
         cells = embeddings.select(
             "vec_id", F.col(cell_col).alias("cell")
@@ -578,32 +709,67 @@ def embedding_near_dup_pairs(
                     f"no linear blocking.",
                     stacklevel=2,
                 )
-            bands = hyperplane_bands(embeddings, band_bits=r, n_rows=n_rows)
+            sig_arrays = hyperplane_sig_arrays(
+                embeddings, band_bits=r, n_rows=n_rows
+            )
         else:
-            bands = hyperplane_bands(embeddings, n_bits=n_bits, band_bits=band_bits)
-        # NOTE (measured, r7): deferring the cross-band distinct to
-        # after the verify filter was tried and REVERTED — true
-        # near-dups collide in most of the 16 bands, so the candidate
-        # MULTISET is ~an order of magnitude larger than the distinct
-        # set (sf1: 35.6 s vs 18 s) and the einsum/Arrow transfer
-        # inflates far more than the 10 s distinct shuffle saves.
-        cands = _bucket_pairs(
-            bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
-        )
-    a = base.select(F.col("vec_id").alias("vec_a"),
-                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = base.select(F.col("vec_id").alias("vec_b"),
-                    F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    pair_dot = _pair_dot()
-    return (
-        cands.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            round4(pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+            sig_arrays = hyperplane_sig_arrays(
+                embeddings, n_bits=n_bits, band_bits=band_bits
+            )
+        if max_bucket is None:
+            # MIN-COLLIDING-BAND dedup (r8, replacing the _bucket_pairs
+            # DISTINCT): each side of the bucket self-join carries its
+            # full signature array, and a pair is kept only from the
+            # FIRST band in which the two signatures agree — the same
+            # distinct pair set, zero extra shuffle. The old DISTINCT
+            # re-shuffled the whole pair multiset; at the auto band
+            # width the multiset is only a few % above the distinct
+            # set (sf1: 7.84M vs 7.62M), so that shuffle was ~7 s of
+            # pure overhead. (The r7 note about the multiset being 10x
+            # the distinct set described the legacy fixed r=4 width.)
+            banded = sig_arrays.select(
+                "vec_id", "sigs", F.posexplode("sigs").alias("band", "sig")
+            )
+            # EXPLICIT width on the bucket-join inputs: the join's
+            # OUTPUT (the pair multiset) is orders of magnitude larger
+            # than its input (320k band rows -> 7.8M pairs at sf1), so
+            # AQE's input-sized coalescing would collapse the exchange
+            # to ~2 partitions and run the min-band filter + verify on
+            # 2 of 32 cores (measured: the whole win disappeared). An
+            # explicit repartition(N, keys) is exempt from AQE
+            # coalescing and the join reuses it — full width, no extra
+            # exchange.
+            n_shuffle = _shuffle_width(embeddings)
+            left = banded.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("sigs").alias("sa"), "band", "sig",
+            ).repartition(n_shuffle, "band", "sig")
+            right = banded.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("sigs").alias("sb"), "band", "sig",
+            ).repartition(n_shuffle, "band", "sig")
+            cands = (
+                left.join(right, ["band", "sig"])
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .filter(
+                    ~F.expr(
+                        "exists(zip_with(slice(sa, 1, band), "
+                        "slice(sb, 1, band), (x, y) -> x = y), c -> c)"
+                    )
+                )
+                .select("vec_a", "vec_b")
+            )
+        else:
+            # flood-capped mode: star pairs are NOT band collisions of
+            # their own band's bucket members alone, so min-band dedup
+            # does not apply — keep the DISTINCT-based path
+            bands = sig_arrays.select(
+                "vec_id", F.posexplode("sigs").alias("band", "sig")
+            )
+            cands = _bucket_pairs(
+                bands, ["band", "sig"], "vec_id", "vec_a", "vec_b", max_bucket
+            )
+    return _verified_cos_pairs(base, cands, threshold, n_rows)
 
 
 SEMANTIC_MAX_K = 65_536
@@ -631,20 +797,7 @@ def _cell_band_pairs(base: DataFrame, threshold: float,
     e = base.select(
         "vec_id", to_double_array("embedding").alias("e")
     ).withColumn("nrm", norm(F.col("e")))
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    pair_dot = _pair_dot()
-    return (
-        cands.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            round4(pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    return _verified_cos_pairs(e, cands, threshold)
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
