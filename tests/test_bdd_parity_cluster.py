@@ -172,3 +172,47 @@ def test_failure_recovery_no_automatic_reassignment(spark):
     rebal = tp.assignments_roundrobin(spark, NUM_SHARDS, TWO_NODES)
     counts = _counts(rebal)
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_routing_error_codes_match_coordinator_contract(spark):
+    """Error-path parity (cmd/coordinator/main.go:525-528,563-586,650):
+    unassigned shard -> 503 'no node assigned for key'; shard assigned
+    to an unregistered node -> 503 'node not found'; node registered
+    but unhealthy -> 502 'failed to forward request'; healthy -> 200.
+    Fixture covers all four codes over deterministic shard routing."""
+    kv = _kv(spark, 40)
+    assigns = spark.createDataFrame(
+        [(1, "n9", 1), (2, "n2", 1), (3, "n1", 1)],
+        "shard_id int, node_id string, is_primary int",
+    )
+    members = spark.createDataFrame(
+        [("n1", "a1", "healthy"), ("n2", "a2", "unhealthy")],
+        "node_id string, addr string, status string",
+    )
+    out = tp.route_status(kv, assigns, members, NUM_SHARDS).collect()
+    assert len(out) == 40  # left joins never drop or multiply keys
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, set()).add(
+            (r.node_id, r.http_status, r.reason)
+        )
+    assert by_shard[0] == {(None, 503, "no node assigned for key")}
+    assert by_shard[1] == {("n9", 503, "node not found")}
+    assert by_shard[2] == {("n2", 502, "failed to forward request")}
+    assert by_shard[3] == {("n1", 200, "ok")}
+
+
+def test_control_endpoint_is_logged_noop(spark):
+    """node /control parity (cmd/node/main.go:236,334-341): 'Logs
+    payload for debugging; always returns success; no actual control
+    operations yet' — the facade method mutates nothing and chains."""
+    from torua_spark.engine import ToruaEngine
+
+    eng = ToruaEngine(spark).put("k1", "v1")
+    before = sorted(map(tuple, eng.dataframe().collect()))
+    assert eng.control({"op": "rebalance"}) is eng
+    assert eng.control("noise") is eng
+    assert sorted(map(tuple, eng.dataframe().collect())) == before
+    # engine-level route_status rides the same operator
+    rs = {r.key: r.http_status for r in eng.route_status(["k1", "k2"]).collect()}
+    assert set(rs.values()) == {200}  # default topology: all healthy

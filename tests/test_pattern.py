@@ -743,6 +743,83 @@ def test_with_then_match_continues_from_projected_var(spark):
     assert [(r.a, r.c) for r in got] == [(0, 1), (0, 2)]
 
 
+def test_with_order_by_limit_midstream_topk_then_rematch(spark):
+    """``WITH ... ORDER BY ... LIMIT`` mid-pipeline (VERDICT r7 #6):
+    top-k a projected aggregate, then MATCH onward from the survivors
+    — the canonical 'k most prolific, then their neighbors' shape."""
+    pg = _pg_people(spark)
+    # out-degrees: 0 -> 2, 1 -> 1, 3 -> 1; top-1 by (n DESC, a) is a=0
+    got = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) "
+        "WITH a, count(b) AS n ORDER BY n DESC, a LIMIT 1 "
+        "MATCH (a)-[:KNOWS]->(c) "
+        "RETURN a, n, c ORDER BY c"
+    ).collect()
+    assert [(r.a, r.n, r.c) for r in got] == [(0, 2, 1), (0, 2, 2)]
+    # SKIP composes: the SECOND-most prolific (ties broken by a ASC)
+    got2 = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) "
+        "WITH a, count(b) AS n ORDER BY n DESC, a SKIP 1 LIMIT 1 "
+        "MATCH (a)-[:KNOWS]->(c) RETURN a, c ORDER BY c"
+    ).collect()
+    assert [(r.a, r.c) for r in got2] == [(1, 2)]
+    # plain WITH (no ORDER BY) is unchanged by the r8 tail support
+    got3 = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b) WITH a, count(b) AS n "
+        "WHERE n >= 2 RETURN a, n"
+    ).collect()
+    assert [(r.a, r.n) for r in got3] == [(0, 2)]
+
+
+def test_chained_optional_matches_keep_nulls(spark):
+    """Two OPTIONAL MATCHes in sequence, the second anchored on a
+    variable the FIRST introduced optionally: rows whose first
+    optional failed keep NULL through both (a NULL anchor left-joins
+    to nothing), and independent optionals extend the same row."""
+    pg, users, items, rated = _pg_ratings(spark)
+    pg.add_vertex(
+        "tag",
+        users.sparkSession.createDataFrame(
+            [(10, "hot"), (12, "cold")], "tid long, tname string"
+        ),
+        "tid",
+    ).add_edge(
+        "TAGGED",
+        users.sparkSession.createDataFrame(
+            [(10, 10), (12, 12)], "tsrc long, tdst long"
+        ),
+        "tsrc", "tdst",
+    )
+    # u2 rated only item 11 (untagged) -> i bound, t NULL
+    # u3 rated item 10 (tagged hot) -> both bound
+    # chain: user -opt-> item -opt-> tag
+    got = {
+        (r.u, r.i, r.t)
+        for r in pg.query(
+            "MATCH (u:user) "
+            "OPTIONAL MATCH (u)-[:RATED]->(i:item) WHERE i = 11 "
+            "OPTIONAL MATCH (i)-[:TAGGED]->(t:tag) "
+            "RETURN u, i, t"
+        ).collect()
+    }
+    # i=11 is never tagged, so t is NULL everywhere; users who never
+    # rated item 11 carry NULL i AND NULL t (the NULL anchor case)
+    assert got == {(0, 11, None), (1, None, None), (2, 11, None),
+                   (3, None, None)}
+    got2 = {
+        (r.u, r.i, r.t)
+        for r in pg.query(
+            "MATCH (u:user) "
+            "OPTIONAL MATCH (u)-[:RATED]->(i:item) WHERE i = 10 "
+            "OPTIONAL MATCH (i)-[:TAGGED]->(t:tag) "
+            "RETURN u, i, t"
+        ).collect()
+    }
+    # raters of 10 (u0, u1, u3) get the 'hot' tag id; u2 gets NULLs
+    assert got2 == {(0, 10, 10), (1, 10, 10), (3, 10, 10),
+                    (2, None, None)}
+
+
 def test_with_distinct_dedupes_midstream(spark):
     pg = _pg_people(spark)
     got = pg.query(

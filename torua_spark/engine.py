@@ -141,6 +141,31 @@ class ToruaEngine:
         """POST /broadcast: per-node gather with sent_to."""
         return topo.broadcast_gather(self._kv, self.spark, self.num_shards, self.node_list)
 
+    def control(self, payload: dict | str | None = None) -> "ToruaEngine":
+        """POST /control parity (cmd/node/main.go:236,334-341): the
+        reference's control endpoint logs the payload and always
+        returns success — "No actual control operations yet". Same
+        contract here: log, mutate nothing, return self (chainable,
+        the 204-no-content analogue)."""
+        import logging
+
+        logging.getLogger(__name__).info("control: %r", payload)
+        return self
+
+    def route_status(self, keys: list[str]) -> DataFrame:
+        """Routing error trace for a batch of keys: the HTTP status
+        the coordinator would answer per key — 503 unassigned shard /
+        unregistered node, 502 unhealthy forward target, 200 ok
+        (cmd/coordinator/main.go:525-528,563-586,650). Membership
+        status comes from the engine's node list; assignment from the
+        round-robin table."""
+        kv = local_df(self.spark, [(k,) for k in keys], "key string")
+        assigns = topo.assignments_roundrobin(
+            self.spark, self.num_shards, self.node_list
+        )
+        nodes = topo.nodes_df(self.spark, self.node_list)
+        return topo.route_status(kv, assigns, nodes, self.num_shards)
+
     def compact_for_serving(self, partitions: int | None = None) -> "ToruaEngine":
         """Pin the state into a point-lookup-tuned cache: few
         partitions (1 per ~1M keys), sorted by key so the in-memory

@@ -79,6 +79,46 @@ def routing_trace(kv: DataFrame, assignments: DataFrame, num_shards: int = NUM_S
     )
 
 
+def route_status(kv: DataFrame, assignments: DataFrame, nodes: DataFrame,
+                 num_shards: int = NUM_SHARDS) -> DataFrame:
+    """A18 error-path parity — the HTTP status the coordinator would
+    return for each key's routing attempt (cmd/coordinator/main.go:
+    525-528 doc block; 563-586 the two 503 paths; 650 the 502 path):
+
+    - shard has no assignment row        -> 503 'no node assigned for key'
+    - assigned node not in membership    -> 503 'node not found'
+    - node registered but not healthy    -> 502 'failed to forward request'
+    - otherwise                          -> 200 'ok'
+
+    Both dims broadcast (O(num_shards) and O(nodes) rows); the fact
+    side never shuffles — same plan shape as ``routing_trace``."""
+    routed = kv.select(
+        "key", shard_for_key(F.col("key"), num_shards).alias("shard_id")
+    )
+    a = F.broadcast(assignments.select("shard_id", "node_id"))
+    m = F.broadcast(
+        nodes.select(F.col("node_id").alias("_member"), "status")
+    )
+    out = (
+        routed.join(a, "shard_id", "left")
+        .join(m, F.col("node_id") == F.col("_member"), "left")
+    )
+    unassigned = F.col("node_id").isNull()
+    unregistered = F.col("_member").isNull()
+    unhealthy = F.col("status") != "healthy"
+    return out.select(
+        "key", "shard_id", "node_id",
+        F.when(unassigned, F.lit(503))
+        .when(unregistered, F.lit(503))
+        .when(unhealthy, F.lit(502))
+        .otherwise(F.lit(200)).alias("http_status"),
+        F.when(unassigned, F.lit("no node assigned for key"))
+        .when(unregistered, F.lit("node not found"))
+        .when(unhealthy, F.lit("failed to forward request"))
+        .otherwise(F.lit("ok")).alias("reason"),
+    )
+
+
 def node_stats(kv: DataFrame, assignments: DataFrame, num_shards: int = NUM_SHARDS) -> DataFrame:
     """A7+A8 — per-shard Stats rolled up to node level
     (cmd/node/main.go:750-773): partial+final agg then broadcast join."""

@@ -1066,8 +1066,10 @@ class PropertyGraph:
             MATCH <chain>[, <chain>]...
             [MATCH <chain>[, <chain>]... | OPTIONAL MATCH <chain>
              [WHERE <conjunction>] | WHERE <conjunction>
-             | WITH [DISTINCT] <items>]...
-            [RETURN [DISTINCT] <items> [ORDER BY <cols> [LIMIT n]]]
+             | WITH [DISTINCT] <items>
+               [ORDER BY <cols> [SKIP n] [LIMIT n]]]...
+            [RETURN [DISTINCT] <items>
+             [ORDER BY <cols> [SKIP n] [LIMIT n]]]
 
         — the reference's aspirational surface (ARCHITECTURE.md:
         327-339 ``MATCH (n:Person)-[:KNOWS]->(m) RETURN n, m``; top-k
@@ -1202,7 +1204,12 @@ class PropertyGraph:
                 # downstream — a following WHERE is post-aggregation
                 # (HAVING), a following MATCH continues from any
                 # projected id column, RETURN sees only these names.
-                binding, _ = self._project(binding, text, labels, owner)
+                # The full RETURN tail grammar applies mid-pipeline
+                # (r8): ``WITH ... ORDER BY ... [SKIP n] [LIMIT n]``
+                # is Cypher's top-k-then-continue — _finish plans the
+                # ORDER BY + LIMIT as TakeOrderedAndProject, so the
+                # k-row stage re-MATCHes as a broadcast-sized relation.
+                binding = self._finish(binding, labels, owner, text)
                 labels.clear()
                 labels.update({c: None for c in binding.columns})
                 owner.clear()

@@ -112,22 +112,41 @@ _DECLARED = [
     # UNWIND proofs. OUT (each driver-green r4-r6, pytest-oracled
     # forever): dedup_minhash_verified, text_repetition_scores,
     # corpus_funnel, streaming_windows, temporal_analytics.
+    # Round-8 rotation (VERDICT r7 #2): the 14 standalone extras that
+    # had never sat in a driver window rotate IN, finishing the
+    # cumulative every-entry-driver-proven discipline again. Fourteen
+    # r7-green entries rotate OUT, paired by family so every SURVEY §2
+    # row keeps a declared witness (each keeps its pytest-vs-DuckDB
+    # oracle): text_boilerplate_lines -> text_dedup_doc_lines,
+    # retention_cohorts -> temporal_ohlc, text_vocabulary ->
+    # text_bigram_logprob, profile_orders -> profile_correlations,
+    # mixture_sample -> sample_weighted (+ source_cap), graph_pagerank
+    # -> graph_pagerank_weighted, graph_label_propagation ->
+    # graph_k_core, graph_string_predicates -> graph_exists_filter,
+    # graph_optional_match -> graph_comma_conjunction, streaming_dedup
+    # -> streaming_heavy_hitters, streaming_enriched_agg ->
+    # streaming_knn, multimodal_pipeline -> multimodal_audio_probe,
+    # lake_purge_keys -> lake_retention_purge, temporal_gapfill ->
+    # temporal_ohlc's batch half (the gapfill stays pytest-oracled).
+    # graph_collect_priorities is NOT rotated out: its r7 driver row
+    # was red (ArrayType canon), so the r8 serialized form must be
+    # driver-proven first.
     "lake_merge_changelog",
     "dedup_decontaminate_ngram",
-    "text_boilerplate_lines",
-    "retention_cohorts",
-    "text_vocabulary",
-    "profile_orders",
+    "text_dedup_doc_lines",
+    "temporal_ohlc",
+    "text_bigram_logprob",
+    "profile_correlations",
     "graphrag_retrieve",
     # Round-7 second swap: the round's two NEW cross-subsystem entries
     # driver-proven immediately — mixture_sample (source-weighted
     # training mix) and streaming_lake_cdc (foreachBatch merge into
     # the hive lake); dedup_cluster_canonical and graphrag_ppr
     # (driver-green r4-r6) rotate out, keeping their pytest oracles.
-    "mixture_sample",
+    "sample_weighted",
     "streaming_lake_cdc",
     # --- graph (B1, B2, B3, B6)
-    "graph_pagerank",
+    "graph_pagerank_weighted",
     # Round-7 third swap: the round's four NEW graph entries driver-
     # proven immediately — shortest paths with deterministic
     # predecessors (unweighted + Bellman-Ford-weighted), LPA
@@ -139,13 +158,9 @@ _DECLARED = [
     # references of its own).
     "graph_shortest_path",
     "graph_weighted_shortest_path",
-    "graph_label_propagation",
-    "graph_string_predicates",
-    # Round-7 rotation (VERDICT r6 #5): graph_optional_match — the one
-    # never-driver-proven standalone entry — rotates IN for
-    # graph_copurchase_degree (driver-green r6, pytest-oracled
-    # forever), completing the every-entry-proven discipline.
-    "graph_optional_match",
+    "graph_k_core",
+    "graph_exists_filter",
+    "graph_comma_conjunction",
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).
     "graph_pattern_topk",
@@ -154,7 +169,10 @@ _DECLARED = [
     # temporal_graph_evolution (driver-green r4-r6) rotate out,
     # keeping their pytest oracles.
     "graph_edge_attr_filter",
-    "graph_with_having",
+    # Round-8 form proof (VERDICT r7 #6): WITH ... ORDER BY ... LIMIT
+    # mid-pipeline (top-k then re-MATCH), in for graph_with_having
+    # (driver-green r7, same WITH family, pytest-oracled forever).
+    "graph_with_topk_rematch",
     # Round-7 fourth swap (graph half): range hops, collect()
     # aggregates, and the Cypher shortestPath() form, each proven the
     # round it landed (see the swap note at the list head).
@@ -164,12 +182,13 @@ _DECLARED = [
     # --- training-data pipeline (dedup / packing / curriculum)
     "semantic_dedup",
     "pack_sequences",
+    "source_cap",
     "graph_return_arithmetic",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_profile_drift",
     "streaming_health_state",
-    "streaming_dedup",
-    "streaming_enriched_agg",
+    "streaming_heavy_hitters",
+    "streaming_knn",
     "streaming_attribution_join",
     "streaming_decontaminate",
     # Round-7 third swap (streaming half): the Kafka-shaped source
@@ -178,7 +197,7 @@ _DECLARED = [
     # pytest-oracled forever).
     "streaming_kafka_events",
     "streaming_index_dedup",
-    "multimodal_pipeline",
+    "multimodal_audio_probe",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",
     "kv_writes",
@@ -189,7 +208,6 @@ _DECLARED = [
     "routing_health",
     # --- temporal batch (B9) + as-of
     "graph_unwind_roundtrip",
-    "temporal_gapfill",
     "asof_next_order",
     # --- lake maintenance + layout (B14 index-usage-as-layout; the
     # 100 TB storage life-cycle — VERDICT r5 #1). Rotated IN round 6
@@ -197,7 +215,7 @@ _DECLARED = [
     # winsorized_stats (each driver-green r5, pytest-oracled forever).
     "zorder_layout",
     "lake_compact",
-    "lake_purge_keys",
+    "lake_retention_purge",
     "lake_merge_upsert",
 ]
 

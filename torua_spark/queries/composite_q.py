@@ -140,6 +140,10 @@ _SPECS = {
     "routing_health": [
         ("trace", topology_q, "routing_trace",
          dict(k=["key", "node_id"], n=["shard_id"])),
+        # r8: coordinator error-code semantics (503/503/502/200) as a
+        # leg, so the window proves the facade's error paths too
+        ("errors", topology_q, "routing_error_trace",
+         dict(k=["key", "node_id", "reason"], n=["shard_id", "http_status"])),
         ("health3", topology_q, "health_consecutive_failures",
          dict(k=["node_id"],
               n=["unhealthy_transitions", "total_failures", "total_probes"])),

@@ -494,7 +494,8 @@ def q_comma_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pg.query(
         "MATCH (a:customer)-[:SOLD_TO]->(s:supplier), "
-        "(b:customer)-[:SOLD_TO]->(s) WHERE a < b "
+        "(b:customer)-[:SOLD_TO]->(s) "
+        "WHERE a < b AND s.s_nationkey = 3 "
         "RETURN s AS s_suppkey, count(*) AS n_pairs"
     )
 
@@ -505,6 +506,8 @@ ORACLE["graph_comma_conjunction"] = """
     WITH e AS (
         SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 3
     )
     SELECT a.dst AS s_suppkey, count(*) AS n_pairs
     FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
@@ -566,6 +569,48 @@ QUERIES["graph_with_having"] = q_with_having
 ORACLE["graph_with_having"] = """
     SELECT o_custkey AS c_custkey, count(*) AS n_orders
     FROM orders GROUP BY 1 HAVING count(*) >= 10
+"""
+
+
+def q_with_topk_rematch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 pipeline-form proof (VERDICT r7 #6): ``WITH ... ORDER BY
+    ... LIMIT`` MID-pipeline — top-k an aggregate, then MATCH onward
+    from the k survivors. The k-row stage plans as
+    TakeOrderedAndProject and the re-MATCH joins it broadcast-sized.
+    Ref query-language contract: ARCHITECTURE.md:327-339."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_vertex("orders", load_table(spark, sf_dir, "orders"), "o_orderkey")
+        .add_edge(
+            "PLACED",
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+            "o_custkey", "o_orderkey",
+        )
+    )
+    return pg.query(
+        "MATCH (c:customer)-[:PLACED]->(o) "
+        "WITH c, count(o) AS n_orders ORDER BY n_orders DESC, c LIMIT 5 "
+        "MATCH (c)-[:PLACED]->(o2:orders) "
+        "RETURN c AS c_custkey, n_orders, "
+        "min(o2.o_orderpriority) AS first_priority, count(*) AS n_again"
+    )
+
+
+QUERIES["graph_with_topk_rematch"] = q_with_topk_rematch
+
+ORACLE["graph_with_topk_rematch"] = """
+    WITH topk AS (
+        SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1 ORDER BY n_orders DESC, c_custkey LIMIT 5
+    )
+    SELECT t.c_custkey, t.n_orders,
+           min(o.o_orderpriority) AS first_priority,
+           count(*)::BIGINT AS n_again
+    FROM topk t JOIN orders o ON o.o_custkey = t.c_custkey
+    GROUP BY 1, 2
 """
 
 

@@ -52,6 +52,32 @@ def q_routing_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topo.routing_trace(kv, assigns, NUM_SHARDS)
 
 
+# Routing-error fixture (A18 error paths): shard 0 unassigned, shard 1
+# assigned to never-registered n9, shard 2 to unhealthy n2, shard 3 to
+# healthy n1 — one row per coordinator error code (503/503/502/200).
+ERROR_TRACE_ASSIGNS = [(1, "n9", 1), (2, "n2", 1), (3, "n1", 1)]
+ERROR_TRACE_MEMBERS = [
+    ("n1", "http://127.0.0.1:8081", "healthy"),
+    ("n2", "http://127.0.0.1:8082", "unhealthy"),
+]
+
+
+def q_routing_error_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 facade-parity proof (VERDICT r7 #7): the coordinator's
+    routing ERROR semantics — 503 unassigned shard, 503 unregistered
+    node, 502 unhealthy forward target, 200 ok — as a labeled column
+    per key (cmd/coordinator/main.go:525-528,563-586,650)."""
+    kv = kv_view(spark, sf_dir)
+    assigns = local_df(
+        spark, ERROR_TRACE_ASSIGNS,
+        "shard_id int, node_id string, is_primary int",
+    )
+    members = local_df(
+        spark, ERROR_TRACE_MEMBERS, "node_id string, addr string, status string"
+    )
+    return topo.route_status(kv, assigns, members, NUM_SHARDS)
+
+
 def q_node_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = kv_view(spark, sf_dir)
     assigns = topo.assignments_roundrobin(spark, NUM_SHARDS, NODES)
@@ -79,6 +105,7 @@ QUERIES = {
     "shard_assignment_roundrobin": q_assignment_roundrobin,
     "shard_assignment_gapfill": q_assignment_gapfill,
     "routing_trace": q_routing_trace,
+    "routing_error_trace": q_routing_error_trace,
     "node_stats_agg": q_node_stats_agg,
     "broadcast_gather": q_broadcast_gather,
     "health_consecutive_failures": q_health_consecutive_failures,
@@ -150,6 +177,26 @@ ORACLE = {
         routed AS (SELECT key, {_SHARD_SQL} AS shard_id FROM kv),
         assigns AS ({_ASSIGNS_SQL})
         SELECT key, shard_id, node_id FROM routed JOIN assigns USING (shard_id)
+    """,
+    "routing_error_trace": f"""
+        WITH kv AS ({KV_VIEW_SQL}),
+        routed AS (SELECT key, {_SHARD_SQL} AS shard_id FROM kv),
+        assigns(shard_id, node_id) AS (VALUES (1, 'n9'), (2, 'n2'), (3, 'n1')),
+        members(node_id, status) AS (
+            VALUES ('n1', 'healthy'), ('n2', 'unhealthy')
+        )
+        SELECT r.key, r.shard_id, a.node_id,
+               CASE WHEN a.node_id IS NULL THEN 503
+                    WHEN m.node_id IS NULL THEN 503
+                    WHEN m.status <> 'healthy' THEN 502
+                    ELSE 200 END AS http_status,
+               CASE WHEN a.node_id IS NULL THEN 'no node assigned for key'
+                    WHEN m.node_id IS NULL THEN 'node not found'
+                    WHEN m.status <> 'healthy' THEN 'failed to forward request'
+                    ELSE 'ok' END AS reason
+        FROM routed r
+        LEFT JOIN assigns a USING (shard_id)
+        LEFT JOIN members m ON m.node_id = a.node_id
     """,
     "node_stats_agg": f"""
         WITH kv AS ({KV_VIEW_SQL}),
