@@ -552,7 +552,8 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("community"))
 
 
-def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 16,
+           check_every: int = 2) -> DataFrame:
     """B6 — k-core membership by synchronous peeling: each round drops
     every vertex whose degree in the INDUCED surviving subgraph is
     < k; the fixpoint is the k-core. Returns (vertex, core_degree)
@@ -561,6 +562,15 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
     rounds past convergence are idempotent — the loop-unrolled oracle
     matches at ANY unroll depth >= the convergence round count, the
     same contract as connected_components.
+
+    ``rounds`` is a CEILING, not a fixed count (r8): the loop probes
+    the alive-set size every ``check_every`` rounds (the same
+    amortized-probe discipline as connected_components — rounds in
+    between stay lazy and run as one job) and stops at the first
+    stable probe. Monotone peeling makes a stable COUNT a sound
+    fixpoint witness: membership cannot change without the count
+    dropping. Worst case runs check_every-1 idempotent extra rounds,
+    which the depth-idempotent oracle absorbs.
 
     Cost per round: the alive set re-enters the edge relation as two
     semi-joins (broadcast while it fits — the same state-size logic
@@ -575,19 +585,27 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
         n_vertices = alive.count()
         bcast = _use_broadcast_state("auto", n_edges, n_vertices)
         deg = None
-        for _ in range(rounds):
-            state = F.broadcast(alive) if bcast else alive
-            induced = und.join(
-                state.select(F.col("id").alias("a")), "a", "left_semi"
-            ).join(state.select(F.col("id").alias("b")), "b", "left_semi")
-            deg = induced.groupBy(F.col("a").alias("id")).agg(
-                F.count(F.lit(1)).alias("core_degree")
-            )
-            alive = (
-                deg.filter(F.col("core_degree") >= F.lit(k))
-                .select("id")
-                .localCheckpoint(eager=False)
-            )
+        prev_n = n_vertices
+        done = 0
+        while done < rounds:
+            for _ in range(min(check_every, rounds - done)):
+                state = F.broadcast(alive) if bcast else alive
+                induced = und.join(
+                    state.select(F.col("id").alias("a")), "a", "left_semi"
+                ).join(state.select(F.col("id").alias("b")), "b", "left_semi")
+                deg = induced.groupBy(F.col("a").alias("id")).agg(
+                    F.count(F.lit(1)).alias("core_degree")
+                )
+                alive = (
+                    deg.filter(F.col("core_degree") >= F.lit(k))
+                    .select("id")
+                    .localCheckpoint(eager=False)
+                )
+                done += 1
+            cur_n = alive.count()
+            if cur_n == prev_n:
+                break
+            prev_n = cur_n
         alive = alive.localCheckpoint(eager=True)
         out = deg.join(alive, "id", "left_semi").select(
             F.col("id").alias("vertex"), F.col("core_degree")
