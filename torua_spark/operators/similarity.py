@@ -542,13 +542,15 @@ def _pair_dot():
     return pair_dot
 
 
-# Above this many vectors the gather-verify's broadcast matrix stops
-# being a small side (262144 x 64 doubles ~ 128 MB before pickle
-# overhead) and pair verification falls back to the pair-carry join.
-# Past this size a production corpus should block the verify per cell
-# (knn_join's per-cell Arrow GEMM) rather than verify a global pair
-# relation at all.
-PAIR_VERIFY_GATHER_CAP = 1 << 18
+# Element budget for the gather-verify's broadcast matrix: 2^24
+# float64s ~ 134 MB (the small-side ceiling; 262,144 vectors at
+# dim 64, or 32k at dim 512 — the cap is DIMENSION-AWARE because the
+# matrix is n x dim, and a 4096-dim corpus would blow an n-only cap
+# 64x). Above it, pair verification falls back to the pair-carry
+# join; past that size a production corpus should block the verify
+# per cell (knn_join's per-cell Arrow GEMM) rather than verify a
+# global pair relation at all.
+PAIR_VERIFY_GATHER_ELEMS = 1 << 24
 
 
 def _shuffle_width(df: DataFrame) -> int:
@@ -569,7 +571,7 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
     (vec_a, vec_b) -> (vec_a, vec_b, sim) with sim >= threshold.
     ``base`` carries (vec_id, e: array<double>, nrm: double).
 
-    Fast path (n <= PAIR_VERIFY_GATHER_CAP): broadcast ONE id-sorted
+    Fast path (n x dim <= PAIR_VERIFY_GATHER_ELEMS): broadcast ONE id-sorted
     (ids, matrix, norms) triple to the executors and GATHER the two
     rows per pair inside the Arrow batch — the pair relation then
     ships 2 longs per row instead of 2 full embeddings. Every vector
@@ -584,7 +586,13 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
     n, Arrow volume linear in candidates x dim."""
     if n_rows is None:
         n_rows = base.count()
-    if 0 < n_rows <= PAIR_VERIFY_GATHER_CAP:
+    dim0 = 0
+    if n_rows > 0:
+        # one-row probe for the dimension — the budget is n x dim
+        # elements, and dim varies 64x across real embedding models
+        probe = base.select(F.size("e").alias("d")).first()
+        dim0 = int(probe["d"]) if probe and probe["d"] is not None else 0
+    if 0 < n_rows * max(dim0, 1) <= PAIR_VERIFY_GATHER_ELEMS:
         rows = base.select("vec_id", "e", "nrm").collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         order = np.argsort(ids)
