@@ -75,6 +75,41 @@ def test_checkpoint_partition_prunes(spark, tmp_path):
     assert sorted(restored.list_keys()) == sorted(f"key-{i}" for i in range(200))
 
 
+def test_shard_hint_scoped_reads(spark, tmp_path):
+    """Query-message ``shard_hint`` (ARCHITECTURE.md:327-339): scan and
+    list_keys scoped to hinted shards return exactly the keys those
+    shards own. On a freshly-restored engine the hint filters the
+    PARTITION column and Spark prunes to the hinted directories
+    (PartitionFilters); after a mutation the at-rest view is invalid
+    and the routing predicate takes over — same result set."""
+    keys = [f"key-{i}" for i in range(120)]
+    e = ToruaEngine(spark)
+    e.put_many([(k, f"v{k}") for k in keys])
+    hint = [1, 3]
+    want = sorted(k for k in keys if fnv_py(k) % 4 in hint)
+    # in-memory engine: routing-predicate path
+    assert sorted(e.list_keys(shard_hint=hint)) == want
+    assert e.scan("key-", "key-z", shard_hint=hint) == want
+    # restored engine: partition-column path, directory-pruned
+    path = str(tmp_path / "kvstate")
+    e.checkpoint_to(path)
+    r = ToruaEngine.restore_from(spark, path)
+    hinted = r._hinted(hint)
+    plan = plan_string(hinted)
+    assert "PartitionFilters" in plan and "shard_id" in plan, plan
+    assert sorted(r.list_keys(shard_hint=hint)) == want
+    assert r.scan("key-", "key-z", shard_hint=hint) == want
+    # single-shard form still works and agrees with the ownership set
+    one = sorted(k for k in keys if fnv_py(k) % 4 == 2)
+    assert sorted(r.list_keys(shard_id=2)) == one
+    # a mutation invalidates the at-rest view but not correctness
+    r.put("key-extra", "v")
+    want2 = sorted(
+        k for k in keys + ["key-extra"] if fnv_py(k) % 4 in hint
+    )
+    assert sorted(r.list_keys(shard_hint=hint)) == want2
+
+
 def test_stats_and_broadcast(spark):
     e = ToruaEngine(spark)
     e.put_many([(f"k{i}", "v" * i) for i in range(50)])

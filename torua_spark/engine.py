@@ -58,6 +58,11 @@ class ToruaEngine:
             spark, [], f"key string, value {value_type}"
         )
         self._mutations = 0
+        # at-rest shard-partitioned view (set by restore_from): lets
+        # shard_hint reads filter the PARTITION column — directory
+        # pruning — instead of computing the routing hash per row.
+        # Any mutation invalidates it (the in-memory state moves on).
+        self._at_rest: DataFrame | None = None
 
     # ------------------------------------------------------------ data path
 
@@ -80,6 +85,7 @@ class ToruaEngine:
             self.spark, items, f"key string, value {self.value_type}"
         )
         self._kv = kvops.upsert(self._kv, updates)
+        self._at_rest = None
         self._compact()
         return self
 
@@ -87,6 +93,7 @@ class ToruaEngine:
         """DELETE /data/{key}: idempotent."""
         tombs = local_df(self.spark, [(k,) for k in keys], "key string")
         self._kv = kvops.delete(self._kv, tombs)
+        self._at_rest = None
         self._compact()
         return self
 
@@ -98,19 +105,43 @@ class ToruaEngine:
         if self._mutations % every == 0:
             self._kv = self._kv.localCheckpoint(eager=False)
 
-    def scan(self, start: str, end: str) -> list[str]:
-        """Sorted lexicographic [start, end) key scan."""
-        return [r["key"] for r in kvops.range_scan(self._kv, start, end).collect()]
+    def scan(self, start: str, end: str,
+             shard_hint: list[int] | None = None) -> list[str]:
+        """Sorted lexicographic [start, end) key scan. ``shard_hint``
+        scopes execution to the named shards (the query-message field,
+        ARCHITECTURE.md:327-339): on a freshly-restored engine the
+        hint filters the at-rest layout's partition column — Spark
+        prunes to the hinted shard DIRECTORIES, the coordinator's
+        fan-out-to-fewer-nodes behavior — otherwise it applies the
+        routing predicate per row."""
+        src = self._hinted(shard_hint)
+        return [r["key"] for r in kvops.range_scan(src, start, end).collect()]
 
     def delete_range(self, start: str, end: str) -> "ToruaEngine":
         self._kv = kvops.delete_range(self._kv, start, end)
+        self._at_rest = None
         return self
 
-    def list_keys(self, shard_id: int | None = None) -> list[str]:
-        df = kvops.list_keys(self._kv)
-        if shard_id is not None:
-            df = self._kv.filter(kvops.owns_key(self.num_shards, shard_id)).select("key")
+    def list_keys(self, shard_id: int | None = None,
+                  shard_hint: list[int] | None = None) -> list[str]:
+        if shard_id is not None and shard_hint is None:
+            shard_hint = [shard_id]
+        df = kvops.list_keys(self._hinted(shard_hint))
         return [r["key"] for r in df.collect()]
+
+    def _hinted(self, shard_hint: list[int] | None) -> DataFrame:
+        """The kv relation scoped to a shard hint. Partition-column
+        filter on the at-rest view when valid (directory pruning);
+        routing-hash predicate otherwise."""
+        if shard_hint is None:
+            return self._kv
+        if self._at_rest is not None:
+            return self._at_rest.filter(
+                F.col("shard_id").isin([int(s) for s in shard_hint])
+            ).select("key", "value")
+        return self._kv.filter(
+            kvops.shard_hint_filter(self.num_shards, shard_hint)
+        )
 
     # --------------------------------------------------------- control path
 
@@ -221,8 +252,10 @@ class ToruaEngine:
 
     @classmethod
     def restore_from(cls, spark: SparkSession, path: str, **kw) -> "ToruaEngine":
-        kv = spark.read.parquet(path).select("key", "value")
-        return cls(spark, kv, **kw)
+        raw = spark.read.parquet(path)
+        eng = cls(spark, raw.select("key", "value"), **kw)
+        eng._at_rest = raw  # shard_id partition column retained
+        return eng
 
     def dataframe(self) -> DataFrame:
         return self._kv

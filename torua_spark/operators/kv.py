@@ -129,3 +129,15 @@ def stats(kv: DataFrame, num_shards: int = 4) -> DataFrame:
 def owns_key(num_shards: int, shard_id: int) -> Column:
     """A11 — node-side ownership predicate (shard.go:402-414)."""
     return shard_for_key(F.col("key"), num_shards) == F.lit(shard_id)
+
+
+def shard_hint_filter(num_shards: int, shard_ids: list[int]) -> Column:
+    """Query-message ``shard_hint`` (ARCHITECTURE.md:327-339 — a query
+    carries ``"shard_hint": [1, 2, 3]`` to scope execution to named
+    shards): the ownership predicate generalized to a hint SET. On the
+    at-rest shard-partitioned layout the engine filters the partition
+    column instead, which directory-prunes (see
+    ToruaEngine.scan/list_keys)."""
+    return shard_for_key(F.col("key"), num_shards).isin(
+        [int(s) for s in shard_ids]
+    )
