@@ -14,7 +14,11 @@ cmd/coordinator/main.go and cmd/node/main.go):
     GET    /nodes             -> engine.nodes()
     GET    /stats             -> engine.stats()
     POST   /broadcast         -> engine.broadcast_stats()
+    POST   /control           -> engine.control(payload)   (logged no-op)
     routing introspection     -> engine.route(key)
+    routing error trace       -> engine.route_status(keys) (503/502/200)
+    query shard_hint          -> engine.scan(..., shard_hint=[...])
+                                 engine.list_keys(shard_hint=[...])
 
 State lives in a DataFrame (lazily maintained via the kv operators);
 ``checkpoint_to`` / ``restore_from`` persist it as shard-partitioned
