@@ -69,7 +69,12 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
-    declared = set(qs)  # entries facing the driver's strict pandas canon
+    # Entries facing the driver's strict pandas canon. Captured BEFORE
+    # the VERIFY_EXTRA update below on purpose: under VERIFY_EXTRA=1
+    # the loop also sweeps extras, which never cross the driver
+    # boundary and MAY return container cells (the permissive _norm
+    # stringification applies to them only).
+    declared = set(qs)
     # size-law oracles: the static strings render the sf0.01 driver
     # gate; at any other SF re-render from the corpus size so the law
     # (e.g. auto_band_bits) is exercised instead of mismatched

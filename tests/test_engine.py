@@ -110,6 +110,42 @@ def test_shard_hint_scoped_reads(spark, tmp_path):
     assert sorted(r.list_keys(shard_hint=hint)) == want2
 
 
+def test_restore_guards_stale_or_foreign_at_rest(spark, tmp_path):
+    """Review findings (r8): the at-rest partition view must never
+    serve a shard_hint under a DIFFERENT sharding than the engine's
+    routing — a 4-shard checkpoint restored as num_shards=8 falls back
+    to the routing predicate (correct ownership sets), and foreign
+    (key,value) parquet without shard_id/sidecar never crashes a
+    hinted read. num_shards defaults from the checkpoint sidecar."""
+    keys = [f"key-{i}" for i in range(60)]
+    e = ToruaEngine(spark, num_shards=4)
+    e.put_many([(k, "v") for k in keys])
+    path = str(tmp_path / "kv4")
+    e.checkpoint_to(path)
+    # default restore picks num_shards=4 from the sidecar, prunes
+    r = ToruaEngine.restore_from(spark, path)
+    assert r.num_shards == 4 and r._at_rest is not None
+    # explicit override to 8: stale layout disabled, routing takes over
+    r8 = ToruaEngine.restore_from(spark, path, num_shards=8)
+    assert r8._at_rest is None
+    want8 = sorted(k for k in keys if fnv_py(k) % 8 == 6)
+    assert sorted(r8.list_keys(shard_hint=[6])) == want8
+    # foreign parquet (no shard_id, no sidecar): hint still answers
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [(k, "v") for k in keys], "key string, value string"
+    ).write.parquet(foreign)
+    rf = ToruaEngine.restore_from(spark, foreign)
+    assert rf._at_rest is None
+    want = sorted(k for k in keys if fnv_py(k) % 4 in (1, 3))
+    assert sorted(rf.list_keys(shard_hint=[1, 3])) == want
+    # conflicting scopes raise instead of silently dropping one
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conflicting"):
+        r.list_keys(shard_id=2, shard_hint=[1, 3])
+
+
 def test_stats_and_broadcast(spark):
     e = ToruaEngine(spark)
     e.put_many([(f"k{i}", "v" * i) for i in range(50)])

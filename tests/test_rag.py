@@ -985,3 +985,52 @@ def test_ivf_index_knn_batch_empty_queries(spark, sf_dir, tmp_path):
     out = sim.ivf_index_knn_batch(spark, path, emb.filter("vec_id < 0"))
     assert out.count() == 0
     assert out.columns == ["vec_id", "neighbor_id", "sim", "rank"]
+
+
+def test_verified_pairs_string_ids_and_zero_norms(spark):
+    """Review findings (r8): (a) non-integer vec_ids (document hashes)
+    must take the type-agnostic join path, not crash the int-keyed
+    gather; (b) zero-norm embeddings — they collide in EVERY
+    hyperplane band — yield NULL sim and are dropped on BOTH verify
+    paths, never an ANSI DIVIDE_BY_ZERO abort."""
+    from torua_spark.operators import similarity as sim
+
+    # string ids through the cell-blocked path (gather ineligible)
+    emb_s = spark.createDataFrame(
+        [("a", [1.0, 0.0], 0), ("b", [1.0, 0.001], 0), ("c", [0.0, 1.0], 0)],
+        "vec_id string, embedding array<double>, cell int",
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_near_dup_pairs(
+            emb_s, 0.9, cell_col="cell"
+        ).collect()
+    }
+    assert got == {("a", "b")}
+    # zero-norm vectors below the gather cap: dropped, no exception
+    # (dim 64 — the hyperplane matrix's corpus dimension)
+    z = [0.0] * 64
+    u = [1.0] + [0.0] * 63
+    v = [1.0, 0.01] + [0.0] * 62
+    emb_z = spark.createDataFrame(
+        [(0, z), (1, z), (2, u), (3, v)],
+        "vec_id long, embedding array<double>",
+    )
+    got_z = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_near_dup_pairs(emb_z, 0.9).collect()
+    }
+    assert got_z == {(2, 3)}
+    # and above the cap (forced join path): same result, no abort
+    import torua_spark.operators.similarity as simmod
+
+    saved = simmod.PAIR_VERIFY_GATHER_ELEMS
+    simmod.PAIR_VERIFY_GATHER_ELEMS = 0
+    try:
+        got_j = {
+            (r.vec_a, r.vec_b)
+            for r in sim.embedding_near_dup_pairs(emb_z, 0.9).collect()
+        }
+    finally:
+        simmod.PAIR_VERIFY_GATHER_ELEMS = saved
+    assert got_j == {(2, 3)}

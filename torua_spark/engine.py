@@ -128,7 +128,12 @@ class ToruaEngine:
 
     def list_keys(self, shard_id: int | None = None,
                   shard_hint: list[int] | None = None) -> list[str]:
-        if shard_id is not None and shard_hint is None:
+        if shard_id is not None:
+            if shard_hint is not None and set(shard_hint) != {shard_id}:
+                raise ValueError(
+                    f"conflicting scopes: shard_id={shard_id} vs "
+                    f"shard_hint={shard_hint} — pass one"
+                )
             shard_hint = [shard_id]
         df = kvops.list_keys(self._hinted(shard_hint))
         return [r["key"] for r in df.collect()]
@@ -246,19 +251,52 @@ class ToruaEngine:
 
     def checkpoint_to(self, path: str) -> None:
         """Persist as shard-partitioned parquet: directory-per-shard IS
-        the reference's shard placement at rest."""
+        the reference's shard placement at rest. A ``_torua_meta.json``
+        sidecar records the shard count the layout was routed with
+        (underscore-prefixed, so parquet readers skip it like
+        _SUCCESS) — restore_from uses it to decide whether the on-disk
+        sharding is still THIS engine's sharding."""
+        import json
+        import pathlib
+
         (
             self._kv.withColumn("shard_id", shard_for_key(F.col("key"), self.num_shards))
             .write.mode("overwrite")
             .partitionBy("shard_id")
             .parquet(path)
         )
+        (pathlib.Path(path) / "_torua_meta.json").write_text(
+            json.dumps({"num_shards": self.num_shards})
+        )
 
     @classmethod
     def restore_from(cls, spark: SparkSession, path: str, **kw) -> "ToruaEngine":
+        """Restore from ``checkpoint_to`` output (or any parquet with
+        key/value columns). ``num_shards`` defaults to the sidecar's
+        recorded value; the at-rest partition view powering
+        shard_hint directory pruning is enabled ONLY when the layout
+        demonstrably matches this engine's routing — a shard_id
+        column exists AND the sidecar shard count equals num_shards.
+        Anything else (foreign parquet, an explicit num_shards
+        override, a pre-sidecar checkpoint) falls back to the
+        routing-predicate path, which is always self-consistent."""
+        import json
+        import pathlib
+
+        meta = None
+        mp = pathlib.Path(path) / "_torua_meta.json"
+        if mp.exists():
+            meta = json.loads(mp.read_text())
+        if meta is not None and "num_shards" not in kw:
+            kw["num_shards"] = int(meta["num_shards"])
         raw = spark.read.parquet(path)
         eng = cls(spark, raw.select("key", "value"), **kw)
-        eng._at_rest = raw  # shard_id partition column retained
+        if (
+            "shard_id" in raw.columns
+            and meta is not None
+            and int(meta["num_shards"]) == eng.num_shards
+        ):
+            eng._at_rest = raw
         return eng
 
     def dataframe(self) -> DataFrame:

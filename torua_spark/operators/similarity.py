@@ -26,6 +26,7 @@ with DuckDB's list_cosine_similarity in double precision.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import pandas as pd
@@ -583,33 +584,48 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
 
     Fallback above the cap: the pair-carry join (broadcast joins of
     ``base`` onto the pair relation + per-pair einsum) — unbounded in
-    n, Arrow volume linear in candidates x dim."""
+    n, Arrow volume linear in candidates x dim.
+
+    Zero-norm vectors (missing-embedding placeholders — they collide
+    in EVERY hyperplane band, so they always reach the verify stage):
+    sim is NULL and the pair is dropped, on BOTH paths — the join path
+    guards the division because ANSI mode turns 0/0 into a query-
+    killing exception, the gather path gets NaN -> NULL for free."""
     if n_rows is None:
         n_rows = base.count()
+    # gather is an int-keyed searchsorted; string/float ids (document
+    # hashes, UUIDs) take the type-agnostic join path
+    id_type = base.schema["vec_id"].dataType.simpleString()
+    gatherable = id_type in ("bigint", "int", "smallint", "tinyint")
     dim0 = 0
-    if n_rows > 0:
+    if gatherable and n_rows > 0:
         # one-row probe for the dimension — the budget is n x dim
         # elements, and dim varies 64x across real embedding models
         probe = base.select(F.size("e").alias("d")).first()
         dim0 = int(probe["d"]) if probe and probe["d"] is not None else 0
-    if 0 < n_rows * max(dim0, 1) <= PAIR_VERIFY_GATHER_ELEMS:
-        rows = base.select("vec_id", "e", "nrm").collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if gatherable and 0 < n_rows * max(dim0, 1) <= PAIR_VERIFY_GATHER_ELEMS:
+        # Arrow transfer: cells arrive as numpy arrays, not boxed
+        # Python lists — the transient driver footprint stays near the
+        # final matrix size instead of several x the element budget
+        pdf = base.select("vec_id", "e", "nrm").toPandas()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
+        evals = pdf["e"].to_numpy()
         dim = next(
-            (len(rows[int(i)][1]) for i in order if rows[int(i)][1] is not None),
+            (len(evals[int(i)]) for i in order if evals[int(i)] is not None),
             0,
         )
         # NULL / ragged embeddings become NaN rows -> NaN sim -> fail
         # the threshold filter, matching the join path's behavior
-        mat = np.full((len(rows), max(dim, 1)), np.nan)
-        nrm = np.full(len(rows), np.nan)
+        mat = np.full((len(ids), max(dim, 1)), np.nan)
+        nrm = np.full(len(ids), np.nan)
+        nvals = pdf["nrm"].to_numpy()
         for out_i, i in enumerate(order):
-            e = rows[int(i)][1]
+            e = evals[int(i)]
             if e is not None and len(e) == dim and dim > 0:
                 mat[out_i] = np.asarray(e, dtype=np.float64)
-            v = rows[int(i)][2]
-            if v is not None:
+            v = nvals[int(i)]
+            if v is not None and not (isinstance(v, float) and math.isnan(v)):
                 nrm[out_i] = v
         sids = ids[order]
         bc = base.sparkSession.sparkContext.broadcast((sids, mat, nrm))
@@ -641,15 +657,14 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
     b = base.select(F.col("vec_id").alias("vec_b"),
                     F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     pair_dot = _pair_dot()
+    denom = F.col("na") * F.col("nb")
+    # ANSI mode: 0/0 raises; a zero-norm pair gets NULL sim (dropped),
+    # matching the gather path's NaN -> NULL
+    cos = F.when(denom != 0, pair_dot(F.col("ea"), F.col("eb")) / denom)
     return (
         cands.join(a, "vec_a")
         .join(b, "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            round4(
-                pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            ).alias("sim"),
-        )
+        .select("vec_a", "vec_b", round4(cos).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
