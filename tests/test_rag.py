@@ -1034,3 +1034,69 @@ def test_verified_pairs_string_ids_and_zero_norms(spark):
     finally:
         simmod.PAIR_VERIFY_GATHER_ELEMS = saved
     assert got_j == {(2, 3)}
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """ExactSubstr on a hand-built corpus (k=4): a repeated 4-token
+    passage survives ONLY at its corpus-first (min doc, pos)
+    occurrence; overlapping duplicate windows merge into one span;
+    shorter-than-k repeats are untouched; a fully-duplicated doc
+    empties."""
+    from torua_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_spans,
+    )
+
+    boiler = "all rights reserved worldwide"  # 4 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0: first occurrence of the passage — kept
+            (0, f"alpha beta {boiler} gamma"),
+            # doc 1: same passage later — removed; 'alpha beta' (2 <
+            # k) repeats but is too short to count
+            (1, f"alpha beta delta {boiler}"),
+            # doc 2: the passage plus one extra shared token on each
+            # side of a second copy -> overlapping windows, one span
+            (2, f"x {boiler} {boiler} y"),
+            # doc 3: IS the passage exactly — fully emptied
+            (3, boiler),
+            # doc 4: no repeats at all
+            (4, "entirely unique text here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_tokens_removed)
+        for r in exact_substring_dedup(docs, k=4).collect()
+    }
+    assert out[0] == (f"alpha beta {boiler} gamma", 7, 0)
+    assert out[1] == ("alpha beta delta", 7, 4)
+    assert out[2] == ("x y", 10, 8)
+    assert out[3] == ("", 4, 4)
+    assert out[4] == ("entirely unique text here today", 5, 0)
+    # span view: doc 2's two overlapping copies merged to ONE span
+    spans = {
+        (r.doc_id, r.start, r.end)
+        for r in exact_substring_spans(docs, k=4).collect()
+    }
+    assert (2, 1, 9) in spans and (3, 0, 4) in spans
+    assert not any(d == 0 for d, _, _ in spans)  # first copy untouched
+
+
+def test_exact_substring_dedup_corpus_nonvacuous(spark, sf_dir):
+    """On the synthetic corpus the operator must actually fire (the
+    boilerplate generator repeats passages) and never grow a doc."""
+    from torua_spark.operators.dedup import exact_substring_dedup
+    from torua_spark.sources.catalog import load_table
+
+    out = exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"), k=10
+    )
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_tokens_removed") > 0).cast("int")).alias("touched"),
+        F.min("n_tokens_removed").alias("mn"),
+    ).collect()[0]
+    assert agg["n"] > 0 and agg["touched"] > 0 and agg["mn"] >= 0

@@ -723,3 +723,115 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 6,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_substring_spans(documents: DataFrame, k: int = 10,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """ExactSubstr span discovery (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    re-expressed relationally instead of via a suffix array: every
+    k-TOKEN window whose text occurs anywhere else in the corpus is a
+    duplicate span — EXCEPT the corpus-globally-first occurrence
+    (min (doc, pos)), which is kept so exactly one copy of every
+    repeated passage survives. Returns merged per-document spans
+    (doc_id, start, end) in token indices, end exclusive.
+
+    Plan shape: tokenize -> window hashes (md5, engine-portable) ->
+    ONE shuffle on the hash (partial+final agg for count + first
+    occurrence) -> overlap merge as a per-document gaps-and-islands
+    window. Everything is linear in corpus tokens x 1 (each token
+    starts one window); at 100 TB swap md5 for xxhash64 and bucket the
+    hash shuffle — the shape is unchanged. A true suffix array finds
+    variable-length repeats; fixed-k windows are the standard
+    relational approximation (repeats >= k tokens are found exactly,
+    shorter ones intentionally ignored)."""
+    toks = documents.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    wins = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
+            "t",
+        )
+        .select(
+            id_col, "start",
+            F.md5(
+                F.array_join(F.slice("t", F.col("start") + 1, k), " ")
+            ).alias("h"),
+        )
+    )
+    # packed (doc, pos) key: docs are < 2^43 and positions < 2^20 in
+    # any sane corpus row; min(packed) IS the first occurrence
+    occ = wins.withColumn(
+        "p", F.col(id_col) * F.lit(1 << 20) + F.col("start")
+    )
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("p").alias("first_p")
+    )
+    dups = (
+        occ.join(agg.filter(F.col("c") >= 2).drop("c"), "h")
+        .filter(F.col("p") != F.col("first_p"))
+        .select(id_col, "start", (F.col("start") + k).alias("end"))
+    )
+    w_prev = (
+        Window.partitionBy(id_col).orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col).orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = dups.withColumn("prev_end", F.max("end").over(w_prev)).withColumn(
+        "ni",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("start") > F.col("prev_end")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("g", F.sum("ni").over(w_run))
+        .groupBy(id_col, "g")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .drop("g")
+    )
+
+
+def exact_substring_dedup(documents: DataFrame, k: int = 10,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """ExactSubstr dedup: remove every duplicate k-token span found by
+    :func:`exact_substring_spans` from its document, keeping the
+    corpus-first copy. Returns (doc_id, clean_text, n_tokens,
+    n_tokens_removed) for EVERY document — text is re-joined with
+    single spaces (the canonical whitespace both engines agree on), so
+    clean_text of an untouched document is its whitespace-normalized
+    original."""
+    spans = exact_substring_spans(documents, k, id_col, text_col)
+    toks = documents.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence("start", F.col("end") - 1)).alias("idx"),
+    )
+    tok_idx = toks.select(id_col, F.posexplode("t").alias("idx", "tok"))
+    kept = tok_idx.join(covered, [id_col, "idx"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, tok)))"
+            ", s -> s.tok), ' ')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_n"),
+    )
+    base = toks.select(id_col, F.size("t").alias("n_tokens"))
+    return base.join(clean, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("kept_n", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

@@ -133,6 +133,12 @@ _DECLARED = [
     # driver-proven first.
     "lake_merge_changelog",
     "dedup_decontaminate_ngram",
+    # Round-8 NEW operator (landing-round proof): ExactSubstr dedup
+    # (Lee et al. 2021) — duplicate k-token spans removed corpus-wide,
+    # hash-compared on the cleaned text itself. In for
+    # graph_edge_attr_filter (driver-green r7; B1 keeps seven other
+    # in-window witnesses).
+    "dedup_exact_substring",
     "text_dedup_doc_lines",
     "temporal_ohlc",
     "text_bigram_logprob",
@@ -168,7 +174,6 @@ _DECLARED = [
     # chains driver-proven the round they landed; recommend_items and
     # temporal_graph_evolution (driver-green r4-r6) rotate out,
     # keeping their pytest oracles.
-    "graph_edge_attr_filter",
     # Round-8 form proof (VERDICT r7 #6): WITH ... ORDER BY ... LIMIT
     # mid-pipeline (top-k then re-MATCH), in for graph_with_having
     # (driver-green r7, same WITH family, pytest-oracled forever).

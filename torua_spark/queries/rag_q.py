@@ -103,6 +103,12 @@ QUERIES = {
         _emb(s, d), NEARDUP_COS_THRESHOLD
     ),
     "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
+    # ExactSubstr (Lee et al. 2021): duplicate k-token spans removed
+    # corpus-wide, first occurrence kept; hash-compared on the CLEANED
+    # TEXT itself, the strongest value proof in the registry
+    "dedup_exact_substring": lambda s, d: dd.exact_substring_dedup(
+        _docs(s, d), k=10
+    ),
     "dedup_minhash_signatures": lambda s, d: dd.minhash_signatures(_docs(s, d)),
     "dedup_minhash_lsh_pairs": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(
@@ -348,6 +354,78 @@ ORACLE = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    # Mirrors operators/dedup.exact_substring_dedup step-for-step:
+    # same tokenization (regex \s+ on trimmed text), same md5 window
+    # key, same packed first-occurrence tie-break, same
+    # gaps-and-islands merge, same single-space re-join. k = 10.
+    "dedup_exact_substring": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, u.i - 1 AS start,
+                   md5(array_to_string(t[u.i:u.i+9], ' ')) AS h
+            FROM toks, unnest(range(1, greatest(len(t) - 8, 1))) u(i)
+        ),
+        occ AS (
+            SELECT doc_id, start, h,
+                   doc_id * 1048576 + start AS p
+            FROM wins
+        ),
+        agg AS (
+            SELECT h, count(*) AS c, min(p) AS first_p FROM occ GROUP BY h
+        ),
+        dups AS (
+            SELECT o.doc_id, o.start, o.start + 10 AS e
+            FROM occ o JOIN agg USING (h)
+            WHERE agg.c >= 2 AND o.p <> agg.first_p
+        ),
+        isl AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN max(e) OVER prev IS NULL
+                             OR start > max(e) OVER prev
+                        THEN 1 ELSE 0 END AS ni
+            FROM dups
+            WINDOW prev AS (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+        ),
+        isl2 AS (
+            SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                    ROWS UNBOUNDED PRECEDING) AS g
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, g, min(start) AS start, max(e) AS e
+            FROM isl2 GROUP BY 1, 2
+        ),
+        covered AS (
+            SELECT doc_id, unnest(range(start, e)) AS idx FROM spans
+        ),
+        tok_idx AS (
+            SELECT doc_id, unnest(range(0, len(t))) AS idx,
+                   unnest(t) AS tok
+            FROM toks
+        ),
+        kept AS (
+            SELECT ti.doc_id, ti.idx, ti.tok
+            FROM tok_idx ti
+            LEFT JOIN covered c ON c.doc_id = ti.doc_id AND c.idx = ti.idx
+            WHERE c.doc_id IS NULL
+        ),
+        clean AS (
+            SELECT doc_id,
+                   array_to_string(list(tok ORDER BY idx), ' ') AS clean_text,
+                   count(*) AS kept_n
+            FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id,
+               coalesce(c.clean_text, '') AS clean_text,
+               len(t.t)::BIGINT AS n_tokens,
+               (len(t.t) - coalesce(c.kept_n, 0))::BIGINT AS n_tokens_removed
+        FROM toks t LEFT JOIN clean c USING (doc_id)
     """,
     "dedup_minhash_signatures": f"""
         WITH shingles AS ({_SHINGLES})
