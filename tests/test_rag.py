@@ -1100,3 +1100,74 @@ def test_exact_substring_dedup_corpus_nonvacuous(spark, sf_dir):
         F.min("n_tokens_removed").alias("mn"),
     ).collect()[0]
     assert agg["n"] > 0 and agg["touched"] > 0 and agg["mn"] >= 0
+
+
+def test_incremental_exact_substring_equals_from_scratch(spark, sf_dir, tmp_path):
+    """The incremental twin == the from-scratch run restricted to the
+    batch, when batch ids sort after indexed ids (monotone ingest
+    keys) — on a hand fixture covering all three duplicate classes
+    (vs-index, batch-internal, none) AND on the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_index_write,
+        incremental_exact_substring_dedup,
+    )
+    from torua_spark.sources.catalog import load_table
+
+    boiler = "terms of service apply"
+    base = spark.createDataFrame(
+        [(0, f"intro {boiler} outro"), (1, "some other base text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"new doc {boiler} tail"),       # dup vs index
+            (11, "fresh phrase appears twice ok"),  # batch-first copy
+            (12, "fresh phrase appears twice ok"),  # batch-internal dup
+            (13, "wholly unique content here"),     # untouched
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "widx")
+    exact_substring_index_write(base, idx, k=4)
+    inc = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in incremental_exact_substring_dedup(
+            spark, idx, batch, k=4
+        ).collect()
+    }
+    scratch = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in exact_substring_dedup(base.unionByName(batch), k=4)
+        .filter(F.col("doc_id") >= 10)
+        .collect()
+    }
+    assert inc == scratch
+    assert inc[10] == ("new doc tail", 4)
+    assert inc[11][1] == 0 and inc[12][1] > 0
+    assert inc[13] == ("wholly unique content here", 0)
+    # corpus: same equivalence at sf0.001 with the declared split
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = (int(max_id) + 1) * 4 // 5
+    idx2 = str(tmp_path / "widx2")
+    exact_substring_index_write(docs.filter(F.col("doc_id") < t), idx2, k=10)
+    inc2 = sorted(
+        map(
+            tuple,
+            incremental_exact_substring_dedup(
+                spark, idx2, docs.filter(F.col("doc_id") >= t), k=10
+            ).collect(),
+        )
+    )
+    scratch2 = sorted(
+        map(
+            tuple,
+            exact_substring_dedup(docs, k=10)
+            .filter(F.col("doc_id") >= t)
+            .collect(),
+        )
+    )
+    assert inc2 == scratch2 and len(inc2) > 0

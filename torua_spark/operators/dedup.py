@@ -776,6 +776,13 @@ def exact_substring_spans(documents: DataFrame, k: int = 10,
         .filter(F.col("p") != F.col("first_p"))
         .select(id_col, "start", (F.col("start") + k).alias("end"))
     )
+    return _merge_spans(dups, id_col)
+
+
+def _merge_spans(dups: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent (id, start, end) windows into spans:
+    the per-document gaps-and-islands pass (running max(end) over the
+    preceding rows marks island starts)."""
     w_prev = (
         Window.partitionBy(id_col).orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -810,6 +817,14 @@ def exact_substring_dedup(documents: DataFrame, k: int = 10,
     clean_text of an untouched document is its whitespace-normalized
     original."""
     spans = exact_substring_spans(documents, k, id_col, text_col)
+    return _clean_from_spans(documents, spans, id_col, text_col)
+
+
+def _clean_from_spans(documents: DataFrame, spans: DataFrame,
+                      id_col: str, text_col: str) -> DataFrame:
+    """Apply (id, start, end) removal spans to every document: covered
+    token indices are anti-joined away and the survivors re-join with
+    single spaces (canonical whitespace)."""
     toks = documents.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
@@ -835,3 +850,86 @@ def exact_substring_dedup(documents: DataFrame, k: int = 10,
         .cast("long")
         .alias("n_tokens_removed"),
     )
+
+
+def exact_substring_index_write(documents: DataFrame, path: str,
+                                k: int = 10, id_col: str = "doc_id",
+                                text_col: str = "text") -> None:
+    """Persist the corpus's window-hash index for INCREMENTAL
+    ExactSubstr: one row per distinct k-token window hash with its
+    corpus-first packed (doc, pos) key. Every hash is stored (a
+    singleton in the base corpus makes any later occurrence a
+    duplicate), so the index is ~one row per distinct window — at
+    100 TB, bucket it by hash so the daily probe join co-locates."""
+    toks = documents.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    wins = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
+            "t",
+        )
+        .select(
+            id_col, "start",
+            F.md5(
+                F.array_join(F.slice("t", F.col("start") + 1, k), " ")
+            ).alias("h"),
+        )
+        .withColumn("p", F.col(id_col) * F.lit(1 << 20) + F.col("start"))
+    )
+    wins.groupBy("h").agg(F.min("p").alias("first_p")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_exact_substring_dedup(
+    spark, index_path: str, new_docs: DataFrame, k: int = 10,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest ExactSubstr (the `incremental_near_dups` twin):
+    dedup ONLY the new batch against a persisted window index plus the
+    batch itself, never re-scanning the base corpus. A new window is a
+    duplicate if its hash exists in the index (the corpus-first copy
+    is in the base corpus) OR it repeats within the batch behind the
+    batch-first occurrence. When every new ``id`` sorts after every
+    indexed id (monotone ingest keys — the packed-key order both paths
+    share), the result is EXACTLY the from-scratch
+    :func:`exact_substring_dedup` of base ∪ batch restricted to the
+    batch — the oracle-checked equivalence."""
+    toks = new_docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    wins = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
+            "t",
+        )
+        .select(
+            id_col, "start",
+            F.md5(
+                F.array_join(F.slice("t", F.col("start") + 1, k), " ")
+            ).alias("h"),
+        )
+        .withColumn("p", F.col(id_col) * F.lit(1 << 20) + F.col("start"))
+    )
+    idx = spark.read.parquet(index_path).select(
+        "h", F.col("first_p").alias("_idx_p")
+    )
+    batch_agg = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("p").alias("batch_first")
+    )
+    dups = (
+        wins.join(batch_agg, "h")
+        .join(idx, "h", "left")
+        .filter(
+            F.col("_idx_p").isNotNull()  # corpus-first lives in the base
+            | ((F.col("c") >= 2) & (F.col("p") != F.col("batch_first")))
+        )
+        .select(id_col, "start", (F.col("start") + k).alias("end"))
+    )
+    return _clean_from_spans(new_docs, _merge_spans(dups, id_col),
+                             id_col, text_col)

@@ -185,7 +185,11 @@ _DECLARED = [
     "graph_collect_priorities",
     "graph_shortest_path_cypher",
     # --- training-data pipeline (dedup / packing / curriculum)
-    "semantic_dedup",
+    # Round-8 NEW (landing-round proof): incremental ExactSubstr vs
+    # the persisted window index, oracle = from-scratch equivalence.
+    # In for semantic_dedup (driver-green r4-r7; B7 keeps the three
+    # vector witnesses in-window, SemDeDup stays pytest-oracled).
+    "dedup_incremental_substring",
     "pack_sequences",
     "source_cap",
     "graph_return_arithmetic",

@@ -1639,3 +1639,44 @@ ORACLE_BY_N = {
         band_bits=sim.auto_band_bits(n_rows)
     ),
 }
+
+
+def _q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest ExactSubstr: index the first 80% of documents (by
+    id — the monotone ingest-key order the equivalence needs), then
+    dedup the newest 20% against the persisted window index + the
+    batch itself. The oracle runs the FROM-SCRATCH pipeline on the
+    whole corpus and keeps only the new ids — hash equality IS the
+    incremental-equals-batch proof (same contract as
+    streaming_index_dedup)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = (int(max_id) + 1) * 4 // 5
+    tmp = tempfile.mkdtemp(prefix="torua_substr_idx_")
+    try:
+        dd.exact_substring_index_write(
+            docs.filter(F.col("doc_id") < t), f"{tmp}/idx", k=10
+        )
+        out = dd.incremental_exact_substring_dedup(
+            spark, f"{tmp}/idx", docs.filter(F.col("doc_id") >= t), k=10
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["dedup_incremental_substring"] = _q_incremental_substring
+
+# from-scratch pipeline over the WHOLE corpus, restricted to the new
+# 20% — equality proves the incremental path
+ORACLE["dedup_incremental_substring"] = (
+    ORACLE["dedup_exact_substring"].rstrip()
+    + """
+        WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
+    """
+)
