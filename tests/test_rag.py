@@ -1171,3 +1171,43 @@ def test_incremental_exact_substring_equals_from_scratch(spark, sf_dir, tmp_path
         )
     )
     assert inc2 == scratch2 and len(inc2) > 0
+
+
+def test_exact_substring_guards(spark, tmp_path):
+    """The loud-failure guards from the r8 review: string ids are
+    rejected up front (a packed key would be NULL/raise mid-shuffle);
+    a k-mismatched index probe raises; a batch id at or below the max
+    indexed id violates the monotone-ingest precondition."""
+    import pytest as _pytest
+
+    from torua_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_index_write,
+        incremental_exact_substring_dedup,
+    )
+
+    sdocs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z w")], "doc_id string, text string"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        exact_substring_dedup(sdocs, k=4)
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five"), (1, "six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "gidx")
+    exact_substring_index_write(docs, idx, k=4)
+    batch_hi = spark.createDataFrame(
+        [(5, "one two three four extra")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="k=4"):
+        incremental_exact_substring_dedup(spark, idx, batch_hi, k=5)
+    batch_lo = spark.createDataFrame(
+        [(1, "re-ingested low id text here")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="monotone"):
+        incremental_exact_substring_dedup(spark, idx, batch_lo, k=4)
+    # the valid shape still runs
+    out = incremental_exact_substring_dedup(spark, idx, batch_hi, k=4)
+    assert out.count() == 1

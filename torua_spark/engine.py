@@ -265,9 +265,15 @@ class ToruaEngine:
             .partitionBy("shard_id")
             .parquet(path)
         )
-        (pathlib.Path(path) / "_torua_meta.json").write_text(
-            json.dumps({"num_shards": self.num_shards})
-        )
+        # pathlib is local-FS only; on a Hadoop URI (hdfs://, s3a://)
+        # the parquet write above succeeds and the sidecar is simply
+        # skipped — restore_from degrades to the routing-predicate
+        # path, exactly as for a pre-sidecar checkpoint
+        if "://" not in path or path.startswith("file://"):
+            local = path.split("://", 1)[-1] if "://" in path else path
+            (pathlib.Path(local) / "_torua_meta.json").write_text(
+                json.dumps({"num_shards": self.num_shards})
+            )
 
     @classmethod
     def restore_from(cls, spark: SparkSession, path: str, **kw) -> "ToruaEngine":

@@ -746,10 +746,58 @@ def exact_substring_spans(documents: DataFrame, k: int = 10,
     variable-length repeats; fixed-k windows are the standard
     relational approximation (repeats >= k tokens are found exactly,
     shorter ones intentionally ignored)."""
+    occ = _window_hashes(documents, k, id_col, text_col)
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("p").alias("first_p")
+    )
+    dups = (
+        occ.join(agg.filter(F.col("c") >= 2).drop("c"), "h")
+        .filter(F.col("p") != F.col("first_p"))
+        .select(id_col, "start", (F.col("start") + k).alias("end"))
+    )
+    return _merge_spans(dups, id_col)
+
+
+_POS_LIMIT = 1 << 20  # packed-key position budget: 1M tokens per doc
+
+
+def _window_hashes(documents: DataFrame, k: int, id_col: str,
+                   text_col: str) -> DataFrame:
+    """Shared ExactSubstr front half: tokenize (\\s+ on trimmed text),
+    hash every k-token window with md5, attach the packed (doc, pos)
+    key — (id, start, h, p). ONE definition on purpose: the DuckDB
+    oracles and the incremental-equals-from-scratch equivalence both
+    mirror this construction step-for-step, so a drift between copies
+    would silently break the hash matches.
+
+    Guards (both loud, never silent): ``id_col`` must be an integral
+    type — the packed key is id * 2^20 + pos, and under ANSI a string
+    id would raise mid-shuffle (non-ANSI: NULL keys = silent no-op
+    dedup); a document with >= 2^20 tokens would collide packed keys
+    across documents and mis-pick first occurrences, so it raises at
+    the offending row instead."""
+    id_type = documents.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"exact-substring dedup needs an integral {id_col!r} for "
+            f"the packed (doc, pos) first-occurrence key, got "
+            f"{id_type}; map string/UUID ids to a surrogate long first"
+        )
     toks = documents.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    wins = (
+    packed = F.when(
+        F.col("start") < F.lit(_POS_LIMIT),
+        F.col(id_col).cast("long") * F.lit(_POS_LIMIT) + F.col("start"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"document exceeds {_POS_LIMIT} tokens — packed "
+                f"first-occurrence keys would collide across documents"
+            )
+        ).cast("long")
+    )
+    return (
         toks.filter(F.size("t") >= k)
         .select(
             id_col,
@@ -762,21 +810,8 @@ def exact_substring_spans(documents: DataFrame, k: int = 10,
                 F.array_join(F.slice("t", F.col("start") + 1, k), " ")
             ).alias("h"),
         )
+        .withColumn("p", packed)
     )
-    # packed (doc, pos) key: docs are < 2^43 and positions < 2^20 in
-    # any sane corpus row; min(packed) IS the first occurrence
-    occ = wins.withColumn(
-        "p", F.col(id_col) * F.lit(1 << 20) + F.col("start")
-    )
-    agg = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("c"), F.min("p").alias("first_p")
-    )
-    dups = (
-        occ.join(agg.filter(F.col("c") >= 2).drop("c"), "h")
-        .filter(F.col("p") != F.col("first_p"))
-        .select(id_col, "start", (F.col("start") + k).alias("end"))
-    )
-    return _merge_spans(dups, id_col)
 
 
 def _merge_spans(dups: DataFrame, id_col: str) -> DataFrame:
@@ -860,28 +895,18 @@ def exact_substring_index_write(documents: DataFrame, path: str,
     corpus-first packed (doc, pos) key. Every hash is stored (a
     singleton in the base corpus makes any later occurrence a
     duplicate), so the index is ~one row per distinct window — at
-    100 TB, bucket it by hash so the daily probe join co-locates."""
-    toks = documents.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
-    )
-    wins = (
-        toks.filter(F.size("t") >= k)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
-            "t",
-        )
-        .select(
-            id_col, "start",
-            F.md5(
-                F.array_join(F.slice("t", F.col("start") + 1, k), " ")
-            ).alias("h"),
-        )
-        .withColumn("p", F.col(id_col) * F.lit(1 << 20) + F.col("start"))
-    )
+    100 TB, bucket it by hash so the daily probe join co-locates.
+    A one-row ``_meta`` parquet (underscore-prefixed: readers of the
+    index root skip it) records the max indexed id so the incremental
+    probe can VALIDATE its monotone-ingest-key precondition."""
+    wins = _window_hashes(documents, k, id_col, text_col)
     wins.groupBy("h").agg(F.min("p").alias("first_p")).write.mode(
         "overwrite"
     ).parquet(path)
+    documents.select(
+        F.max(F.col(id_col)).cast("long").alias("max_id"),
+        F.lit(k).alias("k"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def incremental_exact_substring_dedup(
@@ -897,25 +922,37 @@ def incremental_exact_substring_dedup(
     indexed id (monotone ingest keys — the packed-key order both paths
     share), the result is EXACTLY the from-scratch
     :func:`exact_substring_dedup` of base ∪ batch restricted to the
-    batch — the oracle-checked equivalence."""
-    toks = new_docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
-    )
-    wins = (
-        toks.filter(F.size("t") >= k)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
-            "t",
-        )
-        .select(
-            id_col, "start",
-            F.md5(
-                F.array_join(F.slice("t", F.col("start") + 1, k), " ")
-            ).alias("h"),
-        )
-        .withColumn("p", F.col(id_col) * F.lit(1 << 20) + F.col("start"))
-    )
+    batch — the oracle-checked equivalence. The precondition is
+    VALIDATED against the index's ``_meta`` sidecar (a re-ingested low
+    id would silently diverge from the from-scratch result: the
+    incremental path cannot un-pick a first occurrence the index
+    already assigned to the base corpus); pre-meta indexes skip the
+    check with the old caller-beware contract."""
+    wins = _window_hashes(new_docs, k, id_col, text_col)
+    try:
+        meta = spark.read.parquet(f"{index_path}/_meta").collect()
+    except Exception:
+        meta = []  # pre-meta index: no validation possible
+    if meta:
+        max_indexed = meta[0]["max_id"]
+        meta_k = meta[0]["k"]
+        if meta_k != k:
+            raise ValueError(
+                f"index at {index_path} was built with k={meta_k}, "
+                f"probe requested k={k} — window hashes don't compare"
+            )
+        if max_indexed is not None:
+            batch_min = new_docs.agg(
+                F.min(F.col(id_col)).cast("long")
+            ).collect()[0][0]
+            if batch_min is not None and batch_min <= max_indexed:
+                raise ValueError(
+                    f"monotone-ingest-key precondition violated: batch "
+                    f"min {id_col}={batch_min} <= max indexed id "
+                    f"{max_indexed}; incremental ExactSubstr requires "
+                    f"every new id to sort after the indexed corpus "
+                    f"(rebuild the index or re-key the batch)"
+                )
     idx = spark.read.parquet(index_path).select(
         "h", F.col("first_p").alias("_idx_p")
     )

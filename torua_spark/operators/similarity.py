@@ -599,10 +599,12 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
     gatherable = id_type in ("bigint", "int", "smallint", "tinyint")
     dim0 = 0
     if gatherable and n_rows > 0:
-        # one-row probe for the dimension — the budget is n x dim
-        # elements, and dim varies 64x across real embedding models
-        probe = base.select(F.size("e").alias("d")).first()
-        dim0 = int(probe["d"]) if probe and probe["d"] is not None else 0
+        # max over the corpus, not .first(): a NULL/ragged first row
+        # would collapse the probe to 0 and defeat the element budget,
+        # and .first() on an unordered relation is nondeterministic —
+        # the same corpus could flip paths between runs
+        probe = base.agg(F.max(F.size("e")).alias("d")).collect()[0]
+        dim0 = int(probe["d"]) if probe["d"] is not None else 0
     if gatherable and 0 < n_rows * max(dim0, 1) <= PAIR_VERIFY_GATHER_ELEMS:
         # Arrow transfer: cells arrive as numpy arrays, not boxed
         # Python lists — the transient driver footprint stays near the
