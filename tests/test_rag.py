@@ -1211,3 +1211,48 @@ def test_exact_substring_guards(spark, tmp_path):
     # the valid shape still runs
     out = incremental_exact_substring_dedup(spark, idx, batch_hi, k=4)
     assert out.count() == 1
+
+
+def test_mutual_knn_clusters_vs_union_find(spark, sf_dir):
+    """mutual_knn_clusters == union-find over the mutual edge set of
+    the (already oracled) knn_join, with min-vertex-id labels and
+    singletons under their own id — the mutuality filter, the CC
+    fixpoint, and the singleton completion checked independently of
+    the SQL oracle."""
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.knn_join(emb, sim.KNN_K, sim.KNN_NPROBE)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    }
+    mutual = {(a, b) for a, b in pairs if (b, a) in pairs and a < b}
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in mutual:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n = emb.count()
+    want = {v: min(find(v), v) if v in parent else v for v in range(n)}
+    # min-id labeling: re-resolve to the component minimum
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v) if v in parent else v
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v) if v in parent else v] for v in range(n)}
+    got = {
+        r.vec_id: r.cluster
+        for r in sim.mutual_knn_clusters(emb).collect()
+    }
+    assert got == want
+    assert len(got) == n  # every vector labeled, singletons included

@@ -1489,3 +1489,52 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
     )
 
     return _score_topk(q, nb, k)
+
+
+def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_K,
+                        nprobe: int = KNN_NPROBE,
+                        max_iter: int = 100) -> DataFrame:
+    """Corpus clustering by MUTUAL-kNN connected components — the
+    organization step of a SemDeDup-style pipeline (cluster the
+    embedding space, then sample/prune per cluster): build the
+    approximate kNN self-join (:func:`knn_join`), keep an edge only
+    where BOTH directions agree (a is in b's top-k AND b is in a's —
+    the standard mutual-kNN symmetrization that suppresses hub
+    vertices), and run min-label connected components over the mutual
+    graph. Returns (vec_id, cluster) for EVERY vector — vectors with
+    no mutual neighbor are singleton clusters labeled by their own id.
+
+    Scale shape: the kNN join is the documented blocked primitive
+    (cell shuffle + per-query top-k window); mutuality is one
+    self-join of the (n x k)-row pair relation on both endpoints; CC
+    is the iterative operator with broadcast state and amortized
+    convergence probes. Nothing new is quadratic — the mutual graph
+    has at most n x k / 2 edges."""
+    pairs = knn_join(embeddings, k, nprobe).select("vec_id", "neighbor_id")
+    rev = pairs.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        pairs.join(rev, ["vec_id", "neighbor_id"], "inner")
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    )
+    from torua_spark.operators.graph import connected_components
+
+    cc = connected_components(mutual, max_iter=max_iter)
+    all_ids = embeddings.select("vec_id")
+    return (
+        all_ids.join(
+            cc.select(F.col("vertex").alias("vec_id"), "component"), "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

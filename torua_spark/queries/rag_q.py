@@ -1500,9 +1500,12 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_join(_emb(spark, sf_dir), sim.KNN_K, sim.KNN_NPROBE)
 
 
-def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
-                         kk: int = sim.KMEANS_K,
-                         iters: int = sim.KMEANS_ITERATIONS) -> str:
+def _knn_join_oracle_parts(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
+                           kk: int = sim.KMEANS_K,
+                           iters: int = sim.KMEANS_ITERATIONS):
+    """(ctes, final_select) of the loop-unrolled Lloyd + multi-probe
+    kNN oracle — split so composite oracles (mutual-kNN clustering)
+    can extend the CTE chain past ``scored``."""
     ctes = _kmeans_ctes(kk, iters)
     ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
     ctes.append(f"""probes AS (
@@ -1523,8 +1526,7 @@ def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
         JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
         JOIN embeddings eq ON eq.vec_id = p.vec_id
         JOIN embeddings en ON en.vec_id = a.vec_id)""")
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
+    final = f"""
         SELECT qid AS vec_id, nid AS neighbor_id, sim,
                CAST(rank AS INTEGER) AS rank
         FROM (
@@ -1533,11 +1535,74 @@ def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
                        PARTITION BY qid ORDER BY sim DESC, nid) AS rank
             FROM scored
         ) WHERE rank <= {k}"""
-    )
+    return ctes, final
+
+
+def _knn_join_oracle_sql(k: int = sim.KNN_K, nprobe: int = sim.KNN_NPROBE,
+                         kk: int = sim.KMEANS_K,
+                         iters: int = sim.KMEANS_ITERATIONS) -> str:
+    ctes, final = _knn_join_oracle_parts(k, nprobe, kk, iters)
+    return "WITH " + ",\n".join(ctes) + final
 
 
 QUERIES["vector_knn_join"] = _q_knn_join
 ORACLE["vector_knn_join"] = _knn_join_oracle_sql()
+
+
+_MUTUAL_CC_ROUNDS = 64  # >= mutual-graph diameter (measured 18 at
+# sf0.01 — mutual-kNN graphs of uniform embeddings form long chains,
+# so the margin is wide); CC is idempotent past convergence so any
+# deeper unroll matches too
+
+
+def _mutual_knn_cluster_oracle_sql(rounds: int = _MUTUAL_CC_ROUNDS) -> str:
+    """Compose the loop-unrolled Lloyd kNN oracle with mutual-edge
+    symmetrization and unrolled min-label connected components —
+    labels initialize over ALL vectors, so mutual-isolated vectors
+    come out as singleton clusters under their own id."""
+    ctes, _ = _knn_join_oracle_parts()
+    ctes.append(f"""knn AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+            FROM scored
+        ) WHERE rank <= {sim.KNN_K})""")
+    ctes.append("""mutual AS (
+        SELECT x.qid AS src, x.nid AS dst
+        FROM knn x JOIN knn y ON y.qid = x.nid AND y.nid = x.qid
+        WHERE x.qid < x.nid)""")
+    ctes.append("""und AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM mutual
+        UNION SELECT dst, src FROM mutual)""")
+    ctes.append("l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS label FROM embeddings)")
+    for r in range(rounds):
+        ctes.append(f"""l{r + 1} AS MATERIALIZED (
+            SELECT id, min(label) AS label FROM (
+                SELECT und.b AS id, l{r}.label
+                FROM und JOIN l{r} ON und.a = l{r}.id
+                UNION ALL SELECT id, label FROM l{r}
+            ) GROUP BY id
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT id AS vec_id, CAST(label AS BIGINT) AS cluster
+        FROM l{rounds}"""
+    )
+
+
+def _q_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN connected-component clustering of the corpus — the
+    SemDeDup-style organization step (cluster, then sample/prune per
+    cluster). Blocking + ranking ride the driver-proven knn_join;
+    mutuality and the CC fixpoint are hash-checked on top by the
+    composed loop-unrolled oracle."""
+    return sim.mutual_knn_clusters(_emb(spark, sf_dir))
+
+
+QUERIES["vector_cluster_mutual_knn"] = _q_mutual_knn_clusters
+ORACLE["vector_cluster_mutual_knn"] = _mutual_knn_cluster_oracle_sql()
 
 
 DOC_LINE_TOKENS = 2  # 2-token segments: the corpus's small vocab
