@@ -110,6 +110,21 @@ def test_shard_hint_scoped_reads(spark, tmp_path):
     assert sorted(r.list_keys(shard_hint=hint)) == want2
 
 
+def test_checkpoint_restore_roundtrips_file_uri(spark, tmp_path):
+    """r8 ADVICE: checkpoint_to writes the sidecar for file:// URIs,
+    so restore_from must strip the scheme the same way — the
+    round-trip keeps the sidecar's num_shards inference and the
+    at-rest pruning view instead of silently degrading."""
+    e = ToruaEngine(spark, num_shards=6)
+    e.put_many([(f"key-{i}", f"v{i}") for i in range(40)])
+    uri = f"file://{tmp_path / 'kvuri'}"
+    e.checkpoint_to(uri)
+    r = ToruaEngine.restore_from(spark, uri)
+    assert r.num_shards == 6
+    assert r._at_rest is not None
+    assert r.get("key-7") == "v7"
+
+
 def test_restore_guards_stale_or_foreign_at_rest(spark, tmp_path):
     """Review findings (r8): the at-rest partition view must never
     serve a shard_hint under a DIFFERENT sharding than the engine's

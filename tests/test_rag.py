@@ -1213,6 +1213,56 @@ def test_exact_substring_guards(spark, tmp_path):
     assert out.count() == 1
 
 
+def test_exact_substring_meta_corruption_is_loud(spark, tmp_path):
+    """r8 review hole: ONLY a missing _meta sidecar may skip the
+    monotone-key validation (pre-meta index contract). A corrupt
+    sidecar must raise, not silently disable the guard."""
+    import shutil
+
+    import pytest as _pytest
+
+    from torua_spark.operators.dedup import (
+        exact_substring_index_write,
+        incremental_exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "cidx")
+    exact_substring_index_write(docs, idx, k=4)
+    batch = spark.createDataFrame(
+        [(7, "one two three four extra")], "doc_id long, text string"
+    )
+    # corrupt sidecar: _meta exists but holds garbage bytes -> loud
+    shutil.rmtree(f"{idx}/_meta")
+    (tmp_path / "cidx" / "_meta").mkdir()
+    (tmp_path / "cidx" / "_meta" / "part-0.parquet").write_bytes(
+        b"not a parquet file"
+    )
+    with _pytest.raises(Exception) as exc:
+        incremental_exact_substring_dedup(spark, idx, batch, k=4)
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+    # missing sidecar: the documented pre-meta contract still skips
+    shutil.rmtree(f"{idx}/_meta")
+    assert incremental_exact_substring_dedup(spark, idx, batch, k=4).count() == 1
+
+
+def test_exact_substring_oversized_id_is_loud(spark):
+    """r8 review hole: |id| >= 2^43 would overflow the packed 64-bit
+    first-occurrence key (silent mis-ranking under non-ANSI); the
+    row-level guard raises with a remap message instead."""
+    import pytest as _pytest
+
+    from torua_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1 << 43, "one two three four five")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="overflow|surrogate"):
+        exact_substring_dedup(docs, k=4).collect()
+
+
 def test_mutual_knn_clusters_vs_union_find(spark, sf_dir):
     """mutual_knn_clusters == union-find over the mutual edge set of
     the (already oracled) knn_join, with min-vertex-id labels and

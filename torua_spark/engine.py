@@ -290,7 +290,11 @@ class ToruaEngine:
         import pathlib
 
         meta = None
-        mp = pathlib.Path(path) / "_torua_meta.json"
+        # same scheme-strip as checkpoint_to: a file:// URI must find
+        # the sidecar checkpoint_to wrote for it, or the round-trip
+        # silently loses the num_shards inference + at-rest pruning
+        local = path.split("://", 1)[-1] if path.startswith("file://") else path
+        mp = pathlib.Path(local) / "_torua_meta.json"
         if mp.exists():
             meta = json.loads(mp.read_text())
         if meta is not None and "num_shards" not in kw:

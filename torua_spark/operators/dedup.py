@@ -24,6 +24,7 @@ to the DuckDB oracle, no UDFs, no driver-side loops.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from torua_spark.functions.text import jaccard, md5_32, tokens
@@ -759,6 +760,7 @@ def exact_substring_spans(documents: DataFrame, k: int = 10,
 
 
 _POS_LIMIT = 1 << 20  # packed-key position budget: 1M tokens per doc
+_ID_LIMIT = 1 << 43   # |id| * 2^20 must fit a signed 64-bit packed key
 
 
 def _window_hashes(documents: DataFrame, k: int, id_col: str,
@@ -770,12 +772,15 @@ def _window_hashes(documents: DataFrame, k: int, id_col: str,
     mirror this construction step-for-step, so a drift between copies
     would silently break the hash matches.
 
-    Guards (both loud, never silent): ``id_col`` must be an integral
+    Guards (all loud, never silent): ``id_col`` must be an integral
     type — the packed key is id * 2^20 + pos, and under ANSI a string
     id would raise mid-shuffle (non-ANSI: NULL keys = silent no-op
     dedup); a document with >= 2^20 tokens would collide packed keys
     across documents and mis-pick first occurrences, so it raises at
-    the offending row instead."""
+    the offending row instead; an |id| >= 2^43 would overflow the
+    signed-64-bit packed key (ANSI: cryptic mid-shuffle raise,
+    non-ANSI: silent first-occurrence mis-ranking), so it too raises
+    at the offending row with a remap-to-surrogate message."""
     id_type = documents.schema[id_col].dataType.simpleString()
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
@@ -786,16 +791,30 @@ def _window_hashes(documents: DataFrame, k: int, id_col: str,
     toks = documents.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    packed = F.when(
-        F.col("start") < F.lit(_POS_LIMIT),
-        F.col(id_col).cast("long") * F.lit(_POS_LIMIT) + F.col("start"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"document exceeds {_POS_LIMIT} tokens — packed "
-                f"first-occurrence keys would collide across documents"
-            )
-        ).cast("long")
+    packed = (
+        F.when(
+            F.col("start") >= F.lit(_POS_LIMIT),
+            F.raise_error(
+                F.lit(
+                    f"document exceeds {_POS_LIMIT} tokens — packed "
+                    f"first-occurrence keys would collide across documents"
+                )
+            ).cast("long"),
+        )
+        .when(
+            F.abs(F.col(id_col).cast("long")) >= F.lit(_ID_LIMIT),
+            F.raise_error(
+                F.lit(
+                    f"|{id_col}| exceeds {_ID_LIMIT} — id * 2^20 would "
+                    f"overflow the signed-64-bit packed first-occurrence "
+                    f"key and mis-rank first occurrences; map oversized "
+                    f"(e.g. snowflake) ids to a dense surrogate long first"
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col(id_col).cast("long") * F.lit(_POS_LIMIT) + F.col("start")
+        )
     )
     return (
         toks.filter(F.size("t") >= k)
@@ -931,7 +950,14 @@ def incremental_exact_substring_dedup(
     wins = _window_hashes(new_docs, k, id_col, text_col)
     try:
         meta = spark.read.parquet(f"{index_path}/_meta").collect()
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY the documented pre-meta-index case (no _meta directory)
+        # may skip validation; a corrupt or permission-broken sidecar
+        # must stay loud — swallowing it would silently disable the
+        # monotone-ingest-key guard this function exists to enforce
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         meta = []  # pre-meta index: no validation possible
     if meta:
         max_indexed = meta[0]["max_id"]

@@ -553,6 +553,27 @@ def _pair_dot():
 # global pair relation at all.
 PAIR_VERIFY_GATHER_ELEMS = 1 << 24
 
+# One live gather broadcast per SparkContext: each _verified_cos_pairs
+# call ships up to ~134 MB of (ids, matrix, norms) to the executors,
+# and a long-lived session running many near-dup queries would
+# otherwise accumulate them without bound. unpersist (NOT destroy) on
+# rotation: a stale still-lazy plan that re-executes simply re-fetches
+# the blocks from the driver, so correctness is unaffected.
+_GATHER_BC: dict[int, object] = {}
+
+
+def _gather_broadcast(sc, triple):
+    key = id(sc)
+    prev = _GATHER_BC.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # context restarted under us: nothing to free
+            pass
+    bc = sc.broadcast(triple)
+    _GATHER_BC[key] = bc
+    return bc
+
 
 def _shuffle_width(df: DataFrame) -> int:
     """The session's configured shuffle width, for explicit
@@ -630,7 +651,8 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
             if v is not None and not (isinstance(v, float) and math.isnan(v)):
                 nrm[out_i] = v
         sids = ids[order]
-        bc = base.sparkSession.sparkContext.broadcast((sids, mat, nrm))
+        bc = _gather_broadcast(base.sparkSession.sparkContext,
+                               (sids, mat, nrm))
 
         @F.pandas_udf("double")
         def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
