@@ -102,7 +102,13 @@ _DECLARED = [
     # pytest-vs-DuckDB oracled every run): vector_kmeans_cells,
     # vector_pq_ann, vector_quantization, semantic_dedup_auto,
     # rag_hybrid_rrf, curriculum_phases.
-    "vector_knn_join",
+    # Round-9 rotation (VERDICT r8 #1): vector_cluster_mutual_knn —
+    # the one standalone registry entry never driver-proven (landed in
+    # r8's final commit) — rotates IN for vector_knn_join (driver-green
+    # r8; its knn_join machinery is exercised INSIDE the cluster entry,
+    # so B7 keeps four in-window witnesses). With this swap the
+    # every-standalone-entry-driver-proven discipline has zero backlog.
+    "vector_cluster_mutual_knn",
     "vector_ann_ivf_learned",
     "vector_neardup_pairs",
     # Round-7 fifth (final) swap: the round's last five new oracled
