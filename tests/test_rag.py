@@ -1263,6 +1263,50 @@ def test_exact_substring_oversized_id_is_loud(spark):
         exact_substring_dedup(docs, k=4).collect()
 
 
+def test_linear_quality_score_vs_reference(spark):
+    """linear_quality_score == a plain-Python reference scorer on the
+    same md5 hashed features (independent of the SQL oracle): bucket,
+    sign, L2 norm, dot, sigmoid, all hand-computed; an empty doc gets
+    the prior sigmoid(bias); keep flips on the rounded quality."""
+    import hashlib
+    import math
+
+    from torua_spark.operators import text_analysis as ta
+
+    docs = [(0, "red fox red fox jumps"), (1, "slow brown dog"), (2, "")]
+    weights = {b: (b % 7 - 3) / 3.0 for b in range(64)}
+    bias = 0.2
+
+    def md5_32(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5 + 1e-9) / 1e4
+
+    want = {}
+    for doc_id, text in docs:
+        acc: dict[int, float] = {}
+        for t in text.split(" ") if text else [""]:
+            h = md5_32(t)
+            sgn = 1.0 if (h // 64) % 2 == 0 else -1.0
+            acc[h % 64] = acc.get(h % 64, 0.0) + sgn
+        nz = {b: s for b, s in acc.items() if s != 0}
+        nrm = math.sqrt(sum(s * s for s in nz.values()))
+        dot = sum(r4(s / nrm) * weights[b] for b, s in nz.items()) if nz else 0.0
+        logit = dot + bias
+        q = 1.0 / (1.0 + math.exp(-logit))
+        want[doc_id] = (r4(logit), r4(q), r4(q) >= 0.5)
+
+    # the empty doc tokenizes to [''] whose hash still lands somewhere:
+    # mirror Spark's split('', ' ') == [''] semantics in the reference
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.logit, r.quality, r.keep)
+        for r in ta.linear_quality_score(df, weights, bias).collect()
+    }
+    assert got == want
+
+
 def test_mutual_knn_clusters_vs_union_find(spark, sf_dir):
     """mutual_knn_clusters == union-find over the mutual edge set of
     the (already oracled) knn_join, with min-vertex-id labels and

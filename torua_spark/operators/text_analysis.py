@@ -296,6 +296,58 @@ def hashed_sparse(tok: DataFrame, keys: list[str], dim: int = 64) -> DataFrame:
     )
 
 
+def linear_quality_score(
+    documents: DataFrame,
+    weights: dict[int, float],
+    bias: float = 0.0,
+    dim: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-free quality-classifier INFERENCE (the fastText-style
+    linear gate between the Gopher heuristics and a perplexity proxy —
+    the standard learned quality filter in LLM data pipelines, e.g.
+    CCNet/GPT-3's quality LR): score = sigmoid(w · x + bias) over the
+    hashing-trick features of :func:`feature_hash_embed`, with the
+    trained weight vector supplied as a plain ``{bucket: weight}``
+    dict (trained offline; dim entries, so it always fits a literal).
+
+    Spark-first plan — pure JVM end to end: the weight vector becomes
+    a MAP LITERAL indexed per feature row (no join, no Python), the
+    dot product is one sum per doc over its <= dim non-zero feature
+    rows, and the left join back to ``documents`` gives feature-less
+    docs (empty text) their prior sigmoid(bias). Cost: the one
+    (doc, bucket) aggregation feature hashing already pays + one
+    doc-keyed agg — linear in corpus tokens, no vocabulary state,
+    nothing to broadcast but dim doubles. At 100 TB this is the same
+    shape as token counting.
+
+    Returns (doc_id, logit, quality, keep) — scalars only (driver
+    canon); logit/quality are round4'd, ``keep`` is quality >=
+    threshold on the rounded value so both engines compare identical
+    numbers."""
+    feats = feature_hash_embed(documents, dim)
+    pairs: list = []
+    for b in sorted(weights):
+        pairs.extend((F.lit(int(b)), F.lit(float(weights[b]))))
+    wmap = F.create_map(*pairs)
+    dot = feats.select(
+        "doc_id",
+        (F.col("weight") * F.coalesce(wmap[F.col("bucket")], F.lit(0.0))).alias("xw"),
+    ).groupBy("doc_id").agg(F.sum("xw").alias("dot"))
+    logit = F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(float(bias))
+    quality = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        documents.select("doc_id")
+        .join(dot, "doc_id", "left")
+        .select(
+            "doc_id",
+            round4(logit).alias("logit"),
+            round4(quality).alias("quality"),
+            (round4(quality) >= F.lit(float(threshold))).alias("keep"),
+        )
+    )
+
+
 # Conservative patterns that parse identically in Spark (Java regex)
 # and DuckDB (RE2): no lookarounds, no \b.
 PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

@@ -145,7 +145,13 @@ _DECLARED = [
     # graph_edge_attr_filter (driver-green r7; B1 keeps seven other
     # in-window witnesses).
     "dedup_exact_substring",
-    "text_dedup_doc_lines",
+    # Round-9 NEW operator (landing-round proof, VERDICT r8 #5):
+    # fastText-style hashed-feature linear quality classifier —
+    # sigmoid(w . x + b) over the hashing-trick features, weight
+    # vector a map literal, pure JVM dot; oracle = identical md5
+    # features + literal weight table in DuckDB. In for
+    # text_dedup_doc_lines (driver-green r8, pytest-oracled forever).
+    "text_quality_classifier",
     "temporal_ohlc",
     "text_bigram_logprob",
     "profile_correlations",

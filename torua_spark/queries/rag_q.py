@@ -163,6 +163,12 @@ QUERIES = {
     "dedup_decontaminate_ngram": lambda s, d: _q_decontaminate_ngram(s, d),
     "text_vocabulary": lambda s, d: ta.vocabulary_report(_docs(s, d)),
     "text_feature_hashing": lambda s, d: ta.feature_hash_embed(_docs(s, d)),
+    # fastText-style hashed-feature linear quality gate (VERDICT r8
+    # #5): sigmoid(w . x + b) over the hashing-trick features, weights
+    # a literal dict -> map literal, pure JVM dot.
+    "text_quality_classifier": lambda s, d: ta.linear_quality_score(
+        _docs(s, d), _quality_weights(), QUALITY_BIAS
+    ),
     "rag_hashed_retrieval": lambda s, d: rt.hashed_retrieval(
         _docs(s, d), HASHED_QUERY_TEXT, 10
     ),
@@ -172,6 +178,23 @@ QUERIES = {
 }
 
 HASHED_QUERY_TEXT = "vector stream merge table"
+
+# Quality-classifier weight vector: "trained offline", here generated
+# deterministically (md5 of the bucket index -> [-1, 1]) and rendered
+# as LITERALS into both engines — the oracle checks inference, not
+# training, exactly as a production pipeline ships a frozen .bin.
+QUALITY_DIM = 64
+QUALITY_BIAS = -0.05
+
+
+def _quality_weights(dim: int = QUALITY_DIM) -> dict[int, float]:
+    import hashlib
+
+    return {
+        b: ((int(hashlib.md5(f"qw-{b}".encode()).hexdigest()[:8], 16) % 2001)
+            - 1000) / 1000.0
+        for b in range(dim)
+    }
 
 DECON_NGRAM = 8
 DECON_MIN_OVERLAP = 2
@@ -845,6 +868,49 @@ ORACLE["text_feature_hashing"] = f"""
            {round4_sql('s / sqrt(sum(s*s) OVER (PARTITION BY doc_id))')} AS weight
     FROM s WHERE s != 0
 """
+
+
+def _quality_oracle_sql() -> str:
+    """Literal weight table + the feature-hash CTE: inference only,
+    mirroring linear_quality_score step for step (same round4 on the
+    feature weights BEFORE the dot, same sigmoid on the unrounded
+    logit, same keep comparison on rounded quality)."""
+    w = _quality_weights()
+    vals = ", ".join(f"({b}, {w[b]!r})" for b in sorted(w))
+    logit = f"coalesce(dot.dot, 0.0) + ({QUALITY_BIAS!r})"
+    quality = f"1.0 / (1.0 + exp(-({logit})))"
+    return f"""
+    WITH w(bucket, wt) AS (VALUES {vals}),
+    tok AS (
+        SELECT doc_id, {_md5_32('t')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    s AS (
+        SELECT doc_id, CAST(h % {QUALITY_DIM} AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // {QUALITY_DIM}) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS s
+        FROM tok GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT doc_id, bucket,
+               {round4_sql('s / sqrt(sum(s*s) OVER (PARTITION BY doc_id))')} AS weight
+        FROM s WHERE s != 0
+    ),
+    dot AS (
+        SELECT f.doc_id, sum(f.weight * w.wt) AS dot
+        FROM feats f JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           {round4_sql(logit)} AS logit,
+           {round4_sql(quality)} AS quality,
+           ({round4_sql(quality)} >= 0.5) AS keep
+    FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+"""
+
+
+ORACLE["text_quality_classifier"] = _quality_oracle_sql()
+
 
 def _bm25_ranked_sql(limit: int) -> str:
     """Ranked BM25 list as a standalone SELECT (nested-WITH friendly);
