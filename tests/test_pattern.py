@@ -1128,11 +1128,105 @@ def test_shortest_path_form_errors(spark):
             "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b)) "
             "WHERE b = 0 RETURN b"
         )
-    with pytest.raises(ValueError, match="only \\*\\.\\.k"):
+    with pytest.raises(ValueError, match="lower bound >= 2"):
         pg.query(
             "MATCH p = shortestPath((a:person)-[:KNOWS*2..6]-(b)) "
             "WHERE a = 0 RETURN b"
         )
+
+
+def test_shortest_path_bound_variants(spark):
+    """Round-9 bound set (VERDICT r8 #6): bare ``*`` (unbounded, BFS
+    to convergence) and ``*0..k`` (the zero-length path — the source
+    matches b=a at length 0), each pinned against the hand-written
+    operator call on the same edges."""
+    from torua_spark.operators import graph as g
+
+    pg = _pg_people(spark)
+    # knows graph: component of 0 is {0,1,2,3}; diameter 2 < the
+    # convergence cap, so * and *..6 agree
+    bounded = {
+        (r.b, r.hops)
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*..6]-(b:person)) "
+            "WHERE a = 0 RETURN b, length(p) AS hops"
+        ).collect()
+    }
+    unbounded = {
+        (r.b, r.hops)
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*]-(b:person)) "
+            "WHERE a = 0 RETURN b, length(p) AS hops"
+        ).collect()
+    }
+    assert unbounded == bounded == {(1, 1), (2, 1), (3, 2)}
+    # *0..k = *..k plus exactly the source row at length 0
+    zero = {
+        (r.b, r.hops)
+        for r in pg.query(
+            "MATCH p = shortestPath((a:person)-[:KNOWS*0..6]-(b:person)) "
+            "WHERE a = 0 RETURN b, length(p) AS hops"
+        ).collect()
+    }
+    assert zero == bounded | {(0, 0)}
+    # the compiled form equals the operator called by hand with
+    # max_hops=None (same (id, hops) relation, source excluded)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 1)], "src long, dst long"
+    )
+    want = {
+        (r.id, r.hops)
+        for r in g.shortest_paths(edges, 0, None).collect()
+        if r.hops > 0
+    }
+    assert unbounded == want
+
+
+def test_shortest_paths_convergence_cap_is_loud(spark):
+    """A graph whose diameter exceeds SSSP_CONVERGE_CAP must raise
+    (silently partial reached sets are the failure mode the cap
+    exists to prevent) — a path graph longer than the cap."""
+    from torua_spark.operators import graph as g
+
+    n = g.SSSP_CONVERGE_CAP + 8
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="still expanding"):
+        g.shortest_paths(edges, 0, None)
+
+
+def test_optional_match_where_aggregates_optional_side(spark):
+    """VERDICT r8 #6 pin: OPTIONAL MATCH ... WHERE (pre-join scoped)
+    with aggregates OVER THE OPTIONAL SIDE — count(o) counts matches
+    only, sum over the optional edge attribute is NULL for anchors
+    with no qualifying match (Cypher semantics)."""
+    people = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(6)], "pid long, name string"
+    )
+    knows = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 2, 3), (3, 1, 4)],
+        "ksrc long, kdst long, w long",
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    got = {
+        r.a: (r.n, r.tot)
+        for r in pg.query(
+            "MATCH (a:person) OPTIONAL MATCH (a)-[r:KNOWS]->(b:person) "
+            "WHERE r.w >= 2 "
+            "RETURN a, count(b) AS n, sum(r.w) AS tot"
+        ).collect()
+    }
+    # knows edges (src, dst, w): (0,1,1) (0,2,2) (1,2,3) (3,1,4);
+    # w >= 2 keeps (0,2,2) (1,2,3) (3,1,4)
+    assert got == {
+        0: (1, 2), 1: (1, 3), 2: (0, None), 3: (1, 4),
+        4: (0, None), 5: (0, None),
+    }
 
 
 def test_return_arithmetic_items(spark):

@@ -361,8 +361,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     return ranks.select(F.col("id").alias("vertex"), round4("rank").alias("rank"))
 
 
+# Unbounded-BFS safety rail: probe for convergence every batch of
+# rounds (amortizing the count() job), and refuse to return a
+# possibly-incomplete reached set if a pathological graph (a 100k-hop
+# path) is still growing at the cap — loud beats silently partial.
+SSSP_CONVERGE_BATCH = 3
+SSSP_CONVERGE_CAP = 64
+
+
 def shortest_paths(edges: DataFrame, source_id: int,
-                   max_hops: int = 6) -> DataFrame:
+                   max_hops: int | None = 6) -> DataFrame:
     """B2 — Cypher ``shortestPath((src)-[*..k]-(v))`` parity: single-
     source unweighted shortest paths over the undirected graph, with a
     DETERMINISTIC predecessor per vertex so callers can reconstruct one
@@ -377,13 +385,23 @@ def shortest_paths(edges: DataFrame, source_id: int,
     engines order identically (hops first; `via` ties are always
     non-null because only the source holds hops=0).
 
+    ``max_hops=None`` (the Cypher ``[:R*]`` unbounded hop) runs BFS to
+    CONVERGENCE: the reached set grows by >= 1 vertex per round until
+    the component is exhausted, so an unchanged count over a batch of
+    rounds proves the fixpoint; the count() probe runs once per
+    SSSP_CONVERGE_BATCH rounds (amortized, graph_k_core-style), extra
+    post-fixpoint rounds are idempotent (struct-min), and a graph
+    still growing at SSSP_CONVERGE_CAP rounds raises rather than
+    return a silently partial reached set.
+
     Scale shape — same sparse-frontier Pregel skeleton as
     `bfs_hop_histogram`: state is the reached set only, rounds are
-    lazily chained eager=False checkpoints (one Spark job total), the
-    broadcast-state mode keeps the big edge list unshuffled inside the
-    loop, and message volume per round is the frontier's neighborhood,
-    not |E|. At 100 TB the edge table should be bucketed on `a` so the
-    per-round join is shuffle-free on the edge side.
+    lazily chained eager=False checkpoints (one Spark job total per
+    batch), the broadcast-state mode keeps the big edge list
+    unshuffled inside the loop, and message volume per round is the
+    frontier's neighborhood, not |E|. At 100 TB the edge table should
+    be bucketed on `a` so the per-round join is shuffle-free on the
+    edge side.
     """
     und = _undirected(edges).localCheckpoint()
     n_edges = und.count()
@@ -400,15 +418,16 @@ def shortest_paths(edges: DataFrame, source_id: int,
             .localCheckpoint()
         )
         bcast = _use_broadcast_state("auto", n_edges, n_vertices)
-        for _ in range(max_hops):
-            state = F.broadcast(dist) if bcast else dist
+
+        def _round(d: DataFrame) -> DataFrame:
+            state = F.broadcast(d) if bcast else d
             msgs = und.join(state, und.a == state.id).select(
                 F.col("b").alias("id"),
                 (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
                 F.col("a").cast("long").alias("via"),
             )
-            dist = (
-                msgs.unionByName(dist.select("id", "hops", "via"))
+            return (
+                msgs.unionByName(d.select("id", "hops", "via"))
                 .groupBy("id")
                 # struct-min = arg-min: smallest (hops, via) pair wins,
                 # making the surviving predecessor deterministic.
@@ -416,7 +435,31 @@ def shortest_paths(edges: DataFrame, source_id: int,
                 .select("id", F.col("s.hops").alias("hops"), F.col("s.via").alias("via"))
                 .localCheckpoint(eager=False)
             )
-        dist = dist.localCheckpoint(eager=True)
+
+        if max_hops is None:
+            reached = dist.count()
+            rounds = 0
+            while True:
+                for _ in range(SSSP_CONVERGE_BATCH):
+                    dist = _round(dist)
+                rounds += SSSP_CONVERGE_BATCH
+                dist = dist.localCheckpoint(eager=True)
+                n = dist.count()
+                if n == reached:
+                    break  # no growth over a full batch = fixpoint
+                reached = n
+                if rounds >= SSSP_CONVERGE_CAP:
+                    raise ValueError(
+                        f"unbounded shortestPath still expanding after "
+                        f"{rounds} BFS rounds ({n} vertices reached) — "
+                        f"graph diameter exceeds SSSP_CONVERGE_CAP="
+                        f"{SSSP_CONVERGE_CAP}; pass an explicit *..k "
+                        f"bound for a partial traversal"
+                    )
+        else:
+            for _ in range(max_hops):
+                dist = _round(dist)
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 

@@ -70,6 +70,9 @@ onto an existing DataFrame op (VERDICT r5 #4):
   (round 7): compiled onto the iterative BFS operator
   (operators/graph.shortest_paths), never a k-hop join tree;
   ``length(p)`` projects as a plain column for WHERE/RETURN/ORDER BY.
+  Round 9 widens the bounds to Neo4j's full shortestPath set: bare
+  ``*`` (unbounded — BFS to convergence, amortized fixpoint probes)
+  and ``*0..k`` (the zero-length path: the source matches b=a at 0).
 - ``OPTIONAL MATCH (v)-[:R]->(x)``: left-join continuation from an
   already-bound variable — unmatched rows keep the binding and carry
   NULL for the new variables (``count(x)`` then counts matches only,
@@ -226,23 +229,27 @@ class PropertyGraph:
 
     _SHORTEST = re.compile(
         r"(?i)^\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*"
-        r"\((\w+)(?::(\w+))?\)\s*-\[:(\w+)\*(\d*)\.\.(\d+)\]-(>?)\s*"
+        r"\((\w+)(?::(\w+))?\)\s*-\[:(\w+)\*(?:(\d*)\.\.(\d+))?\]-(>?)\s*"
         r"\((\w+)(?::(\w+))?\)\s*\)\s*(.*)$",
         re.S,
     )
 
     def _query_shortest_path(self, m: "re.Match") -> DataFrame:
-        """``MATCH p = shortestPath((a:A)-[:R*..k]-(b[:B])) WHERE a =
-        <id> [AND <more>] RETURN ...`` — the Cypher shortest-path form
-        compiled onto the iterative BFS operator
+        """``MATCH p = shortestPath((a:A)-[:R*bounds]-(b[:B])) WHERE a
+        = <id> [AND <more>] RETURN ...`` — the Cypher shortest-path
+        form compiled onto the iterative BFS operator
         (operators/graph.shortest_paths: sparse-frontier rounds,
         deterministic (hops, via) predecessors), NOT onto joins: a
         k-hop join tree enumerates every walk, BFS state is one row
-        per reached vertex. Scope: undirected hop only (the operator's
-        graph model — a directed ``->`` raises), the WHERE must pin
-        the source ``a`` to a literal id (single-source BFS), and
-        RETURN sees ``a``, ``b``, ``b.attr`` (when b is labeled) and
-        ``length(p)``; remaining WHERE terms filter the result."""
+        per reached vertex. Bounds (Neo4j's rules: lower bound 0/1
+        only): ``*..k`` / ``*1..k`` (length 1..k), ``*0..k`` (the
+        zero-length path — the source matches b=a at length 0), and
+        bare ``*`` (unbounded — BFS runs to convergence with amortized
+        fixpoint probes, round 9). Scope: undirected hop only (the
+        operator's graph model — a directed ``->`` raises), the WHERE
+        must pin the source ``a`` to a literal id (single-source BFS),
+        and RETURN sees ``a``, ``b``, ``b.attr`` (when b is labeled)
+        and ``length(p)``; remaining WHERE terms filter the result."""
         from torua_spark.operators import graph as _g
 
         (pvar, a_var, la, rel, lo, hi, arrow, b_var, lb, rest) = m.groups()
@@ -251,10 +258,21 @@ class PropertyGraph:
                 "shortestPath compiles onto the undirected BFS operator "
                 "— write the hop as -[:R*..k]-, not ->"
             )
-        if lo not in ("", "1"):
+        # Neo4j bound rules: lower bound 0 or 1 only (a lo >= 2 would
+        # need longer-than-shortest simple paths — path enumeration,
+        # not BFS). ``*`` = unbounded 1..inf: BFS to convergence.
+        if hi is None:
+            max_hops, min_hops = None, 1  # bare [:R*]
+        elif lo == "0":
+            max_hops, min_hops = int(hi), 0  # include the source itself
+        elif lo in ("", "1"):
+            max_hops, min_hops = int(hi), 1
+        else:
             raise ValueError(
-                f"shortestPath range *{lo}..{hi}: only *..k / *1..k "
-                f"(the BFS emits each vertex at its minimum distance)"
+                f"shortestPath range *{lo}..{hi}: only * / *..k / "
+                f"*0..k / *1..k (the BFS emits each vertex at its "
+                f"minimum distance; a lower bound >= 2 asks for a "
+                f"longer-than-shortest path, which is enumeration)"
             )
         # both anchors may be unlabeled: the source is a literal id and
         # an unlabeled b skips the vertex join entirely (pure BFS cost)
@@ -324,10 +342,12 @@ class PropertyGraph:
         edges = e.df.select(
             F.col(e.src_col).alias("src"), F.col(e.dst_col).alias("dst")
         )
-        dist = _g.shortest_paths(edges, source, int(hi))
+        dist = _g.shortest_paths(edges, source, max_hops)
+        if min_hops > 0:
+            dist = dist.filter(F.col("hops") > 0)
         # private names so a vertex id column literally named "id"
         # can't collide in the join below
-        binding = dist.filter(F.col("hops") > 0).select(  # min length 1
+        binding = dist.select(
             F.col("id").alias("__sp_id"), F.col("hops").alias("__sp_hops")
         )
         # the rewritten length(p) column resolves as a plain (unlabeled)

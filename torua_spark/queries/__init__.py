@@ -195,7 +195,13 @@ _DECLARED = [
     # round it landed (see the swap note at the list head).
     "graph_varlength_range",
     "graph_collect_priorities",
-    "graph_shortest_path_cypher",
+    # Round-9 form proof (VERDICT r8 #6): the bare [:R*] UNBOUNDED
+    # Cypher shortestPath — BFS to convergence with amortized fixpoint
+    # probes and a loud cap. In for graph_shortest_path_cypher
+    # (driver-green r8, same compile path with a fixed bound,
+    # pytest-oracled forever); *0..k and the OPTIONAL-MATCH-WHERE
+    # aggregate + count(DISTINCT) forms are pinned in test_pattern.py.
+    "graph_shortest_path_unbounded",
     # --- training-data pipeline (dedup / packing / curriculum)
     # Round-8 NEW (landing-round proof): incremental ExactSubstr vs
     # the persisted window index, oracle = from-scratch equivalence.

@@ -1047,6 +1047,43 @@ ORACLE["graph_shortest_path_cypher"] = f"""
 """
 
 
+# Margin for the unbounded oracle's unroll depth: BFS rounds are
+# idempotent past convergence, so any depth >= the source's
+# eccentricity is exact. Measured eccentricity from SSSP_SOURCE over
+# the copurchase vertex graph: 3 (sf0.001), 4 (sf0.01, sf0.1) — and
+# it SHRINKS as SF grows (denser graph); 8 is a 2x margin.
+SSSP_UNBOUNDED_UNROLL = 8
+
+
+def q_shortest_path_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 bound-set proof (VERDICT r8 #6): the bare ``[:CP*]``
+    UNBOUNDED Cypher shortestPath — compiled onto the same iterative
+    BFS operator, now run to CONVERGENCE (amortized fixpoint probes,
+    loud cap) instead of a fixed hop budget: the form a user writes
+    when they don't know the diameter. Oracle: the loop-unrolled BFS
+    at a depth comfortably past the measured eccentricity (unrolling
+    past convergence is idempotent — struct-min keeps the fixpoint)."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    edges = g.copurchase_vertex_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    pg = PropertyGraph().add_edge("CP", edges, "src", "dst")
+    return pg.query(
+        f"MATCH p = shortestPath((a)-[:CP*]-(b)) "
+        f"WHERE a = {SSSP_SOURCE} "
+        f"RETURN b AS id, length(p) AS hops"
+    )
+
+
+QUERIES["graph_shortest_path_unbounded"] = q_shortest_path_unbounded
+
+ORACLE["graph_shortest_path_unbounded"] = f"""
+    SELECT id, CAST(hops AS BIGINT) AS hops
+    FROM ({_sssp_oracle_sql(max_hops=SSSP_UNBOUNDED_UNROLL)}) WHERE hops > 0
+"""
+
+
 def q_return_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 expression-item proof: per-customer discounted revenue
     (sum over an arithmetic aggregate argument) plus a projected
