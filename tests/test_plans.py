@@ -135,6 +135,8 @@ _PYTHON_OK = {
     "vector_pq_ann",            # same assignment, per-subspace codebooks
     "vector_knn_join",          # same assignment + multi-probe ranking,
                                 # plus the Arrow pair-dot einsum
+    "dedup_decontaminate_embedding",  # one Arrow GEMM pass vs the
+                                      # broadcast eval matrix (r9)
 }
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin

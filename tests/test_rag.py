@@ -1327,6 +1327,54 @@ def test_exact_substring_spans_exact_for_threshold_k(spark):
             assert cov2k <= spark_cov[k].get(i, set()), i
 
 
+def test_decontaminate_embeddings_vs_reference(spark):
+    """decontaminate_embeddings == brute-force numpy best-match on
+    synthetic vectors, including the hostile rows: a zero-norm train
+    vector and a zero-norm eval vector are never flagged and never
+    selected, a NULL embedding likewise, and rounded-sim ties break
+    to the smallest eval_id."""
+    import numpy as np
+
+    from torua_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    ev = [(100, list(map(float, rng.normal(size=dim)))),
+          (101, list(map(float, rng.normal(size=dim)))),
+          (102, [0.0] * dim)]          # zero-norm eval: never selected
+    # train: 0 = exact copy of eval 101 (sim 1.0), 1 = its negation,
+    # 2 = zero-norm, 3 = NULL, 4 = random, 5 = copy of eval 100
+    tr = [(0, ev[1][1]), (1, [-x for x in ev[1][1]]), (2, [0.0] * dim),
+          (3, None), (4, list(map(float, rng.normal(size=dim)))),
+          (5, ev[0][1])]
+    train = spark.createDataFrame(tr, "vec_id long, embedding array<double>")
+    eval_df = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+    got = {
+        r.train_id: (r.eval_id, r.sim)
+        for r in sim.decontaminate_embeddings(train, eval_df, 0.9).collect()
+    }
+    assert got == {0: (101, 1.0), 5: (100, 1.0)}
+    # tie-break: two identical eval vectors -> smallest eval_id wins
+    eval_tie = spark.createDataFrame(
+        [(7, ev[0][1]), (6, ev[0][1])], "vec_id long, embedding array<double>"
+    )
+    tied = {
+        r.train_id: r.eval_id
+        for r in sim.decontaminate_embeddings(train, eval_tie, 0.9).collect()
+    }
+    assert tied == {5: 6}
+    # the over-budget guard is loud
+    import pytest as _pytest
+
+    old = sim.DECON_EVAL_GATHER_ELEMS
+    sim.DECON_EVAL_GATHER_ELEMS = 4
+    try:
+        with _pytest.raises(ValueError, match="broadcast budget"):
+            sim.decontaminate_embeddings(train, eval_df, 0.9)
+    finally:
+        sim.DECON_EVAL_GATHER_ELEMS = old
+
+
 def test_linear_quality_score_vs_reference(spark):
     """linear_quality_score == a plain-Python reference scorer on the
     same md5 hashed features (independent of the SQL oracle): bucket,

@@ -1560,3 +1560,105 @@ def mutual_knn_clusters(embeddings: DataFrame, k: int = KNN_K,
             .alias("cluster"),
         )
     )
+
+
+# Element budget for the decontamination eval matrix: same 2^24
+# ceiling as the gather-verify broadcast (~134 MB of float64). Eval
+# benchmark suites are small by construction (10^3-10^5 items); a
+# larger eval side should be split into budget-sized chunks and the
+# match relations unioned (still linear in train, still exact) — the
+# guard raises with that instruction rather than silently degrade.
+DECON_EVAL_GATHER_ELEMS = PAIR_VERIFY_GATHER_ELEMS
+
+
+def decontaminate_embeddings(
+    train: DataFrame, eval_df: DataFrame, threshold: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus EMBEDDING decontamination (the semantic sibling of
+    dedup.decontaminate_ngrams; Lee et al. 2021 §6.2 measure benchmark
+    overlap, modern pipelines additionally gate on embedding cosine):
+    for every training vector, find its best-matching eval-benchmark
+    vector and flag it when the (round4) cosine clears ``threshold``.
+    Returns (train_id, eval_id, sim) for flagged rows only; ties on
+    the rounded sim break to the smallest eval_id (deterministic,
+    both engines).
+
+    Spark-first shape: the eval side is BROADCAST once as an id-sorted
+    (ids, matrix, norms) numpy triple — the gather-verify precedent —
+    and the train corpus streams through ONE Arrow pass computing a
+    (batch x m) GEMM per Arrow batch: exact recall (no LSH miss), one
+    train scan, zero shuffles before the threshold filter. Linear in
+    |train| x dim x m with m bounded by the broadcast budget; at
+    100 TB this is a map-only job over the train partitioning.
+    Zero-norm / NULL / ragged vectors on either side are sentinel
+    -2.0 (below any cosine) — never selected, never emitted."""
+    from torua_spark.functions.vectors import norm
+
+    base_e = eval_df.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    pdf = base_e.toPandas()
+    m = len(pdf)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    evals = pdf["e"].to_numpy()
+    dim = next((len(evals[int(i)]) for i in order if evals[int(i)] is not None), 0)
+    if m * max(dim, 1) > DECON_EVAL_GATHER_ELEMS:
+        raise ValueError(
+            f"eval side is {m} x {dim} = {m * dim} elements, over the "
+            f"{DECON_EVAL_GATHER_ELEMS} broadcast budget — split the "
+            f"eval set into budget-sized chunks and union the match "
+            f"relations (exact and linear either way)"
+        )
+    mat = np.full((m, max(dim, 1)), np.nan)
+    nrm = np.full(m, np.nan)
+    nvals = pdf["nrm"].to_numpy()
+    for out_i, i in enumerate(order):
+        e = evals[int(i)]
+        if e is not None and len(e) == dim and dim > 0:
+            mat[out_i] = np.asarray(e, dtype=np.float64)
+        v = nvals[int(i)]
+        if v is not None and not (isinstance(v, float) and math.isnan(v)):
+            nrm[out_i] = v
+    sids = ids[order]
+    # zero-norm eval vectors: NaN row -> sentinel after the divide
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat_n = mat / nrm[:, None]
+    bc = _gather_broadcast(train.sparkSession.sparkContext, (sids, mat_n))
+
+    @F.pandas_udf("struct<eval_id: bigint, sim: double>")
+    def best_match(e: pd.Series, nx: pd.Series) -> pd.DataFrame:
+        s_ids, m_n = bc.value
+        b = len(e)
+        if b == 0 or len(s_ids) == 0:
+            return pd.DataFrame(
+                {"eval_id": pd.Series([-1] * b, dtype="int64"),
+                 "sim": pd.Series([-2.0] * b, dtype="float64")}
+            )
+        d = m_n.shape[1]
+        x = np.full((b, d), np.nan)
+        for i, v in enumerate(e):
+            if v is not None and len(v) == d:
+                x[i] = np.asarray(v, dtype=np.float64)
+        nxv = nx.to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (x @ m_n.T) / nxv[:, None]
+        s = np.floor(s * 1e4 + 0.5 + 1e-9) / 1e4  # round4, pre-argmax
+        s = np.nan_to_num(s, nan=-2.0, posinf=-2.0, neginf=-2.0)
+        j = np.argmax(s, axis=1)  # first max = smallest eval_id
+        return pd.DataFrame(
+            {"eval_id": s_ids[j], "sim": s[np.arange(b), j]}
+        )
+
+    scored = train.select(
+        F.col(id_col).alias("train_id"),
+        best_match(
+            to_double_array(vec_col),
+            norm(to_double_array(vec_col)),
+        ).alias("bm"),
+    )
+    return scored.select(
+        "train_id", F.col("bm.eval_id").alias("eval_id"),
+        F.col("bm.sim").alias("sim"),
+    ).filter(F.col("sim") >= threshold)

@@ -138,7 +138,12 @@ _DECLARED = [
     # was red (ArrayType canon), so the r8 serialized form must be
     # driver-proven first.
     "lake_merge_changelog",
-    "dedup_decontaminate_ngram",
+    # Round-9 NEW operator (landing-round proof): embedding-cosine
+    # decontamination — eval side broadcast once, one exact Arrow GEMM
+    # pass over train. In for dedup_decontaminate_ngram (driver-green
+    # r8, pytest-oracled forever; streaming_decontaminate keeps the
+    # n-gram family in-window).
+    "dedup_decontaminate_embedding",
     # Round-8 NEW operator (landing-round proof): ExactSubstr dedup
     # (Lee et al. 2021) — duplicate k-token spans removed corpus-wide,
     # hash-compared on the cleaned text itself. In for

@@ -10,7 +10,7 @@ just final answers — are verified.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from torua_spark.functions.compat import round4_sql
 from torua_spark.operators import dedup as dd
@@ -168,6 +168,14 @@ QUERIES = {
     # a literal dict -> map literal, pure JVM dot.
     "text_quality_classifier": lambda s, d: ta.linear_quality_score(
         _docs(s, d), _quality_weights(), QUALITY_BIAS
+    ),
+    # Embedding-cosine decontamination (round 9): train vectors whose
+    # best eval-benchmark match clears the threshold — eval side
+    # broadcast once, one exact Arrow GEMM pass over train.
+    "dedup_decontaminate_embedding": lambda s, d: sim.decontaminate_embeddings(
+        _emb(s, d).filter(F.col("vec_id") % 50 != 0),
+        _emb(s, d).filter(F.col("vec_id") % 50 == 0),
+        NEARDUP_COS_THRESHOLD,
     ),
     "rag_hashed_retrieval": lambda s, d: rt.hashed_retrieval(
         _docs(s, d), HASHED_QUERY_TEXT, 10
@@ -910,6 +918,37 @@ def _quality_oracle_sql() -> str:
 
 
 ORACLE["text_quality_classifier"] = _quality_oracle_sql()
+
+# Embedding decontamination: brute-force cross join IS the oracle (the
+# Spark side is exact too — broadcast GEMM, no LSH); round4 before the
+# argmax/rank so tie-breaks agree, smallest eval_id wins ties.
+ORACLE["dedup_decontaminate_embedding"] = f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding FROM embeddings
+        WHERE vec_id % 50 = 0
+          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    tr AS (
+        SELECT vec_id AS train_id, embedding FROM embeddings
+        WHERE vec_id % 50 != 0
+          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    sims AS (
+        SELECT train_id, eval_id,
+               floor(list_cosine_similarity(tr.embedding::DOUBLE[],
+                                            ev.embedding::DOUBLE[])
+                     * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+        FROM tr CROSS JOIN ev
+    ),
+    best AS (
+        SELECT train_id, eval_id, sim,
+               row_number() OVER (PARTITION BY train_id
+                                  ORDER BY sim DESC, eval_id) AS rn
+        FROM sims
+    )
+    SELECT train_id, eval_id, sim FROM best
+    WHERE rn = 1 AND sim >= {NEARDUP_COS_THRESHOLD}
+"""
 
 
 def _bm25_ranked_sql(limit: int) -> str:
