@@ -373,3 +373,27 @@ def test_heavy_hitters_multi_batch_keeps_final_summary_only(spark, tmp_path):
     for u, f_ in exact.items():
         if f_ > 160 / HH_CAPACITY:
             assert u in cands, (u, f_)
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir):
+    """The ingest gate is stateless per document, so the drained
+    stream must equal the batch classifier row-for-row — the
+    equivalence the shared oracle relies on."""
+    from torua_spark.operators.text_analysis import linear_quality_score
+    from torua_spark.queries.rag_q import QUALITY_BIAS, _quality_weights
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.streaming.windows import streaming_quality_gate
+
+    w = _quality_weights()
+    got = sorted(
+        map(tuple, streaming_quality_gate(spark, sf_dir, w, QUALITY_BIAS).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            linear_quality_score(
+                load_table(spark, sf_dir, "documents"), w, QUALITY_BIAS
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -222,7 +222,14 @@ _DECLARED = [
     "streaming_heavy_hitters",
     "streaming_knn",
     "streaming_attribution_join",
-    "streaming_decontaminate",
+    # Round-9 NEW streaming twin (landing-round proof): the ingest
+    # quality gate — linear_quality_score per micro-batch inside
+    # foreachBatch (stateless per doc, so the drained union equals the
+    # batch classifier and reuses its literal-weight oracle). In for
+    # streaming_decontaminate (driver-green r8, pytest-oracled
+    # forever; streaming_index_dedup keeps the streaming-probe family
+    # in-window).
+    "streaming_quality_gate",
     # Round-7 third swap (streaming half): the Kafka-shaped source
     # proof and the index-probed streaming dedup rotate in for
     # dedup_simhash and rag_hashed_retrieval (driver-green r4-r6,

@@ -314,3 +314,22 @@ QUERIES["streaming_knn"] = streaming_knn
 # batch self-kNN exactly — same codebook, same probe set, same
 # tie-break — so the drained stream reuses vector_knn_join's oracle.
 ORACLE["streaming_knn"] = _rag_q.ORACLE["vector_knn_join"]
+
+
+from torua_spark.streaming.windows import streaming_quality_gate  # noqa: E402
+
+
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 streaming twin of text_quality_classifier: the ingest
+    quality gate — every arriving document scored per micro-batch by
+    the same frozen hashed-feature weights."""
+    return streaming_quality_gate(
+        spark, sf_dir, _rag_q._quality_weights(), _rag_q.QUALITY_BIAS
+    )
+
+
+QUERIES["streaming_quality_gate"] = q_streaming_quality_gate
+
+# The gate is stateless per document, so streaming the corpus through
+# it equals the batch classifier exactly — same literal-weight oracle.
+ORACLE["streaming_quality_gate"] = _rag_q.ORACLE["text_quality_classifier"]

@@ -408,6 +408,55 @@ def streaming_index_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str,
+                           weights: dict[int, float], bias: float,
+                           threshold: float = 0.5) -> DataFrame:
+    """Streaming twin of the hashed-feature quality classifier (round
+    9) — the gate a pipeline runs AT INGEST, before anything lands in
+    the lake: each micro-batch of arriving documents is scored by
+    ``text_analysis.linear_quality_score`` (map-literal weights, pure
+    JVM dot) inside foreachBatch, where batch semantics make the
+    per-document L2 window legal (the direct-stream formulation would
+    need two chained aggregations — illegal on streams). The score is
+    stateless per document, so the union of per-batch outputs IS the
+    batch classifier's output and the same literal-weight DuckDB
+    oracle hash-checks the drained result. State held: none (the
+    streaming_lake_cdc foreachBatch precedent, minus even the sink
+    merge)."""
+    from torua_spark.operators.text_analysis import linear_quality_score
+
+    docs = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    outs: list[DataFrame] = []
+
+    def _score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        scored = linear_quality_score(
+            batch_df, weights, bias, threshold=threshold
+        )
+        outs.append(scored.localCheckpoint(eager=True))
+
+    q = docs.writeStream.foreachBatch(_score).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in outs:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(
+            spark, [],
+            "doc_id long, logit double, quality double, keep boolean",
+        )
+    return out
+
+
 DRIFT_REL_THRESHOLD = 0.3
 
 
