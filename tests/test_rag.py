@@ -1375,6 +1375,52 @@ def test_decontaminate_embeddings_vs_reference(spark):
         sim.DECON_EVAL_GATHER_ELEMS = old
 
 
+def test_decontaminate_embeddings_randomized_vs_numpy(spark):
+    """Randomized parity: on seeded gaussian corpora (with planted
+    near-copies so matches exist), decontaminate_embeddings equals
+    the full numpy brute force — same round4, same argmax tie-break."""
+    import numpy as np
+
+    from torua_spark.operators import similarity as sim
+
+    def r4(a):
+        return np.floor(a * 1e4 + 0.5 + 1e-9) / 1e4
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        dim, n_tr, n_ev = 12, 40, 7
+        ev = rng.normal(size=(n_ev, dim))
+        tr = rng.normal(size=(n_tr, dim))
+        # plant near-copies: train rows 0..4 = noisy eval rows
+        for i in range(5):
+            tr[i] = ev[i % n_ev] + rng.normal(scale=0.05, size=dim)
+        thresh = 0.6
+        sims = r4(
+            (tr @ ev.T)
+            / (np.linalg.norm(tr, axis=1)[:, None]
+               * np.linalg.norm(ev, axis=1)[None, :])
+        )
+        j = np.argmax(sims, axis=1)
+        best = sims[np.arange(n_tr), j]
+        want = {
+            int(i): (int(j[i]) + 1000, float(best[i]))
+            for i in range(n_tr) if best[i] >= thresh
+        }
+        train = spark.createDataFrame(
+            [(i, [float(x) for x in tr[i]]) for i in range(n_tr)],
+            "vec_id long, embedding array<double>",
+        )
+        eval_df = spark.createDataFrame(
+            [(i + 1000, [float(x) for x in ev[i]]) for i in range(n_ev)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.train_id: (r.eval_id, r.sim)
+            for r in sim.decontaminate_embeddings(train, eval_df, thresh).collect()
+        }
+        assert len(want) >= 5 and got == want, seed
+
+
 def test_linear_quality_score_vs_reference(spark):
     """linear_quality_score == a plain-Python reference scorer on the
     same md5 hashed features (independent of the SQL oracle): bucket,
