@@ -137,3 +137,47 @@ def test_clean_lines_stage_rewrites_and_chains(spark):
     )
     assert chained.columns == docs.columns
     assert chained.count() == 3
+
+
+def test_classifier_and_semantic_decon_stages_chain(spark, sf_dir):
+    """Round-9 stages: classifier_filter keeps exactly the keep=true
+    docs, decontaminate_semantic drops exactly the flagged doc_ids,
+    and both preserve schema so the chain continues."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+    from torua_spark.operators.text_analysis import linear_quality_score
+    from torua_spark.pipeline import CorpusPipeline
+    from torua_spark.queries.rag_q import QUALITY_BIAS, _quality_weights
+    from torua_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _quality_weights()
+    p = CorpusPipeline(spark, docs).classifier_filter(w, QUALITY_BIAS)
+    want_keep = {
+        r.doc_id
+        for r in linear_quality_score(docs, w, QUALITY_BIAS)
+        .filter("keep").collect()
+    }
+    assert {r.doc_id for r in p.df().select("doc_id").collect()} == want_keep
+    assert p.df().columns == docs.columns
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train_emb = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    eval_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    flagged = {
+        r.train_id
+        for r in sim.decontaminate_embeddings(
+            train_emb, eval_emb, 0.35, id_col="doc_id"
+        ).collect()
+    }
+    p2 = CorpusPipeline(spark, docs).decontaminate_semantic(
+        train_emb, eval_emb, 0.35
+    )
+    got = {r.doc_id for r in p2.df().select("doc_id").collect()}
+    base = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert got == base - flagged and len(flagged) > 0

@@ -150,6 +150,42 @@ class CorpusPipeline:
             self._docs.join(flagged.distinct(), "doc_id", "left_anti")
         )
 
+    def classifier_filter(self, weights: dict[int, float],
+                          bias: float = 0.0,
+                          threshold: float = 0.5) -> "CorpusPipeline":
+        """Learned quality gate (round 9): keep docs the hashed-feature
+        linear classifier scores >= threshold — the fastText-style
+        stage between the heuristic gates (quality_filter /
+        repetition_filter) and dedup. Weights are the frozen offline
+        model; the score is one JVM pass (linear_quality_score)."""
+        keep = (
+            ta.linear_quality_score(self._docs, weights, bias,
+                                    threshold=threshold)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        return self._with(self._docs.join(keep, "doc_id", "left_semi"))
+
+    def decontaminate_semantic(self, train_emb: DataFrame,
+                               eval_emb: DataFrame,
+                               threshold: float = 0.35,
+                               id_col: str = "doc_id") -> "CorpusPipeline":
+        """Embedding-cosine decontamination tier (round 9): drop
+        training docs whose embedding best-matches any eval-benchmark
+        embedding at >= threshold — the semantic sibling of
+        :meth:`decontaminate` for paraphrased leakage the n-gram tier
+        cannot see. BOTH relations carry (``id_col``, embedding) —
+        ``train_emb`` keyed like the corpus; the eval side is
+        broadcast once (similarity.decontaminate_embeddings)."""
+        from torua_spark.operators import similarity as sim
+
+        flagged = sim.decontaminate_embeddings(
+            train_emb, eval_emb, threshold, id_col=id_col
+        ).select(F.col("train_id").alias("doc_id"))
+        return self._with(
+            self._docs.join(flagged.distinct(), "doc_id", "left_anti")
+        )
+
     # ------------------------------------------------- sample / split
     def sample(self, rates: dict[str, float],
                default_rate: float = 1.0) -> "CorpusPipeline":
