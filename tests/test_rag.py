@@ -1508,3 +1508,56 @@ def test_mutual_knn_clusters_vs_union_find(spark, sf_dir):
     }
     assert got == want
     assert len(got) == n  # every vector labeled, singletons included
+
+
+def test_ivf_index_append_equals_from_scratch(spark, sf_dir, tmp_path):
+    """Frozen-codebook equivalence: appending a batch into a persisted
+    IVF index yields byte-identical probe results to a from-scratch
+    index built with the SAME centroids over base ∪ batch — plus the
+    loud guards (stale/duplicate ids, corrupt _meta)."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(emb.count() * 0.8)
+    base = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    p_inc = str(tmp_path / "inc")
+    sim.ivf_index_write(base, p_inc)
+    report = sim.ivf_index_append(spark, p_inc, batch)
+    assert report["appended"] == batch.count()
+    # from-scratch twin with the SAME frozen centroids
+    cents = spark.read.parquet(f"{p_inc}/centroids")
+    p_full = str(tmp_path / "full")
+    (
+        emb.join(sim.assign_cells(emb, cents), "vec_id")
+        .write.partitionBy("cell").parquet(f"{p_full}/vectors")
+    )
+    cents.write.parquet(f"{p_full}/centroids")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = [float(x) for x in q]
+    got = sorted(map(tuple, sim.ivf_index_topk(spark, p_inc, q, 10, 3).collect()))
+    want = sorted(map(tuple, sim.ivf_index_topk(spark, p_full, q, 10, 3).collect()))
+    assert got == want and len(got) == 10
+    # batch rows actually landed and are probe-visible
+    n_union = spark.read.parquet(f"{p_inc}/vectors").count()
+    assert n_union == emb.count()
+    # fresh-ids guard: re-appending the same batch is loud
+    with _pytest.raises(ValueError, match="fresh-ids"):
+        sim.ivf_index_append(spark, p_inc, batch)
+    # corrupt _meta is loud (missing _meta keeps the pre-meta contract)
+    shutil.rmtree(f"{p_inc}/_meta")
+    (tmp_path / "inc" / "_meta").mkdir()
+    (tmp_path / "inc" / "_meta" / "part-0.parquet").write_bytes(b"junk")
+    nxt = spark.createDataFrame(
+        [(emb.count() + 5, q)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception) as exc:
+        sim.ivf_index_append(spark, p_inc, nxt)
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+    shutil.rmtree(f"{p_inc}/_meta")
+    assert sim.ivf_index_append(spark, p_inc, nxt)["appended"] == 1

@@ -30,6 +30,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from torua_spark.functions.vectors import cosine, to_double_array
@@ -1198,11 +1199,78 @@ def ivf_index_write(embeddings: DataFrame, path: str,
         .parquet(f"{path}/vectors")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # one-row ``_meta`` sidecar (the exact_substring_index_write
+    # contract): max indexed id so ivf_index_append can VALIDATE its
+    # fresh-ids precondition loudly instead of silently double-indexing
+    embeddings.select(
+        F.max(F.col("vec_id")).cast("long").alias("max_id"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     vec_dir = pathlib.Path(f"{path}/vectors")
     return {
         "cells": len(list(vec_dir.glob("cell=*"))),
         "files": len(list(vec_dir.rglob("*.parquet"))),
     }
+
+
+def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
+    """Daily-ingest APPEND into a persisted IVF index (round 9 — the
+    vector twin of ``incremental_exact_substring_dedup``): assign the
+    new vectors under the index's FROZEN codebook (the deployment
+    contract — retrain offline, append online; a retrain is a new
+    ``ivf_index_write``) and append them into their ``cell=``
+    directories. Because assignment under a frozen codebook is
+    deterministic per vector, the appended index is EXACTLY the index
+    a from-scratch write with the same centroids would produce over
+    base ∪ batch — the oracle-checked equivalence — and every probe
+    path (``ivf_index_topk`` / ``ivf_index_knn_batch``) serves the
+    union with unchanged partition pruning.
+
+    Cost: one assignment pass over the BATCH only (centroids are
+    index-metadata-sized) + nothing re-read from the base corpus —
+    at 100 TB the append touches new data and k centroid rows, full
+    stop. The ``_meta`` sidecar's max-id precondition is validated
+    LOUDLY (a re-ingested id would double-index the vector and skew
+    every downstream kNN rank); pre-meta indexes skip the check with
+    the old caller-beware contract, but any other sidecar read error
+    raises."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    try:
+        meta = spark.read.parquet(f"{path}/_meta").collect()
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        meta = []  # pre-meta index: no validation possible
+    if meta and meta[0]["max_id"] is not None:
+        max_indexed = meta[0]["max_id"]
+        batch_min = new_embeddings.agg(
+            F.min(F.col("vec_id")).cast("long")
+        ).collect()[0][0]
+        if batch_min is not None and batch_min <= max_indexed:
+            raise ValueError(
+                f"fresh-ids precondition violated: batch min vec_id="
+                f"{batch_min} <= max indexed id {max_indexed}; appending "
+                f"would double-index the vector and skew every kNN rank "
+                f"(rebuild the index or re-key the batch)"
+            )
+    cells = assign_cells(new_embeddings, cents)
+    n_new = new_embeddings.count()
+    (
+        new_embeddings.join(cells, "vec_id")
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    # one agg-select write, NOT createDataFrame (local-relation
+    # construction costs seconds per call in this PySpark build);
+    # greatest(NULL, x) = x covers an empty batch / pre-meta index
+    old_max = meta[0]["max_id"] if meta else None
+    new_embeddings.agg(
+        F.greatest(
+            F.max(F.col("vec_id")).cast("long"),
+            F.lit(old_max).cast("long"),
+        ).alias("max_id")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    return {"appended": n_new}
 
 
 def ivf_index_topk(spark, path: str, query_vec, k: int = 10,

@@ -109,7 +109,14 @@ _DECLARED = [
     # so B7 keeps four in-window witnesses). With this swap the
     # every-standalone-entry-driver-proven discipline has zero backlog.
     "vector_cluster_mutual_knn",
-    "vector_ann_ivf_learned",
+    # Round-9 NEW operator (landing-round proof): persisted-IVF APPEND
+    # — the daily-ingest index life cycle (write 80% / append 20%
+    # under the frozen codebook / partition-pruned probe of the
+    # union); oracle trains the unrolled Lloyd on the same 80% slice
+    # and proves append == from-scratch-with-frozen-codebook. In for
+    # vector_ann_ivf_learned (driver-green r8, pytest-oracled forever;
+    # its Lloyd+probe arithmetic runs inside this entry's oracle).
+    "vector_index_append",
     "vector_neardup_pairs",
     # Round-7 fifth (final) swap: the round's last five new oracled
     # operators driver-proven the round they landed — streaming

@@ -1231,7 +1231,8 @@ ORACLE["dedup_cluster_canonical"] = _canonical_oracle_sql()
 
 def _kmeans_ctes(k: int = sim.KMEANS_K,
                  iters: int = sim.KMEANS_ITERATIONS,
-                 k_sql: str | None = None) -> list[str]:
+                 k_sql: str | None = None,
+                 train_where: str | None = None) -> list[str]:
     """CTE chain for the loop-unrolled fixed-iteration Lloyd (same
     strategy as the PPR/CC oracles), ending at ``cent{iters}`` —
     shared by the kmeans-assignment, learned-IVF, and auto-semantic-
@@ -1244,12 +1245,19 @@ def _kmeans_ctes(k: int = sim.KMEANS_K,
     expression (the auto-semantic-dedup path sizes k from the corpus:
     block count grows with the data, per-block population constant) —
     the seed CTE switches from LIMIT to a row_number filter so the
-    count can be data-dependent."""
+    count can be data-dependent.
+
+    ``train_where`` (round 9, the index-append oracle): a vec_id
+    predicate restricting seed choice and every TRAINING iteration to
+    the base corpus — the frozen-codebook contract — while ``pos``
+    (and so the final assignment a caller builds from cent{iters})
+    still covers every vector."""
+    tw = f" WHERE {train_where}" if train_where else ""
     if k_sql is None:
         seed_src = f"""(
                 SELECT vec_id,
                        CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell
-                FROM (SELECT vec_id FROM embeddings
+                FROM (SELECT vec_id FROM embeddings{tw}
                       ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k})
             )"""
     else:
@@ -1257,7 +1265,7 @@ def _kmeans_ctes(k: int = sim.KMEANS_K,
                 SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cell FROM (
                     SELECT vec_id,
                            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
-                    FROM embeddings
+                    FROM embeddings{tw}
                 ) WHERE rn <= ({k_sql})
             )"""
     ctes = [
@@ -1265,10 +1273,14 @@ def _kmeans_ctes(k: int = sim.KMEANS_K,
             SELECT vec_id, unnest(range(len(embedding)))::INTEGER AS pos,
                    unnest(embedding)::DOUBLE AS v
             FROM embeddings)""",
-        f"""cent0 AS (
-            SELECT sc.cell, p.pos, p.v AS m
-            FROM {seed_src} sc JOIN pos p USING (vec_id))""",
     ]
+    t = "pos"
+    if train_where:
+        ctes.append(f"tpos AS (SELECT * FROM pos WHERE {train_where})")
+        t = "tpos"
+    ctes.append(f"""cent0 AS (
+            SELECT sc.cell, p.pos, p.v AS m
+            FROM {seed_src} sc JOIN {t} p USING (vec_id))""")
     for i in range(iters):
         ctes.append(f"""a{i} AS (
             SELECT vec_id, cell FROM (
@@ -1276,13 +1288,13 @@ def _kmeans_ctes(k: int = sim.KMEANS_K,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d4, cell) AS rn
                 FROM (SELECT p.vec_id, c.cell,
                              floor(sum((p.v - c.m) * (p.v - c.m)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
-                      FROM pos p JOIN cent{i} c ON p.pos = c.pos
+                      FROM {t} p JOIN cent{i} c ON p.pos = c.pos
                       GROUP BY p.vec_id, c.cell)
             ) WHERE rn = 1)""")
         ctes.append(f"""cent{i + 1} AS (
             SELECT a.cell, p.pos,
                    floor(avg(p.v) * 1000000.0 + 0.5 + 1e-9) / 1000000.0 AS m
-            FROM a{i} a JOIN pos p USING (vec_id)
+            FROM a{i} a JOIN {t} p USING (vec_id)
             GROUP BY a.cell, p.pos)""")
     return ctes
 
@@ -1348,6 +1360,77 @@ def _ivf_learned_oracle_sql(k: int = sim.KMEANS_K,
 
 
 ORACLE["vector_ann_ivf_learned"] = _ivf_learned_oracle_sql()
+
+
+def _q_vector_index_append(spark, sf_dir) -> DataFrame:
+    """Round-9 persisted-index life cycle end-to-end: build the IVF
+    index on the FIRST 80% of the corpus (one ivf_index_write), APPEND
+    the last 20% under the frozen codebook (ivf_index_append — the
+    daily-ingest shape, nothing re-read from the base), then serve a
+    probe over the union (ivf_index_topk, partition-pruned). The
+    oracle trains the loop-unrolled Lloyd on the SAME 80% slice
+    (train_where), assigns everything under the frozen cent{iters},
+    and walks the identical rounded probe/rank — so the hash match
+    proves append == from-scratch-with-frozen-codebook."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.8)
+    tmp = tempfile.mkdtemp(prefix="torua_ivf_append_")
+    path = f"{tmp}/ivf"
+    try:
+        sim.ivf_index_write(emb.filter(F.col("vec_id") < cut), path)
+        sim.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= cut))
+        q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = sim.ivf_index_topk(spark, path, [float(x) for x in q],
+                                 k=10, nprobe=3)
+        # materialize before the index directory is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["vector_index_append"] = _q_vector_index_append
+
+
+def _ivf_append_oracle_sql(k: int = sim.KMEANS_K,
+                           iters: int = sim.KMEANS_ITERATIONS,
+                           nprobe: int = 3, topk: int = 10) -> str:
+    """Frozen-codebook append oracle: Lloyd restricted to the base 80%
+    (train_where), final assignment over ALL vectors, then exactly
+    ivf_index_topk's probe arithmetic (round4 centroid cosine, cell
+    tie-break; round4 vector cosine, vec_id tie-break)."""
+    cut = "(SELECT CAST(floor(count(*) * 0.8) AS BIGINT) FROM embeddings)"
+    ctes = _kmeans_ctes(k, iters, train_where=f"vec_id < {cut}")
+    ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
+    ctes.append(f"q AS ({_QVEC})")
+    ctes.append(f"""centlist AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid
+        FROM cent{iters} GROUP BY cell)""")
+    ctes.append(f"""probed AS (
+        SELECT cell FROM (
+            SELECT cell, row_number() OVER (
+                ORDER BY floor(list_cosine_similarity(centroid, qe) * 10000.0 + 0.5 + 1e-9) / 10000.0 DESC,
+                         cell) AS crank
+            FROM centlist, q
+        ) WHERE crank <= {nprobe})""")
+    ctes.append("""scored AS (
+        SELECT e.vec_id, a.cell,
+               floor((list_cosine_similarity(e.embedding::DOUBLE[], qe)) * 10000.0 + 0.5 + 1e-9) / 10000.0 AS sim
+        FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+        WHERE a.cell IN (SELECT cell FROM probed))""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, CAST(cell AS INTEGER) AS cell, sim,
+               CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {topk}"""
+    )
+
+
+ORACLE["vector_index_append"] = _ivf_append_oracle_sql()
 
 
 def _pq_oracle_sql(m: int = sim.PQ_M, k: int = sim.PQ_K,
