@@ -1261,6 +1261,29 @@ def test_exact_substring_oversized_id_is_loud(spark):
     )
     with _pytest.raises(Exception, match="overflow|surrogate"):
         exact_substring_dedup(docs, k=4).collect()
+    # Long.MIN_VALUE: abs() would overflow back negative and slip an
+    # abs-based guard (r9 review) — the comparison form stays loud
+    docs_min = spark.createDataFrame(
+        [(-(1 << 63), "one two three four five")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="overflow|surrogate"):
+        exact_substring_dedup(docs_min, k=4).collect()
+
+
+def test_decontaminate_embeddings_rejects_string_ids(spark):
+    """String/UUID ids fail the int64 gather contract with the remap
+    message, not a cryptic numpy cast error (r9 review)."""
+    import pytest as _pytest
+
+    from torua_spark.operators import similarity as sim
+
+    e = [0.0, 1.0]
+    good = spark.createDataFrame([(1, e)], "vec_id long, embedding array<double>")
+    bad = spark.createDataFrame([("a", e)], "vec_id string, embedding array<double>")
+    with _pytest.raises(ValueError, match="integral"):
+        sim.decontaminate_embeddings(bad, good, 0.5)
+    with _pytest.raises(ValueError, match="integral"):
+        sim.decontaminate_embeddings(good, bad, 0.5)
 
 
 def test_exact_substring_spans_exact_for_threshold_k(spark):

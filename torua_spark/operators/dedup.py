@@ -24,7 +24,6 @@ to the DuckDB oracle, no UDFs, no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from torua_spark.functions.text import jaccard, md5_32, tokens
@@ -816,7 +815,11 @@ def _window_hashes(documents: DataFrame, k: int, id_col: str,
             ).cast("long"),
         )
         .when(
-            F.abs(F.col(id_col).cast("long")) >= F.lit(_ID_LIMIT),
+            # two comparisons, NOT abs(): abs(Long.MIN_VALUE) overflows
+            # back to a negative under non-ANSI and would slip the
+            # guard (r9 review)
+            (F.col(id_col).cast("long") >= F.lit(_ID_LIMIT))
+            | (F.col(id_col).cast("long") <= F.lit(-_ID_LIMIT)),
             F.raise_error(
                 F.lit(
                     f"|{id_col}| exceeds {_ID_LIMIT} — id * 2^20 would "
@@ -961,18 +964,12 @@ def incremental_exact_substring_dedup(
     incremental path cannot un-pick a first occurrence the index
     already assigned to the base corpus); pre-meta indexes skip the
     check with the old caller-beware contract."""
+    from torua_spark.sources.io import read_meta_sidecar
+
     wins = _window_hashes(new_docs, k, id_col, text_col)
-    try:
-        meta = spark.read.parquet(f"{index_path}/_meta").collect()
-    except AnalysisException as exc:
-        # ONLY the documented pre-meta-index case (no _meta directory)
-        # may skip validation; a corrupt or permission-broken sidecar
-        # must stay loud — swallowing it would silently disable the
-        # monotone-ingest-key guard this function exists to enforce
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        meta = []  # pre-meta index: no validation possible
+    # [] ONLY for a missing sidecar (pre-meta index: no validation
+    # possible); corrupt/permission-broken sidecars re-raise loudly
+    meta = read_meta_sidecar(spark, index_path)
     if meta:
         max_indexed = meta[0]["max_id"]
         meta_k = meta[0]["k"]

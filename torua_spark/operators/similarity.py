@@ -30,7 +30,6 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from torua_spark.functions.vectors import cosine, to_double_array
@@ -588,6 +587,38 @@ def _shuffle_width(df: DataFrame) -> int:
         return max(1, spark.sparkContext.defaultParallelism)
 
 
+def _collect_gather_triple(base: DataFrame):
+    """Collect a (vec_id, e, nrm) relation as the id-sorted
+    (ids, matrix, norms) numpy triple the gather paths broadcast.
+    Arrow transfer: cells arrive as numpy arrays, not boxed Python
+    lists — the transient driver footprint stays near the final
+    matrix size. NULL / ragged embeddings and NULL norms become NaN
+    rows (sentinel downstream). ONE definition on purpose (r9 review):
+    _verified_cos_pairs and decontaminate_embeddings must gather
+    identically or their NULL handling silently diverges. Callers
+    check the element budget and integral-id contract BEFORE calling —
+    this function collects."""
+    pdf = base.select("vec_id", "e", "nrm").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    evals = pdf["e"].to_numpy()
+    dim = next(
+        (len(evals[int(i)]) for i in order if evals[int(i)] is not None),
+        0,
+    )
+    mat = np.full((len(ids), max(dim, 1)), np.nan)
+    nrm = np.full(len(ids), np.nan)
+    nvals = pdf["nrm"].to_numpy()
+    for out_i, i in enumerate(order):
+        e = evals[int(i)]
+        if e is not None and len(e) == dim and dim > 0:
+            mat[out_i] = np.asarray(e, dtype=np.float64)
+        v = nvals[int(i)]
+        if v is not None and not (isinstance(v, float) and math.isnan(v)):
+            nrm[out_i] = v
+    return ids[order], mat, nrm
+
+
 def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
                         n_rows: int | None = None) -> DataFrame:
     """Exact-cosine verification of a candidate pair relation:
@@ -628,30 +659,7 @@ def _verified_cos_pairs(base: DataFrame, cands: DataFrame, threshold: float,
         probe = base.agg(F.max(F.size("e")).alias("d")).collect()[0]
         dim0 = int(probe["d"]) if probe["d"] is not None else 0
     if gatherable and 0 < n_rows * max(dim0, 1) <= PAIR_VERIFY_GATHER_ELEMS:
-        # Arrow transfer: cells arrive as numpy arrays, not boxed
-        # Python lists — the transient driver footprint stays near the
-        # final matrix size instead of several x the element budget
-        pdf = base.select("vec_id", "e", "nrm").toPandas()
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        evals = pdf["e"].to_numpy()
-        dim = next(
-            (len(evals[int(i)]) for i in order if evals[int(i)] is not None),
-            0,
-        )
-        # NULL / ragged embeddings become NaN rows -> NaN sim -> fail
-        # the threshold filter, matching the join path's behavior
-        mat = np.full((len(ids), max(dim, 1)), np.nan)
-        nrm = np.full(len(ids), np.nan)
-        nvals = pdf["nrm"].to_numpy()
-        for out_i, i in enumerate(order):
-            e = evals[int(i)]
-            if e is not None and len(e) == dim and dim > 0:
-                mat[out_i] = np.asarray(e, dtype=np.float64)
-            v = nvals[int(i)]
-            if v is not None and not (isinstance(v, float) and math.isnan(v)):
-                nrm[out_i] = v
-        sids = ids[order]
+        sids, mat, nrm = _collect_gather_triple(base)
         bc = _gather_broadcast(base.sparkSession.sparkContext,
                                (sids, mat, nrm))
 
@@ -1232,15 +1240,20 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
     LOUDLY (a re-ingested id would double-index the vector and skew
     every downstream kNN rank); pre-meta indexes skip the check with
     the old caller-beware contract, but any other sidecar read error
-    raises."""
+    raises.
+
+    Crash discipline (r9 review): ``_meta`` is advanced BEFORE the
+    vectors append, so the failure mode is FAIL-CLOSED — a crash
+    between the two writes makes the retry raise the fresh-ids error
+    (remedy: rebuild or re-key), never silently double-index. The
+    remaining window (a crash during the _meta overwrite itself
+    deletes the sidecar and downgrades the index to the pre-meta
+    caller-beware contract) is the same narrow non-atomic-rename
+    window the lake swap protocol documents in sources/io.py."""
+    from torua_spark.sources.io import read_meta_sidecar
+
     cents = spark.read.parquet(f"{path}/centroids")
-    try:
-        meta = spark.read.parquet(f"{path}/_meta").collect()
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        meta = []  # pre-meta index: no validation possible
+    meta = read_meta_sidecar(spark, path)
     if meta and meta[0]["max_id"] is not None:
         max_indexed = meta[0]["max_id"]
         batch_min = new_embeddings.agg(
@@ -1255,14 +1268,10 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
             )
     cells = assign_cells(new_embeddings, cents)
     n_new = new_embeddings.count()
-    (
-        new_embeddings.join(cells, "vec_id")
-        .write.mode("append").partitionBy("cell")
-        .parquet(f"{path}/vectors")
-    )
-    # one agg-select write, NOT createDataFrame (local-relation
-    # construction costs seconds per call in this PySpark build);
-    # greatest(NULL, x) = x covers an empty batch / pre-meta index
+    # _meta FIRST (fail-closed, see docstring). One agg-select write,
+    # NOT createDataFrame (local-relation construction costs seconds
+    # per call in this PySpark build); greatest(NULL, x) = x covers an
+    # empty batch / pre-meta index
     old_max = meta[0]["max_id"] if meta else None
     new_embeddings.agg(
         F.greatest(
@@ -1270,6 +1279,11 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
             F.lit(old_max).cast("long"),
         ).alias("max_id")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    (
+        new_embeddings.join(cells, "vec_id")
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
     return {"appended": n_new}
 
 
@@ -1663,15 +1677,28 @@ def decontaminate_embeddings(
     -2.0 (below any cosine) — never selected, never emitted."""
     from torua_spark.functions.vectors import norm
 
+    # integral-id contract (the _verified_cos_pairs gate): string/UUID
+    # ids would crash deep in the int64 gather with a cryptic numpy
+    # error instead of this message
+    for side, df_ in (("train", train), ("eval", eval_df)):
+        id_type = df_.schema[id_col].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"decontaminate_embeddings needs an integral {id_col!r} "
+                f"on the {side} side for the int64 gather, got "
+                f"{id_type}; map string/UUID ids to a surrogate long "
+                f"first"
+            )
     base_e = eval_df.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("e")
     ).withColumn("nrm", norm(F.col("e")))
-    pdf = base_e.toPandas()
-    m = len(pdf)
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    order = np.argsort(ids)
-    evals = pdf["e"].to_numpy()
-    dim = next((len(evals[int(i)]) for i in order if evals[int(i)] is not None), 0)
+    # budget probe BEFORE the collect (r9 review: the loud guard must
+    # fire before the driver pays the transfer it exists to prevent)
+    probe = base_e.agg(
+        F.count(F.lit(1)).alias("m"), F.max(F.size("e")).alias("d")
+    ).collect()[0]
+    m = int(probe["m"])
+    dim = int(probe["d"]) if probe["d"] is not None else 0
     if m * max(dim, 1) > DECON_EVAL_GATHER_ELEMS:
         raise ValueError(
             f"eval side is {m} x {dim} = {m * dim} elements, over the "
@@ -1679,17 +1706,7 @@ def decontaminate_embeddings(
             f"eval set into budget-sized chunks and union the match "
             f"relations (exact and linear either way)"
         )
-    mat = np.full((m, max(dim, 1)), np.nan)
-    nrm = np.full(m, np.nan)
-    nvals = pdf["nrm"].to_numpy()
-    for out_i, i in enumerate(order):
-        e = evals[int(i)]
-        if e is not None and len(e) == dim and dim > 0:
-            mat[out_i] = np.asarray(e, dtype=np.float64)
-        v = nvals[int(i)]
-        if v is not None and not (isinstance(v, float) and math.isnan(v)):
-            nrm[out_i] = v
-    sids = ids[order]
+    sids, mat, nrm = _collect_gather_triple(base_e)
     # zero-norm eval vectors: NaN row -> sentinel after the divide
     with np.errstate(divide="ignore", invalid="ignore"):
         mat_n = mat / nrm[:, None]

@@ -314,8 +314,16 @@ def linear_quality_score(
     Spark-first plan — pure JVM end to end: the weight vector becomes
     a MAP LITERAL indexed per feature row (no join, no Python), the
     dot product is one sum per doc over its <= dim non-zero feature
-    rows, and the left join back to ``documents`` gives feature-less
-    docs (empty text) their prior sigmoid(bias). Cost: the one
+    rows, and the left join back to ``documents`` gives FEATURE-LESS
+    docs their prior sigmoid(bias). Note the edge semantics honestly
+    (r9 review): an empty/whitespace-only ``text`` tokenizes to the
+    single empty token (``split`` semantics, identical in DuckDB), so
+    such docs carry ONE real hashed feature — md5("")'s bucket with
+    weight ±1 — not the prior; the prior path fires only when a doc
+    produces no non-zero feature row (signed bucket counts that all
+    cancel). Deterministic and cross-engine identical either way;
+    strip empty docs upstream if they should score as priors. Cost:
+    the one
     (doc, bucket) aggregation feature hashing already pays + one
     doc-keyed agg — linear in corpus tokens, no vocabulary state,
     nothing to broadcast but dim doubles. At 100 TB this is the same

@@ -512,3 +512,24 @@ def purge_predicate(spark: SparkSession, path: str, predicate: str,
         "partitions_rewritten": len(hit_parts),
         "rows_deleted": sum(hits.values()),
     }
+
+
+def read_meta_sidecar(spark: SparkSession, path: str) -> list:
+    """Read an index's one-row ``_meta`` parquet sidecar (the
+    exact-substring / IVF index contract). Returns ``[]`` ONLY for the
+    documented pre-meta case — the sidecar directory does not exist;
+    any OTHER read error (corrupt files, permission failures)
+    re-raises, because a swallowed error would silently disable the
+    validation the sidecar powers. ONE definition on purpose: the
+    missing-path error strings differ across Spark versions, and two
+    drifting copies of this classification would mean one index family
+    goes loud while the other goes silent (r9 review)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/_meta").collect()
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return []
