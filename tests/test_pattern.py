@@ -1428,3 +1428,94 @@ def test_fk_hop_then_conjunct_chain_alias_collision(spark, sf_dir):
     # same order — the exact row count is data-derived; the regression
     # is that this COMPILES and runs (it crashed before the fix)
     assert got[0]["n"] >= 0
+
+
+def test_node_property_map_desugars_to_where(spark):
+    """Round-9 sugar: (a:L {k: v}) == (a:L) + WHERE a.k = v (Cypher's
+    defined rewrite), in MATCH, comma-conjunction, and OPTIONAL MATCH
+    scopes — the OPTIONAL form filters PRE-join so anchors survive."""
+    people = spark.createDataFrame(
+        [(i, f"p{i}", 100 * i) for i in range(4)],
+        "pid long, name string, bal long",
+    )
+    knows = spark.createDataFrame([(0, 1), (1, 2)], "ksrc long, kdst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+    )
+    got = pg.query(
+        "MATCH (a:person {name: 'p0'})-[:KNOWS]->(b:person) RETURN a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(0, 1)]
+    # equivalent explicit-WHERE form produces the same rows
+    want = pg.query(
+        "MATCH (a:person)-[:KNOWS]->(b:person) WHERE a.name = 'p0' "
+        "RETURN a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(r.a, r.b) for r in want]
+    # multi-key map = AND of terms
+    none = pg.query(
+        "MATCH (a:person {name: 'p0', bal: 5})-[:KNOWS]->(b) RETURN a, b"
+    ).collect()
+    assert none == []
+    # OPTIONAL MATCH map scopes pre-join: anchors survive with 0
+    opt = {
+        r.a: r.n
+        for r in pg.query(
+            "MATCH (a:person) OPTIONAL MATCH "
+            "(a)-[:KNOWS]->(b:person {name: 'p2'}) "
+            "RETURN a, count(b) AS n"
+        ).collect()
+    }
+    assert opt == {0: 0, 1: 1, 2: 0, 3: 0}
+    # anonymous node with a map is loud
+    with pytest.raises(ValueError, match="named node"):
+        pg.query("MATCH (a:person)-[:KNOWS]->({name: 'p1'}) RETURN a")
+
+
+def test_relationship_alternation_unions_bindings(spark):
+    """Round-9: [:A|B] compiles each type and unions the BINDINGS
+    (bag semantics — one row per matching relationship), so WHERE and
+    aggregates apply once over the union; edge variables and
+    later-clause alternations are loud."""
+    people = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(6)], "pid long, name string"
+    )
+    knows = spark.createDataFrame([(0, 1), (1, 2)], "ksrc long, kdst long")
+    likes = spark.createDataFrame([(3, 1), (0, 5)], "lsrc long, ldst long")
+    pg = (
+        PropertyGraph()
+        .add_vertex("person", people, "pid")
+        .add_edge("KNOWS", knows, "ksrc", "kdst")
+        .add_edge("LIKES", likes, "lsrc", "ldst")
+    )
+    rows = sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS|LIKES]->(b:person) RETURN a, b"
+        ).collect()
+    )
+    assert rows == [(0, 1), (0, 5), (1, 2), (3, 1)]
+    agg = {
+        r.a: r.n
+        for r in pg.query(
+            "MATCH (a:person)-[:KNOWS|LIKES]->(b) RETURN a, count(*) AS n"
+        ).collect()
+    }
+    assert agg == {0: 2, 1: 1, 3: 1}
+    # composes with property maps
+    both = sorted(
+        (r.a, r.b)
+        for r in pg.query(
+            "MATCH (a:person {name: 'p0'})-[:KNOWS|LIKES]->(b:person) "
+            "RETURN a, b"
+        ).collect()
+    )
+    assert both == [(0, 1), (0, 5)]
+    with pytest.raises(ValueError, match="edge variable"):
+        pg.query("MATCH (a:person)-[r:KNOWS|LIKES]->(b) RETURN a, r.w")
+    with pytest.raises(ValueError, match="initial MATCH"):
+        pg.query(
+            "MATCH (a:person) MATCH (a)-[:KNOWS|LIKES]->(b) RETURN a, b"
+        )

@@ -433,6 +433,86 @@ class PropertyGraph:
         binding, _, _ = self._compile(pattern)
         return binding
 
+    # [r:A|B] — relationship-type alternation; optional range suffix
+    _ALT_HOP = re.compile(r"\[(\w*):(\w+(?:\|\w+)+)(\*[^\]]*)?\]")
+    # (a:L {k: v, ...}) — node property map (label optional)
+    _PROP_MAP = re.compile(r"\((\w*)\s*(?::\s*(\w+))?\s*\{([^{}]*)\}\s*\)")
+
+    def _strip_prop_maps(self, text: str) -> tuple[str, list[str]]:
+        """Desugar Cypher node PROPERTY MAPS (round 9): ``(a:L {k: v,
+        k2: v2})`` is defined by Cypher as sugar for ``(a:L)`` plus
+        ``a.k = v AND a.k2 = v2`` — exactly how it compiles here, so
+        the predicates ride the existing WHERE machinery and Catalyst
+        pushes them into the vertex scan like any other filter.
+        Returns (cleaned pattern text, list of equality terms). The
+        node must be NAMED (an anonymous ``({k: v})`` has no variable
+        for the desugared term to bind — loud, with the fix). String
+        values containing braces are out of scope for the brace scan
+        and fail the pattern grammar loudly, never silently."""
+        terms: list[str] = []
+
+        def _one(m: "re.Match") -> str:
+            var, label, body = m.group(1), m.group(2), m.group(3)
+            if not var:
+                raise ValueError(
+                    "property maps need a named node variable — write "
+                    "(x {k: v}) so the desugared x.k = v term can bind"
+                )
+            for pair in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", body):
+                if not pair.strip():
+                    continue
+                m_p = re.match(r"^\s*(\w+)\s*:\s*(.+?)\s*$", pair)
+                if not m_p:
+                    raise ValueError(
+                        f"malformed property-map entry {pair.strip()!r} "
+                        f"(expected key: value)"
+                    )
+                terms.append(f"{var}.{m_p.group(1)} = {m_p.group(2)}")
+            return f"({var}{':' + label if label else ''})"
+
+        return self._PROP_MAP.sub(_one, text), terms
+
+    def _compile_alternation(self, text: str, m: "re.Match") -> tuple:
+        """Relationship-type ALTERNATION ``[:A|B]`` (round 9): compile
+        the chain once per relationship type and UNION ALL the
+        bindings — one row per matching relationship, Cypher's bag
+        semantics — projected onto the first variant's columns
+        (anonymous join columns are position-named, so variants of the
+        same chain shape align exactly; the _compile_range precedent).
+        WHERE / WITH / aggregates then apply ONCE over the union.
+        An edge VARIABLE on an alternating hop is rejected loudly:
+        the per-type attribute schemas need not align, so ``r.attr``
+        would be defined for some types and not others."""
+        if m.group(1):
+            raise ValueError(
+                f"edge variable {m.group(1)!r} on an alternating hop "
+                f"[:{m.group(2)}]: per-type attribute schemas need not "
+                f"align — match each type in its own query (UNION) to "
+                f"bind edge attributes"
+            )
+        rng = m.group(3) or ""
+        binding = labels = owner = None
+        for rel in m.group(2).split("|"):
+            variant = text[: m.start()] + f"[:{rel}{rng}]" + text[m.end():]
+            b, lab, own = self._compile_initial(variant)
+            if binding is None:
+                binding, labels, owner = b, lab, own
+            else:
+                binding = binding.unionByName(b.select(*binding.columns))
+        return binding, labels, owner
+
+    def _compile_initial(self, text: str) -> tuple:
+        """Initial-MATCH dispatcher: expand the first alternation (each
+        variant re-enters, so stacked alternations multiply out), then
+        the range hop, then the plain chain compile."""
+        m_alt = self._ALT_HOP.search(text)
+        if m_alt:
+            return self._compile_alternation(text, m_alt)
+        m_rng = self._RANGE_HOP.search(text)
+        if m_rng:
+            return self._compile_range(text, m_rng)
+        return self._compile(text)
+
     def _compile(
         self, pattern: str
     ) -> tuple[DataFrame, dict[str, str | None], dict[str, str]]:
@@ -1188,21 +1268,47 @@ class PropertyGraph:
                 # _apply_optional filters the optional side pre-join
                 j += 1
             text = body[end: spans[j][1] if j < len(spans) else len(body)]
-            m_rng = self._RANGE_HOP.search(text)
-            if m_rng and not (kind == "MATCH" and binding is None):
+            if (self._RANGE_HOP.search(text) or self._ALT_HOP.search(text)) \
+                    and not (kind == "MATCH" and binding is None):
                 raise ValueError(
-                    "variable-length RANGE hops are supported in the "
-                    "initial MATCH clause only (the per-length bindings "
-                    "union there; later clauses see one variable space)"
+                    "variable-length RANGE hops and [:A|B] alternations "
+                    "are supported in the initial MATCH clause only (the "
+                    "per-variant bindings union there; later clauses see "
+                    "one variable space)"
                 )
+            # node property maps desugar to WHERE equality terms in
+            # THIS clause's scope (pre-join for OPTIONAL MATCH)
+            map_terms: list[str] = []
+            if kind in ("MATCH", "OPT") and "{" in text:
+                if kind == "OPT":
+                    m_w0 = self._kw("WHERE", text)
+                    pat = text[: m_w0.start()] if m_w0 else text
+                    rest_w = text[m_w0.end():] if m_w0 else None
+                    pat, map_terms = self._strip_prop_maps(pat)
+                    if map_terms:
+                        t_sql = " AND ".join(map_terms)
+                        if rest_w is not None:
+                            # distribute over the existing scoped
+                            # WHERE's top-level OR disjuncts —
+                            # (x OR y) AND t == (x AND t) OR (y AND t)
+                            rest_w = " OR ".join(
+                                f"{d.strip()} AND {t_sql}"
+                                for d in self._split_outside_quotes(
+                                    "OR", rest_w
+                                )
+                            )
+                        else:
+                            rest_w = t_sql
+                    if rest_w is not None:
+                        text = f"{pat} WHERE {rest_w}"
+                    else:
+                        text = pat
+                    map_terms = []  # folded into the scoped WHERE
+                else:
+                    text, map_terms = self._strip_prop_maps(text)
             if kind == "MATCH":
                 if binding is None:
-                    if m_rng:
-                        binding, labels, owner = self._compile_range(
-                            text, m_rng
-                        )
-                    else:
-                        binding, labels, owner = self._compile(text)
+                    binding, labels, owner = self._compile_initial(text)
                 else:
                     # second MATCH clause == comma conjunction: walk
                     # its chains over the SAME binding state (bound =
@@ -1216,6 +1322,10 @@ class PropertyGraph:
                     for chain in (c for c in text.split(",") if c.strip()):
                         state = self._compile_chain(chain, state)
                     binding = state[0]
+                if map_terms:
+                    binding = self._apply_where(
+                        binding, " AND ".join(map_terms), labels, owner
+                    )
             elif kind == "OPT":
                 binding = self._apply_optional(text, binding, labels, owner)
             elif kind == "WITH":

@@ -222,7 +222,12 @@ _DECLARED = [
     "dedup_incremental_substring",
     "pack_sequences",
     "source_cap",
-    "graph_return_arithmetic",
+    # Round-9 form proof #2: [:A|B] relationship alternation (per-type
+    # bindings unioned before the aggregate) composed with a node
+    # property map ({k: v} -> pushed equality WHERE). In for
+    # graph_return_arithmetic (driver-green r8, same RETURN-grammar
+    # family, pytest-oracled forever).
+    "graph_alternation_map",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_profile_drift",
     "streaming_health_state",

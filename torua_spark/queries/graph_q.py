@@ -1084,6 +1084,42 @@ ORACLE["graph_shortest_path_unbounded"] = f"""
 """
 
 
+def q_alternation_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 form proof: relationship-type ALTERNATION ``[:A|B]``
+    (per-type bindings unioned — bag semantics — before the aggregate)
+    composed with a node PROPERTY MAP (``{c_mktsegment: 'BUILDING'}``,
+    Cypher's sugar for the equality WHERE, pushed into the customer
+    scan by Catalyst). Edge types model order status — the typed-edge
+    shape a property-graph user actually builds over transactions."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("OPEN", orders.filter(F.col("o_orderstatus") == "O"),
+                  "o_custkey", "o_orderkey")
+        .add_edge("DONE", orders.filter(F.col("o_orderstatus") == "F"),
+                  "o_custkey", "o_orderkey")
+    )
+    return pg.query(
+        "MATCH (c:customer {c_mktsegment: 'BUILDING'})-[:OPEN|DONE]->(o) "
+        "RETURN c AS c_custkey, count(*) AS n_settled"
+    )
+
+
+QUERIES["graph_alternation_map"] = q_alternation_map
+
+ORACLE["graph_alternation_map"] = """
+    SELECT o.o_custkey AS c_custkey, count(*)::BIGINT AS n_settled
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus IN ('O', 'F')
+    GROUP BY 1
+"""
+
+
 def q_return_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 expression-item proof: per-customer discounted revenue
     (sum over an arithmetic aggregate argument) plus a projected
