@@ -295,3 +295,41 @@ def test_k_core_vs_python_peeling(spark, sf_dir):
     assert len(got) > 0  # non-vacuous: a k-core exists at this k
     # and something was actually peeled
     assert len(got) < len(adj)
+
+
+def test_weighted_shortest_paths_convergence_mode(spark):
+    """rounds=None (round 9): converged Bellman-Ford == a
+    sufficiently-large fixed-round run, including the case the BFS
+    count probe would get WRONG — a path graph whose heavy shortcut
+    is replaced by a lighter longer route rounds after every vertex
+    is first reached (count stabilizes early, distances keep
+    improving) — plus the loud cap on a too-deep graph."""
+    import pytest
+
+    from torua_spark.operators import graph as g
+
+    # shortcut 0-3 (w=100) reaches 3 in round 1; the light chain
+    # 0-1-2-3 (total 3) only relaxes 3's dist by round 3 — after the
+    # reached COUNT went stable. The triple-aggregate probe must keep
+    # iterating until dist stabilizes too.
+    edges = spark.createDataFrame(
+        [(0, 3, 100), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    got = {
+        r.id: (r.dist, r.via)
+        for r in g.weighted_shortest_paths(edges, 0, None).collect()
+    }
+    want = {
+        r.id: (r.dist, r.via)
+        for r in g.weighted_shortest_paths(edges, 0, 10).collect()
+    }
+    assert got == want
+    assert got[3] == (3, 2) and got[4] == (4, 3)
+    # loud cap: a chain longer than the cap
+    n = g.SSSP_CONVERGE_CAP + 8
+    deep = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(n)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="still relaxing"):
+        g.weighted_shortest_paths(deep, 0, None)

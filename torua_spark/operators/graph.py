@@ -492,7 +492,7 @@ def reconstruct_path(paths: DataFrame, target_id: int) -> list[int]:
 
 
 def weighted_shortest_paths(edges: DataFrame, source_id: int,
-                            rounds: int = 6) -> DataFrame:
+                            rounds: int | None = 6) -> DataFrame:
     """B2 weighted — k-bounded lightest paths (Bellman-Ford rounds)
     over the undirected weighted graph: `dist` = minimum total edge
     weight among paths of <= `rounds` edges from `source_id`, with the
@@ -506,6 +506,21 @@ def weighted_shortest_paths(edges: DataFrame, source_id: int,
     min-plus would tie-break on rounding noise). Full Bellman-Ford is
     `rounds = |V| - 1`; a bounded k is the weighted analog of Cypher's
     `[*..k]` and keeps the job count fixed.
+
+    ``rounds=None`` (round 9 — the weighted twin of
+    ``shortest_paths(max_hops=None)``) runs to CONVERGENCE. The BFS
+    count probe is NOT sufficient here: distances keep improving
+    after first reach, so the fixpoint probe compares THREE monotone
+    aggregates — row count (non-decreasing), sum(dist)
+    (componentwise non-increasing under the struct-min, so the sum
+    strictly falls whenever any dist improves) and sum(via) over
+    dist-stable states (via only improves downward at equal dist) —
+    all three stable over a batch of rounds == nothing changed,
+    exactly (no hashing, no false convergence). Probes amortize over
+    SSSP_CONVERGE_BATCH rounds; a graph still relaxing at
+    SSSP_CONVERGE_CAP rounds raises (for non-negative integer
+    weights Bellman-Ford needs <= |V|-1 rounds, so the cap also
+    catches a negative-cycle input loudly instead of looping).
 
     Scale shape: identical to `shortest_paths` — sparse state, one
     aggregation shuffle per round, lazily chained checkpoints, the
@@ -533,21 +548,54 @@ def weighted_shortest_paths(edges: DataFrame, source_id: int,
             .localCheckpoint()
         )
         bcast = _use_broadcast_state("auto", n_edges, n_vertices)
-        for _ in range(rounds):
-            state = F.broadcast(dist) if bcast else dist
+
+        def _round(d: DataFrame) -> DataFrame:
+            state = F.broadcast(d) if bcast else d
             msgs = und.join(state, und.a == state.id).select(
                 F.col("b").alias("id"),
                 (F.col("dist") + F.col("w")).cast("long").alias("dist"),
                 F.col("a").cast("long").alias("via"),
             )
-            dist = (
-                msgs.unionByName(dist.select("id", "dist", "via"))
+            return (
+                msgs.unionByName(d.select("id", "dist", "via"))
                 .groupBy("id")
                 .agg(F.min(F.struct("dist", "via")).alias("s"))
                 .select("id", F.col("s.dist").alias("dist"), F.col("s.via").alias("via"))
                 .localCheckpoint(eager=False)
             )
-        dist = dist.localCheckpoint(eager=True)
+
+        def _fingerprint(d: DataFrame) -> tuple:
+            r = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist").alias("sd"),
+                F.sum(F.coalesce(F.col("via"), F.lit(0))).alias("sv"),
+            ).collect()[0]
+            return (r["n"], r["sd"], r["sv"])
+
+        if rounds is None:
+            prev = _fingerprint(dist)
+            done = 0
+            while True:
+                for _ in range(SSSP_CONVERGE_BATCH):
+                    dist = _round(dist)
+                done += SSSP_CONVERGE_BATCH
+                dist = dist.localCheckpoint(eager=True)
+                cur = _fingerprint(dist)
+                if cur == prev:
+                    break  # all three monotone aggregates stable = fixpoint
+                prev = cur
+                if done >= SSSP_CONVERGE_CAP:
+                    raise ValueError(
+                        f"weighted shortest paths still relaxing after "
+                        f"{done} Bellman-Ford rounds — graph diameter "
+                        f"exceeds SSSP_CONVERGE_CAP={SSSP_CONVERGE_CAP} "
+                        f"or the input has a negative cycle; pass an "
+                        f"explicit rounds bound for a partial relaxation"
+                    )
+        else:
+            for _ in range(rounds):
+                dist = _round(dist)
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 
