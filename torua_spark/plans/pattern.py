@@ -58,6 +58,15 @@ onto an existing DataFrame op (VERDICT r5 #4):
 - variable-length RANGE hops ``[:R*1..3]`` / ``[:R*..3]`` in query():
   per-length fixed-repeat expansion UNION ALLed — one row per path,
   Cypher semantics.
+- node PROPERTY MAPS (round 9): ``(a:L {k: v, k2: v2})`` desugars to
+  ``a.k = v`` equality terms in the clause's own WHERE scope —
+  Catalyst pushes them into the vertex scan; under OPTIONAL MATCH
+  they filter pre-join (distributed over the scoped WHERE's OR
+  disjuncts). Anonymous map nodes raise.
+- relationship ALTERNATION (round 9): ``[:A|B]`` compiles the chain
+  per type and UNION ALLs the bindings (bag semantics) before
+  WHERE/aggregates; initial MATCH only, edge variables rejected
+  (per-type attribute schemas need not align).
 - ``UNWIND <list> AS x`` (literal lists or bound array columns, e.g.
   a collect() alias from a preceding WITH) and flat arithmetic
   expressions (+ - * /, standard precedence, no parens) in RETURN/WITH
