@@ -1584,3 +1584,65 @@ def test_ivf_index_append_equals_from_scratch(spark, sf_dir, tmp_path):
     assert "PATH_NOT_FOUND" not in str(exc.value)
     shutil.rmtree(f"{p_inc}/_meta")
     assert sim.ivf_index_append(spark, p_inc, nxt)["appended"] == 1
+
+
+def test_ivf_index_compact_preserves_content_and_heals(spark, sf_dir, tmp_path):
+    """Compaction: file count drops to one per cell, content and probe
+    results are byte-identical, probes still partition-prune, and
+    every crash point of the two-rename swap self-heals (roll forward
+    with tmp, roll back with only trash, drop leftovers when live)."""
+    import os
+    import pathlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(emb.count() * 0.8)
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb.filter(F.col("vec_id") < cut), path)
+    sim.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= cut))
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = [float(x) for x in q]
+    probe_before = sorted(map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect()))
+    rep = sim.ivf_index_compact(spark, path)
+    cells = len(list(pathlib.Path(f"{path}/vectors").glob("cell=*")))
+    assert rep["files_after"] == cells <= rep["files_before"]
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    )
+    assert after == before
+    assert sorted(map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect())) == probe_before
+    # crash healing — (a) mid-write: live intact, stray tmp dropped
+    os.makedirs(f"{path}/.compact_tmp_vectors/cell=0", exist_ok=True)
+    assert sim.ivf_compact_recover(path) == "dropped_tmp"
+    assert not os.path.exists(f"{path}/.compact_tmp_vectors")
+    # (b) between the renames: live absent, tmp complete -> forward
+    os.rename(f"{path}/vectors", f"{path}/.compact_tmp_vectors")
+    os.makedirs(f"{path}/.compact_trash_vectors", exist_ok=True)
+    assert sim.ivf_compact_recover(path) == "rolled_forward"
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    ) == before
+    # (c) crash mid-write after trash rename never happens (trash only
+    # exists once live was renamed away) — but a lone trash rolls back
+    os.rename(f"{path}/vectors", f"{path}/.compact_trash_vectors")
+    assert sim.ivf_compact_recover(path) == "rolled_back"
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    ) == before
+    # a compact run after any heal converges to the same content
+    sim.ivf_index_compact(spark, path)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    ) == before

@@ -1747,3 +1747,76 @@ def decontaminate_embeddings(
         "train_id", F.col("bm.eval_id").alias("eval_id"),
         F.col("bm.sim").alias("sim"),
     ).filter(F.col("sim") >= threshold)
+
+
+def ivf_compact_recover(path: str) -> str | None:
+    """Self-heal a crashed ``ivf_index_compact`` (the _recover_swaps
+    contract, specialized to the index's whole-vectors swap): live
+    present -> the swap completed or never started, drop leftovers;
+    live absent with tmp present -> crash landed between the two
+    renames, roll FORWARD; live absent with only trash -> roll BACK.
+    Returns the action taken (None if nothing to heal)."""
+    import os
+    import pathlib
+    import shutil
+
+    vec = pathlib.Path(f"{path}/vectors")
+    tmp = pathlib.Path(f"{path}/.compact_tmp_vectors")
+    trash = pathlib.Path(f"{path}/.compact_trash_vectors")
+    if vec.exists():
+        action = None
+        if trash.exists():
+            shutil.rmtree(trash)
+            action = "dropped_trash"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # crash mid-write: live untouched
+            action = (action or "") + "+dropped_tmp" if action else "dropped_tmp"
+        return action
+    if tmp.exists():
+        os.rename(tmp, vec)  # roll forward: rewrite was complete
+        if trash.exists():
+            shutil.rmtree(trash)
+        return "rolled_forward"
+    if trash.exists():
+        os.rename(trash, vec)  # roll back: rewrite never went live
+        return "rolled_back"
+    return None
+
+
+def ivf_index_compact(spark, path: str) -> dict:
+    """Small-file COMPACTION for an appended IVF index — the third leg
+    of the index life cycle (write -> append -> compact -> probe).
+    Every ``ivf_index_append`` lands >= one new file per touched cell,
+    so a daily cadence accumulates files linearly in days x cells and
+    probe planning pays a per-file open (the classic lakehouse
+    failure mode, here inside the index). One job rewrites the whole
+    vectors tree: ``repartition("cell")`` co-locates each cell in one
+    task, so ``partitionBy("cell")`` emits ONE file per cell and the
+    ``cell=`` directory pruning the probes rely on is untouched (at
+    very large per-cell sizes set spark.sql.files.maxRecordsPerFile
+    to re-split). Content (rows, values, cells) is preserved exactly
+    — pinned in tests — and publication is the two-rename swap
+    (sources/io._swap_partition discipline): the original bytes
+    survive in trash until the new tree is live, and every crash
+    point is healed by ``ivf_compact_recover`` (runs first, so a
+    re-run after any crash converges)."""
+    import os
+    import pathlib
+    import shutil
+
+    ivf_compact_recover(path)
+    vec = f"{path}/vectors"
+    tmp = f"{path}/.compact_tmp_vectors"
+    trash = f"{path}/.compact_trash_vectors"
+    files_before = len(list(pathlib.Path(vec).rglob("*.parquet")))
+    (
+        spark.read.parquet(vec)
+        .repartition("cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp)
+    )
+    os.rename(vec, trash)
+    os.rename(tmp, vec)
+    shutil.rmtree(trash)
+    files_after = len(list(pathlib.Path(vec).rglob("*.parquet")))
+    return {"files_before": files_before, "files_after": files_after}

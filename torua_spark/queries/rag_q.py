@@ -1366,12 +1366,15 @@ def _q_vector_index_append(spark, sf_dir) -> DataFrame:
     """Round-9 persisted-index life cycle end-to-end: build the IVF
     index on the FIRST 80% of the corpus (one ivf_index_write), APPEND
     the last 20% under the frozen codebook (ivf_index_append — the
-    daily-ingest shape, nothing re-read from the base), then serve a
+    daily-ingest shape, nothing re-read from the base), COMPACT the
+    accumulated per-append files back to one per cell
+    (ivf_index_compact — two-rename swap publication), then serve a
     probe over the union (ivf_index_topk, partition-pruned). The
     oracle trains the loop-unrolled Lloyd on the SAME 80% slice
     (train_where), assigns everything under the frozen cent{iters},
     and walks the identical rounded probe/rank — so the hash match
-    proves append == from-scratch-with-frozen-codebook."""
+    proves append == from-scratch-with-frozen-codebook AND that
+    compaction is content-preserving."""
     import shutil
     import tempfile
 
@@ -1382,6 +1385,7 @@ def _q_vector_index_append(spark, sf_dir) -> DataFrame:
     try:
         sim.ivf_index_write(emb.filter(F.col("vec_id") < cut), path)
         sim.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= cut))
+        sim.ivf_index_compact(spark, path)
         q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         out = sim.ivf_index_topk(spark, path, [float(x) for x in q],
                                  k=10, nprobe=3)
