@@ -1646,3 +1646,122 @@ def test_ivf_index_compact_preserves_content_and_heals(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(f"{path}/vectors")
             .select("vec_id", "cell").collect())
     ) == before
+
+
+def test_ivf_append_journal_detects_and_heals_crashes(spark, sf_dir, tmp_path):
+    """r10 append-journal contract: a crash at ANY point of the append
+    protocol (journal -> _meta -> vectors -> journal clear) is (a)
+    DETECTED — every probe/maintenance path raises while the marker is
+    present, instead of silently serving an index that omits the batch
+    (the r9 advice hole) — and (b) HEALED by ivf_append_recover back to
+    exactly the pre- or post-append state, never a mix."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.local import local_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(emb.count() * 0.8)
+    base = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(base, path)
+    old_max = base.agg(F.max("vec_id")).collect()[0][0]
+    batch_max = batch.agg(F.max("vec_id")).collect()[0][0]
+    batch_count = batch.count()
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = [float(x) for x in q]
+    base_rows = sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    )
+    base_probe = sorted(
+        map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect())
+    )
+    jdir = f"{path}/{sim._APPEND_JOURNAL}"
+
+    def write_journal():
+        local_df(
+            spark, [(batch_max, batch_count, old_max)],
+            "batch_max long, batch_count long, old_max long",
+        ).coalesce(1).write.mode("overwrite").parquet(jdir)
+
+    def write_meta(v):
+        local_df(spark, [(v,)], "max_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_meta")
+
+    # (a) crash right after the journal write: probes + upsert raise
+    write_journal()
+    for op in (
+        lambda: sim.ivf_index_topk(spark, path, q, 10, 3),
+        lambda: sim.ivf_index_knn_batch(
+            spark, path, batch.limit(1), sim.KNN_K, sim.KNN_NPROBE
+        ),
+        lambda: sim.ivf_index_upsert(spark, path, batch.limit(1)),
+    ):
+        with _pytest.raises(ValueError, match="unfinished append"):
+            op()
+    assert sim.ivf_append_recover(spark, path) == "rolled_back"
+    assert sim.ivf_append_recover(spark, path) is None  # idempotent
+    assert sorted(
+        map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect())
+    ) == base_probe
+
+    # (b) crash after the _meta advance, before any vector lands:
+    # heal rolls _meta back so the retry append is NOT fresh-ids-blocked
+    write_journal()
+    write_meta(batch_max)
+    assert sim.ivf_append_recover(spark, path) == "rolled_back"
+    from torua_spark.sources.io import read_meta_sidecar
+
+    assert read_meta_sidecar(spark, path)[0]["max_id"] == old_max
+
+    # (c) crash mid-append (partial multi-file write): heal rewrites
+    # the tree WITHOUT the partial rows and restores the watermark
+    write_journal()
+    write_meta(batch_max)
+    cents = spark.read.parquet(f"{path}/centroids")
+    half = batch.limit(int(batch_count // 2))
+    (
+        half.join(sim.assign_cells(half, cents), "vec_id")
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    assert sim.ivf_append_recover(spark, path) == "rolled_back_partial"
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "cell").collect())
+    ) == base_rows
+    assert read_meta_sidecar(spark, path)[0]["max_id"] == old_max
+
+    # (d) crash after the vectors landed, before the journal clear:
+    # heal recognizes completion and keeps the batch
+    write_journal()
+    write_meta(batch_max)
+    (
+        batch.join(sim.assign_cells(batch, cents), "vec_id")
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    assert sim.ivf_append_recover(spark, path) == "completed"
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
+    assert read_meta_sidecar(spark, path)[0]["max_id"] == batch_max
+
+    # (e) a plain append self-heals a pending journal before running
+    nxt_id = int(batch_max) + 1
+    nxt = spark.createDataFrame(
+        [(nxt_id, q)], "vec_id long, embedding array<double>"
+    )
+    write_journal()  # stale marker from the (already-complete) batch
+    assert sim.ivf_index_append(spark, path, nxt)["appended"] == 1
+    assert not __import__("os").path.exists(jdir)
+
+    # (f) pre-meta index with an advanced _meta: ambiguous, must raise
+    local_df(
+        spark, [(nxt_id, 1, None)],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.mode("overwrite").parquet(jdir)
+    with _pytest.raises(ValueError, match="pre-meta"):
+        sim.ivf_append_recover(spark, path)

@@ -553,17 +553,30 @@ def _pair_dot():
 # global pair relation at all.
 PAIR_VERIFY_GATHER_ELEMS = 1 << 24
 
-# One live gather broadcast per SparkContext: each _verified_cos_pairs
-# call ships up to ~134 MB of (ids, matrix, norms) to the executors,
-# and a long-lived session running many near-dup queries would
-# otherwise accumulate them without bound. unpersist (NOT destroy) on
+# One live gather broadcast per (application, call-site slot): each
+# _verified_cos_pairs call ships up to ~134 MB of (ids, matrix, norms)
+# to the executors, and a long-lived session running many near-dup
+# queries would otherwise accumulate them without bound. Keyed by
+# applicationId, NOT id(sc) (r9 advice): CPython may reuse a
+# garbage-collected context's id, aliasing a new context onto a stale
+# Broadcast, and the stale entry would pin its value on the driver
+# forever. Per-slot so the pair-verify and decontamination gather
+# paths interleaving in one session don't rotate each other out
+# (repeated unpersist/re-broadcast churn). unpersist (NOT destroy) on
 # rotation: a stale still-lazy plan that re-executes simply re-fetches
 # the blocks from the driver, so correctness is unaffected.
-_GATHER_BC: dict[int, object] = {}
+_GATHER_BC: dict[tuple[str, str], object] = {}
 
 
-def _gather_broadcast(sc, triple):
-    key = id(sc)
+def _gather_broadcast(sc, triple, slot: str = "pairs"):
+    app = sc.applicationId
+    for k in [k for k in _GATHER_BC if k[0] != app]:
+        stale = _GATHER_BC.pop(k)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:  # context already dead: nothing to free
+            pass
+    key = (app, slot)
     prev = _GATHER_BC.get(key)
     if prev is not None:
         try:
@@ -1220,6 +1233,111 @@ def ivf_index_write(embeddings: DataFrame, path: str,
     }
 
 
+# Per-append journal marker (r9 advice): _meta advances BEFORE the
+# vectors land (fail-closed against double-indexing), which leaves a
+# crash window where probes silently omit the batch. The journal makes
+# that window DETECTABLE: written before _meta, cleared after the
+# vectors append, so its presence means "an append is in flight or
+# died" — probes raise instead of serving the incomplete union.
+_APPEND_JOURNAL = "_append_journal"
+
+
+def _require_no_pending_append(spark, path: str) -> None:
+    """Probe-side guard: raise loudly when the index has an unfinished
+    append (journal marker present) instead of silently serving an
+    index that omits the half-committed batch."""
+    from torua_spark.sources.io import read_meta_sidecar
+
+    if read_meta_sidecar(spark, path, _APPEND_JOURNAL):
+        raise ValueError(
+            f"IVF index at {path} has an unfinished append (journal "
+            f"marker present): probes would silently omit the batch; "
+            f"run ivf_append_recover(spark, path) to heal, then retry"
+        )
+
+
+def ivf_append_recover(spark, path: str) -> str | None:
+    """Self-heal a crashed ``ivf_index_append`` from its journal
+    marker. The append protocol is journal -> _meta advance -> vectors
+    append -> journal clear, so a surviving journal pins down the
+    crash point:
+
+    - _meta still at the journal's ``old_max``: the crash landed
+      before the _meta advance; nothing was indexed — drop the marker
+      and the caller re-appends (``rolled_back``).
+    - _meta advanced (or lost mid-overwrite): count the vector rows
+      above ``old_max``. All ``batch_count`` present -> the append
+      completed and only the journal clear was lost (``completed``);
+      none present -> roll _meta back to ``old_max``
+      (``rolled_back``); SOME present (a crash mid-append left a
+      partial multi-file write) -> rewrite the vectors tree without
+      the partial rows via the compact-style two-rename swap, then
+      roll _meta back (``rolled_back_partial``).
+
+    Every outcome converges: after recovery the index equals either
+    the pre-append or the post-append state exactly, never a mix.
+    Returns the action taken (None when no journal exists)."""
+    import shutil
+
+    from torua_spark.sources.io import read_meta_sidecar
+
+    j = read_meta_sidecar(spark, path, _APPEND_JOURNAL)
+    if not j:
+        return None
+    old_max = j[0]["old_max"]
+    batch_count = j[0]["batch_count"]
+    jdir = f"{path}/{_APPEND_JOURNAL}"
+    meta = read_meta_sidecar(spark, path)
+    meta_max = meta[0]["max_id"] if meta else None
+    if meta_max == old_max:
+        shutil.rmtree(jdir)  # crash before the _meta advance
+        return "rolled_back"
+    # _meta advanced (== batch_max) or was lost mid-overwrite: the
+    # vectors tree decides. Recovery-only full-ish scan is acceptable
+    # — and it is column-pruned to vec_id (row-group skipping).
+    if old_max is None:
+        # pre-meta index: no watermark separates base rows from batch
+        # rows, so completion cannot be decided — refuse to guess
+        raise ValueError(
+            f"cannot heal an in-flight append on the pre-meta index at "
+            f"{path}: no max-id watermark distinguishes base rows from "
+            f"the half-committed batch; rebuild via ivf_index_write"
+        )
+    vec = spark.read.parquet(f"{path}/vectors")
+    cond = F.col("vec_id") > old_max
+    n = vec.filter(cond).select("vec_id").count()
+    if n == batch_count:
+        shutil.rmtree(jdir)  # append landed; only the clear was lost
+        return "completed"
+    action = "rolled_back"
+    if n > 0:
+        # partial multi-file append: rewrite without the partial rows
+        # (two-rename swap, healed by ivf_compact_recover on re-crash)
+        import os
+
+        ivf_compact_recover(path)
+        vdir = f"{path}/vectors"
+        tmp = f"{path}/.compact_tmp_vectors"
+        trash = f"{path}/.compact_trash_vectors"
+        (
+            vec.filter(~cond)
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        )
+        os.rename(vdir, trash)
+        os.rename(tmp, vdir)
+        shutil.rmtree(trash)
+        action = "rolled_back_partial"
+    # restore _meta to the pre-append watermark (old_max is non-NULL
+    # past the pre-meta raise above)
+    from torua_spark.sources.local import local_df
+
+    local_df(spark, [(old_max,)], "max_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_meta")
+    shutil.rmtree(jdir)
+    return action
+
+
 def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
     """Daily-ingest APPEND into a persisted IVF index (round 9 — the
     vector twin of ``incremental_exact_substring_dedup``): assign the
@@ -1242,16 +1360,21 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
     the old caller-beware contract, but any other sidecar read error
     raises.
 
-    Crash discipline (r9 review): ``_meta`` is advanced BEFORE the
-    vectors append, so the failure mode is FAIL-CLOSED — a crash
-    between the two writes makes the retry raise the fresh-ids error
-    (remedy: rebuild or re-key), never silently double-index. The
-    remaining window (a crash during the _meta overwrite itself
-    deletes the sidecar and downgrades the index to the pre-meta
-    caller-beware contract) is the same narrow non-atomic-rename
-    window the lake swap protocol documents in sources/io.py."""
+    Crash discipline (r9 review, hardened r10): ``_meta`` is advanced
+    BEFORE the vectors append, so the failure mode is FAIL-CLOSED — a
+    crash between the two writes makes the retry raise the fresh-ids
+    error, never silently double-index. What r9 left undetectable is
+    that BETWEEN the crash and that retry, probes served an index that
+    silently omitted the batch. r10 closes it with a journal marker
+    (journal -> _meta -> vectors -> journal clear): every probe path
+    raises while the marker is present, and ``ivf_append_recover``
+    heals any crash point back to exactly the pre- or post-append
+    state (it runs automatically at the top of every append)."""
+    import shutil
+
     from torua_spark.sources.io import read_meta_sidecar
 
+    ivf_append_recover(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     meta = read_meta_sidecar(spark, path)
     if meta and meta[0]["max_id"] is not None:
@@ -1268,11 +1391,20 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
             )
     cells = assign_cells(new_embeddings, cents)
     n_new = new_embeddings.count()
-    # _meta FIRST (fail-closed, see docstring). One agg-select write,
-    # NOT createDataFrame (local-relation construction costs seconds
-    # per call in this PySpark build); greatest(NULL, x) = x covers an
-    # empty batch / pre-meta index
     old_max = meta[0]["max_id"] if meta else None
+    # journal FIRST (crash detection, see docstring), then _meta
+    # (fail-closed), then vectors, then journal clear. Both sidecar
+    # writes are agg-selects over the batch, NOT createDataFrame
+    # (local-relation construction costs seconds per call in this
+    # PySpark build); greatest(NULL, x) = x covers an empty batch /
+    # pre-meta index
+    new_embeddings.agg(
+        F.max(F.col("vec_id")).cast("long").alias("batch_max"),
+        F.count(F.lit(1)).alias("batch_count"),
+        F.lit(old_max).cast("long").alias("old_max"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_APPEND_JOURNAL}"
+    )
     new_embeddings.agg(
         F.greatest(
             F.max(F.col("vec_id")).cast("long"),
@@ -1284,6 +1416,7 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
         .write.mode("append").partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
+    shutil.rmtree(f"{path}/{_APPEND_JOURNAL}")
     return {"appended": n_new}
 
 
@@ -1296,11 +1429,18 @@ def ivf_index_topk(spark, path: str, query_vec, k: int = 10,
     cell's files untouched (asserted via inputFiles() in
     tests/test_rag.py). Cell ranking replicates ``ivf_topk``'s
     portable arithmetic (round4 + cell tie-break), so the persisted
-    path and the in-memory path probe identical cells."""
+    path and the in-memory path probe identical cells.
+
+    Concurrency: raises while an append journal is pending (the index
+    would silently omit the half-committed batch); a probe concurrent
+    with ``ivf_index_compact`` can catch the moment between the two
+    renames and fail on the vanished tree — retry once, compaction's
+    swap is two atomic renames and the retry sees the full index."""
     import math
 
     import numpy as np
 
+    _require_no_pending_append(spark, path)
     q = np.asarray(list(query_vec), dtype=np.float64)
     nq = float(np.linalg.norm(q))
 
@@ -1531,6 +1671,9 @@ def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
     construction, asserted in tests)."""
     from torua_spark.sources.io import merge_upsert, purge_keys
 
+    # an upsert over a half-committed append would purge/merge against
+    # an incomplete tree — same guard as the probe paths
+    _require_no_pending_append(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = new_embeddings.join(
         assign_cells(new_embeddings, cents), "vec_id"
@@ -1565,7 +1708,14 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
     (vectors cross into Arrow once per row), and a window on the
     query id takes the top-k. Queries carry (vec_id, embedding);
     output is (vec_id, neighbor_id, sim, rank). A query whose vec_id
-    also exists in the index never matches itself."""
+    also exists in the index never matches itself.
+
+    Concurrency: raises while an append journal is pending (the index
+    would silently omit the half-committed batch); a probe concurrent
+    with ``ivf_index_compact`` can catch the moment between the two
+    renames and fail on the vanished tree — retry once, compaction's
+    swap is two atomic renames and the retry sees the full index."""
+    _require_no_pending_append(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     probes = probe_cells(queries, cents, nprobe).localCheckpoint()
     probed_cells = sorted(
@@ -1707,28 +1857,32 @@ def decontaminate_embeddings(
             f"relations (exact and linear either way)"
         )
     sids, mat, nrm = _collect_gather_triple(base_e)
-    # zero-norm eval vectors: NaN row -> sentinel after the divide
-    with np.errstate(divide="ignore", invalid="ignore"):
-        mat_n = mat / nrm[:, None]
-    bc = _gather_broadcast(train.sparkSession.sparkContext, (sids, mat_n))
+    bc = _gather_broadcast(
+        train.sparkSession.sparkContext, (sids, mat, nrm), slot="decon"
+    )
 
     @F.pandas_udf("struct<eval_id: bigint, sim: double>")
     def best_match(e: pd.Series, nx: pd.Series) -> pd.DataFrame:
-        s_ids, m_n = bc.value
+        s_ids, m, nr = bc.value
         b = len(e)
         if b == 0 or len(s_ids) == 0:
             return pd.DataFrame(
                 {"eval_id": pd.Series([-1] * b, dtype="int64"),
                  "sim": pd.Series([-2.0] * b, dtype="float64")}
             )
-        d = m_n.shape[1]
+        d = m.shape[1]
         x = np.full((b, d), np.nan)
         for i, v in enumerate(e):
             if v is not None and len(v) == d:
                 x[i] = np.asarray(v, dtype=np.float64)
         nxv = nx.to_numpy(dtype=np.float64)
+        # raw GEMM over UNNORMALIZED vectors / (|train| * |eval|) —
+        # the same float64 association as pair_cos and the DuckDB
+        # oracle's dot/(|a||b|) (r9 advice: the pre-normalized-matrix
+        # association could flip a round4 at a threshold boundary by
+        # one ulp). Zero-norm either side -> 0-divide -> sentinel.
         with np.errstate(divide="ignore", invalid="ignore"):
-            s = (x @ m_n.T) / nxv[:, None]
+            s = (x @ m.T) / (nxv[:, None] * nr[None, :])
         s = np.floor(s * 1e4 + 0.5 + 1e-9) / 1e4  # round4, pre-argmax
         s = np.nan_to_num(s, nan=-2.0, posinf=-2.0, neginf=-2.0)
         j = np.argmax(s, axis=1)  # first max = smallest eval_id
@@ -1799,12 +1953,24 @@ def ivf_index_compact(spark, path: str) -> dict:
     (sources/io._swap_partition discipline): the original bytes
     survive in trash until the new tree is live, and every crash
     point is healed by ``ivf_compact_recover`` (runs first, so a
-    re-run after any crash converges)."""
+    re-run after any crash converges).
+
+    Concurrency contract (r9 review): compaction holds NO lock
+    against concurrent probes. Each rename is atomic per path, but a
+    probe that resolved its ``cell=`` file list BETWEEN the two
+    renames reads a vanished tree and fails loudly — it never reads
+    a mixed or partial tree. Single-writer is the documented
+    deployment posture; a probe racing a compaction should simply
+    retry (the probe docstrings carry the same note). An in-flight
+    APPEND, by contrast, is detected and healed here before the
+    rewrite starts — compacting half a batch into the new tree would
+    otherwise bake the partial append in."""
     import os
     import pathlib
     import shutil
 
     ivf_compact_recover(path)
+    ivf_append_recover(spark, path)
     vec = f"{path}/vectors"
     tmp = f"{path}/.compact_tmp_vectors"
     trash = f"{path}/.compact_trash_vectors"

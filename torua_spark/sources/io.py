@@ -514,7 +514,8 @@ def purge_predicate(spark: SparkSession, path: str, predicate: str,
     }
 
 
-def read_meta_sidecar(spark: SparkSession, path: str) -> list:
+def read_meta_sidecar(spark: SparkSession, path: str,
+                      name: str = "_meta") -> list:
     """Read an index's one-row ``_meta`` parquet sidecar (the
     exact-substring / IVF index contract). Returns ``[]`` ONLY for the
     documented pre-meta case — the sidecar directory does not exist;
@@ -523,11 +524,13 @@ def read_meta_sidecar(spark: SparkSession, path: str) -> list:
     validation the sidecar powers. ONE definition on purpose: the
     missing-path error strings differ across Spark versions, and two
     drifting copies of this classification would mean one index family
-    goes loud while the other goes silent (r9 review)."""
+    goes loud while the other goes silent (r9 review). ``name`` points
+    the same classifier at sibling sidecars (the r10 append journal)
+    so their missing-vs-corrupt handling cannot drift either."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{path}/_meta").collect()
+        return spark.read.parquet(f"{path}/{name}").collect()
     except AnalysisException as exc:
         msg = str(exc)
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
