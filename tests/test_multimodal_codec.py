@@ -18,6 +18,7 @@ import pytest
 from torua_spark.operators.codecs import (
     decode_header,
     decode_ppm,
+    encode_pgm,
     encode_ppm,
     resize_nearest,
 )
@@ -484,3 +485,130 @@ def test_audio_probe_mixed_corpus_through_mapinpandas(spark):
     fake = out[2]
     assert not fake["is_real"] and fake["bits"] == 16
     assert fake["sample_rate"] in (8000, 16000, 22050, 44100)
+
+
+# ------------------------------------------------ image perceptual hash (r10)
+
+class TestImageDhash:
+    """The dHash engine pinned against an independent scalar
+    re-derivation (no shared code with the operator), the tier
+    contract, and the banded pair join's exact recall vs brute force."""
+
+    @staticmethod
+    def _scalar_dhash(gray_rows):
+        """Independent re-derivation: plain-Python floor-index resize
+        to 9x8 + gradient bits + LSB-first 16-bit band packing."""
+        h = len(gray_rows)
+        w = len(gray_rows[0])
+        rs = [gray_rows[(r * h) // 8][:] for r in range(8)]
+        px = [[row[(c * w) // 9] for c in range(9)] for row in rs]
+        bands = [0, 0, 0, 0]
+        for r in range(8):
+            for c in range(8):
+                i = r * 8 + c
+                if px[r][c + 1] > px[r][c]:
+                    bands[i // 16] |= 1 << (i % 16)
+        return bands
+
+    def _hash_one(self, spark, payload):
+        from torua_spark.operators.multimodal import image_dhash
+
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        return image_dhash(df).collect()[0]
+
+    def test_pgm_real_tier_matches_scalar_spec(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [[rnd.randrange(256) for _ in range(18)] for _ in range(16)]
+        payload = encode_pgm(
+            18, 16, bytes(v for row in rows for v in row)
+        )
+        got = self._hash_one(spark, payload)
+        assert got["is_real"]
+        want = self._scalar_dhash(rows)
+        assert [got["b0"], got["b1"], got["b2"], got["b3"]] == want
+
+    def test_ppm_grayscale_is_integer_mean(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        rgb = [[(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                for _ in range(9)] for _ in range(8)]
+        payload = encode_ppm(
+            9, 8, bytes(v for row in rgb for p in row for v in p)
+        )
+        got = self._hash_one(spark, payload)
+        assert got["is_real"]
+        gray = [[(r + g + b) // 3 for (r, g, b) in row] for row in rgb]
+        want = self._scalar_dhash(gray)
+        assert [got["b0"], got["b1"], got["b2"], got["b3"]] == want
+
+    def test_fake_tier_is_md5_bands(self, spark):
+        payload = b"not an image at all"
+        got = self._hash_one(spark, payload)
+        assert not got["is_real"]
+        d = hashlib.md5(payload).hexdigest()
+        assert [got["b0"], got["b1"], got["b2"], got["b3"]] == [
+            int(d[4 * j: 4 * j + 4], 16) for j in range(4)
+        ]
+
+    def test_one_pixel_variant_within_hamming_one(self, spark):
+        import random
+
+        rnd = random.Random(13)
+        px = bytes(rnd.randrange(256) for _ in range(72))
+        var = bytes([px[1]]) + px[1:]
+        a = self._hash_one(spark, encode_pgm(9, 8, px))
+        b = self._hash_one(spark, encode_pgm(9, 8, var))
+        dist = sum(
+            bin(a[f"b{j}"] ^ b[f"b{j}"]).count("1") for j in range(4)
+        )
+        assert dist <= 1
+
+    def test_neardup_pairs_exact_recall_vs_brute_force(self, spark):
+        import random
+
+        from torua_spark.operators.multimodal import image_neardup_pairs
+
+        rnd = random.Random(3)
+        # base hashes + planted near-variants (flip <=3 random bits)
+        hashes = {}
+        for i in range(40):
+            hashes[i] = rnd.randrange(1 << 64)
+        for i in range(40, 60):
+            src = hashes[i - 40]
+            for _ in range(rnd.randrange(4)):
+                src ^= 1 << rnd.randrange(64)
+            hashes[i] = src
+        rows = [
+            (i, (h >> 0) & 0xFFFF, (h >> 16) & 0xFFFF,
+             (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF, True)
+            for i, h in hashes.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, b0 int, b1 int, b2 int, b3 int, "
+                  "is_real boolean",
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["dist"])
+            for r in image_neardup_pairs(df, max_hamming=3).collect()
+        )
+        want = sorted(
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a in hashes for b in hashes
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+        )
+        assert got == want and len(want) > 0
+
+    def test_neardup_pairs_radius_guard(self, spark):
+        from torua_spark.operators.multimodal import image_neardup_pairs
+
+        df = spark.createDataFrame(
+            [(1, 0, 0, 0, 0, True)],
+            "doc_id long, b0 int, b1 int, b2 int, b3 int, is_real boolean",
+        )
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_neardup_pairs(df, max_hamming=4)

@@ -63,6 +63,12 @@ onto an existing DataFrame op (VERDICT r5 #4):
   Catalyst pushes them into the vertex scan; under OPTIONAL MATCH
   they filter pre-join (distributed over the scoped WHERE's OR
   disjuncts). Anonymous map nodes raise.
+- relationship PROPERTY MAPS (round 10): ``-[r:R {k: v}]->`` /
+  anonymous ``-[:R {k: v}]->`` desugar to ``r.k = v`` terms in the
+  same clause scope (anonymous edges get a synthesized ``__pmN``
+  variable — edges always carry an attribute relation except FK
+  hops, which reject edge variables loudly already); maps on
+  variable-length or alternating hops raise.
 - relationship ALTERNATION (round 9): ``[:A|B]`` compiles the chain
   per type and UNION ALLs the bindings (bag semantics) before
   WHERE/aggregates; initial MATCH only, edge variables rejected
@@ -446,19 +452,67 @@ class PropertyGraph:
     _ALT_HOP = re.compile(r"\[(\w*):(\w+(?:\|\w+)+)(\*[^\]]*)?\]")
     # (a:L {k: v, ...}) — node property map (label optional)
     _PROP_MAP = re.compile(r"\((\w*)\s*(?::\s*(\w+))?\s*\{([^{}]*)\}\s*\)")
+    # [r:R {k: v, ...}] — relationship property map (variable optional,
+    # range suffix captured on either side of the map so it can be
+    # rejected with the right message)
+    _EDGE_PROP_MAP = re.compile(
+        r"\[(\w*)\s*:\s*(\w+)\s*(\*[^\]{]*)?\s*\{([^{}]*)\}\s*([^\]]*)\]"
+    )
+
+    def _map_body_terms(self, var: str, body: str) -> list[str]:
+        """``k: v, k2: v2`` map body -> ``var.k = v`` equality terms
+        (shared by the node and relationship desugars — ONE grammar)."""
+        terms: list[str] = []
+        for pair in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", body):
+            if not pair.strip():
+                continue
+            m_p = re.match(r"^\s*(\w+)\s*:\s*(.+?)\s*$", pair)
+            if not m_p:
+                raise ValueError(
+                    f"malformed property-map entry {pair.strip()!r} "
+                    f"(expected key: value)"
+                )
+            terms.append(f"{var}.{m_p.group(1)} = {m_p.group(2)}")
+        return terms
 
     def _strip_prop_maps(self, text: str) -> tuple[str, list[str]]:
-        """Desugar Cypher node PROPERTY MAPS (round 9): ``(a:L {k: v,
-        k2: v2})`` is defined by Cypher as sugar for ``(a:L)`` plus
-        ``a.k = v AND a.k2 = v2`` — exactly how it compiles here, so
-        the predicates ride the existing WHERE machinery and Catalyst
-        pushes them into the vertex scan like any other filter.
-        Returns (cleaned pattern text, list of equality terms). The
-        node must be NAMED (an anonymous ``({k: v})`` has no variable
-        for the desugared term to bind — loud, with the fix). String
-        values containing braces are out of scope for the brace scan
-        and fail the pattern grammar loudly, never silently."""
+        """Desugar Cypher PROPERTY MAPS: ``(a:L {k: v, k2: v2})``
+        (node, round 9) and ``-[r:R {k: v}]->`` / ``-[:R {k: v}]->``
+        (relationship, round 10) are defined by Cypher as sugar for
+        the bare element plus ``elem.k = v AND elem.k2 = v2`` —
+        exactly how they compile here, so the predicates ride the
+        existing WHERE machinery and Catalyst pushes them into the
+        vertex/edge scan like any other filter. Returns (cleaned
+        pattern text, list of equality terms).
+
+        A map NODE must be NAMED (an anonymous ``({k: v})`` has no
+        variable for the desugared term to bind — loud, with the fix);
+        an anonymous map EDGE gets a synthesized ``__pmN`` edge
+        variable (edges always have an attribute relation to bind
+        against unless they are FK hops, which reject edge variables
+        loudly already). A map on a variable-length or alternating
+        hop is rejected: "which traversed edge carries the property"
+        is ambiguous for ranges, and per-type attribute schemas need
+        not align for alternations. String values containing braces
+        are out of scope for the brace scan and fail the pattern
+        grammar loudly, never silently."""
         terms: list[str] = []
+
+        def _one_edge(m: "re.Match") -> str:
+            var, rel, rng, body, tail = m.groups()
+            if (rng or "").strip() or tail.strip():
+                raise ValueError(
+                    f"property map on a variable-length hop [:{rel}"
+                    f"{(rng or tail).strip()}] is ambiguous (which "
+                    f"traversed edge?) — filter with an explicit WHERE "
+                    f"on a fixed-length hop instead"
+                )
+            if not var:
+                n = getattr(self, "_pm_counter", 0)
+                self._pm_counter = n + 1
+                var = f"__pm{n}"
+            terms.extend(self._map_body_terms(var, body))
+            return f"[{var}:{rel}]"
 
         def _one(m: "re.Match") -> str:
             var, label, body = m.group(1), m.group(2), m.group(3)
@@ -467,18 +521,17 @@ class PropertyGraph:
                     "property maps need a named node variable — write "
                     "(x {k: v}) so the desugared x.k = v term can bind"
                 )
-            for pair in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", body):
-                if not pair.strip():
-                    continue
-                m_p = re.match(r"^\s*(\w+)\s*:\s*(.+?)\s*$", pair)
-                if not m_p:
-                    raise ValueError(
-                        f"malformed property-map entry {pair.strip()!r} "
-                        f"(expected key: value)"
-                    )
-                terms.append(f"{var}.{m_p.group(1)} = {m_p.group(2)}")
+            terms.extend(self._map_body_terms(var, body))
             return f"({var}{':' + label if label else ''})"
 
+        text = self._EDGE_PROP_MAP.sub(_one_edge, text)
+        if re.search(r"\[[^\]]*\{", text):
+            raise ValueError(
+                "property map on an alternating hop [:A|B {...}] is "
+                "unsupported — per-type attribute schemas need not "
+                "align; match each type in its own query (UNION) with "
+                "its own map"
+            )
         return self._PROP_MAP.sub(_one, text), terms
 
     def _compile_alternation(self, text: str, m: "re.Match") -> tuple:

@@ -1120,6 +1120,44 @@ ORACLE["graph_alternation_map"] = """
 """
 
 
+def q_edge_property_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 form proof (VERDICT r9 #4): RELATIONSHIP property maps
+    — a multi-key map ``{o_orderstatus: 'F', o_orderpriority:
+    '1-URGENT'}`` on an ANONYMOUS edge (the standard Cypher form the
+    reference's query family implies, ARCHITECTURE.md:335) desugars to
+    equality WHERE terms on a synthesized edge variable and is pushed
+    into the edge scan by Catalyst, composed with a node property map
+    in the same clause scope. The named-variable form, the
+    range/alternation rejections, and the plan-equality pin live in
+    tests/test_pattern.py."""
+    from torua_spark.plans.pattern import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    pg = (
+        PropertyGraph()
+        .add_vertex("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .add_edge("PLACED", orders, "o_custkey", "o_orderkey")
+    )
+    return pg.query(
+        "MATCH (c:customer {c_mktsegment: 'BUILDING'})"
+        "-[:PLACED {o_orderstatus: 'F', o_orderpriority: '1-URGENT'}]->(o) "
+        "RETURN c AS c_custkey, count(*) AS n_urgent_done"
+    )
+
+
+QUERIES["graph_edge_property_map"] = q_edge_property_map
+
+ORACLE["graph_edge_property_map"] = """
+    SELECT o.o_custkey AS c_custkey, count(*)::BIGINT AS n_urgent_done
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+          AND o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+"""
+
+
 def q_return_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 expression-item proof: per-customer discounted revenue
     (sum over an arithmetic aggregate argument) plus a projected

@@ -1937,3 +1937,159 @@ ORACLE["dedup_incremental_substring"] = (
         WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
     """
 )
+
+
+# --- image perceptual-hash near-dup (r10, VERDICT r9 #1) -------------------
+#
+# The corpus is a text table, so every ORIGINAL payload takes the
+# documented md5-derived fake tier (the audio-probe precedent: the
+# banded Hamming machinery is driver-proven on real 16-bit bands, the
+# REAL pixel tier is pinned on fixtures in tests). To also
+# driver-prove the REAL tier, the query PLANTS a deterministic 9x8
+# binary PGM per 20th doc (pixels = the md5 chain of its text — both
+# engines can derive them) plus a one-pixel "re-encode" variant, so
+# the result carries real decoded-pixel near-dup pairs (dist 0/1)
+# whose dHash the oracle reproduces arithmetically. 9x8 is the dHash
+# geometry itself, making resize a no-op the oracle doesn't model.
+_IMG_PLANT_EVERY = 20
+_IMG_ORIG_OFFSET = 10_000_000
+_IMG_VAR_OFFSET = 20_000_000
+
+
+def _md5_chain5(t):
+    """160 hex chars (80 bytes) of chained md5s — the planted image's
+    pixel source, computable identically in Spark and DuckDB."""
+    ms = [F.md5(F.encode(t, "UTF-8"))]
+    for _ in range(4):
+        ms.append(F.md5(F.encode(ms[-1], "UTF-8")))
+    return F.concat(*ms)
+
+
+def _render_pgm_gen(perturb: bool, offset: int):
+    """(doc_id, hx) Arrow batches -> (doc_id + offset, 9x8 binary PGM
+    whose pixels are the 72 leading md5-chain bytes); the variant tier
+    sets pixel 0 := pixel 1 — the one-pixel re-encode perturbation
+    that flips at most dHash bit 0."""
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                px = bytearray.fromhex(h)[:72]
+                if perturb:
+                    px[0] = px[1]
+                payloads.append(b"P5\n9 8\n255\n" + bytes(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    seeds = docs.filter(F.col("doc_id") % _IMG_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    orig = seeds.mapInPandas(
+        _render_pgm_gen(False, _IMG_ORIG_OFFSET), out_schema
+    )
+    variant = seeds.mapInPandas(
+        _render_pgm_gen(True, _IMG_VAR_OFFSET), out_schema
+    )
+    hashed = mm.image_dhash(
+        media.unionByName(orig).unionByName(variant)
+    )
+    return mm.image_neardup_pairs(hashed, max_hamming=3)
+
+
+QUERIES["dedup_image_phash"] = _q_image_phash
+
+
+def _image_phash_oracle_sql() -> str:
+    """Mirrors the query tier-for-tier: fake bands from md5(text) hex;
+    planted bands re-derived ARITHMETICALLY (the 9x8 PGM's pixels are
+    the md5 chain bytes, resize is identity, so dHash bit i compares
+    chain bytes (i//8)*9+(i%8)+1 vs +0); same 4-band blocking, same
+    bit_count Hamming verify. DuckDB list slicing is 1-based inclusive
+    (px[2:72] = elements 2..72)."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(4):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    hx = " || ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, 72),
+                   i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_IMG_PLANT_EVERY} = 0)
+    ),
+    pboth AS (
+        SELECT doc_id + {_IMG_ORIG_OFFSET} AS doc_id, px FROM pix
+        UNION ALL
+        SELECT doc_id + {_IMG_VAR_OFFSET} AS doc_id,
+               list_concat([px[2]], px[2:72]) AS px
+        FROM pix
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN px[(i // 8) * 9 + (i % 8) + 2]
+                      > px[(i // 8) * 9 + (i % 8) + 1]
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pboth
+    ),
+    pbands AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    allh AS (
+        SELECT * FROM fake UNION ALL SELECT * FROM pbands
+    ),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allh, (VALUES (0), (1), (2), (3)) AS parts(part)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS INT) AS dist
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """
+
+
+ORACLE["dedup_image_phash"] = _image_phash_oracle_sql()
