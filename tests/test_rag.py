@@ -1765,3 +1765,110 @@ def test_ivf_append_journal_detects_and_heals_crashes(spark, sf_dir, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(jdir)
     with _pytest.raises(ValueError, match="pre-meta"):
         sim.ivf_append_recover(spark, path)
+
+
+def test_substring_index_append_compact_lifecycle(spark, sf_dir, tmp_path):
+    """r10 window-hash index life cycle: (1) append equivalence — the
+    appended index equals the from-scratch index over base ∪ batch,
+    row for row; (2) compaction preserves content exactly and shrinks
+    the file count; (3) every crash point of the append journal
+    protocol is detected (probes raise) and healed
+    (exact_substring_append_recover), mirroring the IVF contract."""
+    import pathlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import read_meta_sidecar
+    from torua_spark.sources.local import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t = (max_id + 1) * 4 // 5
+    base = docs.filter(F.col("doc_id") < t)
+    batch = docs.filter(F.col("doc_id") >= t)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    dd.exact_substring_index_write(base, inc, k=10)
+    rep = dd.exact_substring_index_append(spark, inc, batch, k=10)
+    assert rep["appended_hashes"] > 0
+    dd.exact_substring_index_write(docs, full, k=10)
+    grams = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(f"{p}/grams").collect())
+    )
+    assert grams(inc) == grams(full)
+    assert read_meta_sidecar(spark, inc)[0]["max_id"] == max_id
+    # (2) compaction: content identical, files drop to the target
+    before = grams(inc)
+    n_before = len(list(pathlib.Path(f"{inc}/grams").rglob("*.parquet")))
+    crep = dd.exact_substring_index_compact(spark, inc)
+    assert crep["files_after"] <= n_before and crep["files_after"] >= 1
+    assert grams(inc) == before
+    # swap crash healing on the grams tree (shared tree_swap machinery)
+    import os
+
+    os.rename(f"{inc}/grams", f"{inc}/.compact_tmp_grams")
+    assert dd.exact_substring_compact_recover(inc) == "rolled_forward"
+    assert grams(inc) == before
+
+    # (3) append-journal crash points
+    old_max = int(base.agg(F.max("doc_id")).collect()[0][0])
+    jdir = f"{inc}/{dd._SUBSTR_JOURNAL}"
+    watermark = (old_max + 1) << 20
+    batch_rows = [r for r in before if r[1] >= watermark]
+
+    def write_journal(n_new):
+        local_df(
+            spark, [(old_max, n_new, 10)],
+            "old_max long, n_new long, k int",
+        ).coalesce(1).write.mode("overwrite").parquet(jdir)
+
+    def write_meta(v):
+        local_df(spark, [(v, 10)], "max_id long, k int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{inc}/_meta")
+
+    # (a) journal present: probe and append-retry paths are loud/healed
+    write_journal(len(batch_rows))
+    with _pytest.raises(ValueError, match="unfinished append"):
+        dd.incremental_exact_substring_dedup(spark, inc, batch, k=10)
+    # journal present + batch rows present + meta advanced == the
+    # crash-before-clear state: recover says completed, keeps content
+    assert dd.exact_substring_append_recover(spark, inc) == "completed"
+    assert grams(inc) == before
+    # (b) crash after _meta advance, no rows landed: simulate by
+    # rolling the tree back to base-only first
+    dd.exact_substring_index_write(base, inc, k=10)
+    write_journal(len(batch_rows))
+    write_meta(max_id)
+    assert dd.exact_substring_append_recover(spark, inc) == "rolled_back"
+    assert read_meta_sidecar(spark, inc)[0]["max_id"] == old_max
+    # (c) partial multi-file append: plant HALF the batch rows
+    write_journal(len(batch_rows))
+    write_meta(max_id)
+    half = batch.filter(F.col("doc_id") < (t + max_id + 1) // 2)
+    dd._window_hashes(half, 10, "doc_id", "text").groupBy("h").agg(
+        F.min("p").alias("first_p")
+    ).join(
+        spark.read.parquet(f"{inc}/grams").select("h"), "h", "left_anti"
+    ).write.mode("append").parquet(f"{inc}/grams")
+    assert (
+        dd.exact_substring_append_recover(spark, inc)
+        == "rolled_back_partial"
+    )
+    # healed tree == the pre-append index exactly
+    ref = str(tmp_path / "ref_base")
+    dd.exact_substring_index_write(base, ref, k=10)
+    assert grams(inc) == grams(ref)
+    assert read_meta_sidecar(spark, inc)[0]["max_id"] == old_max
+    # (d) a plain append self-heals a pending journal, then converges
+    write_journal(len(batch_rows))
+    dd.exact_substring_index_append(spark, inc, batch, k=10)
+    assert grams(inc) == before
+    # (e) k-mismatch and stale-id guards are loud
+    with _pytest.raises(ValueError, match="k="):
+        dd.exact_substring_index_append(spark, inc, batch, k=5)
+    with _pytest.raises(ValueError, match="monotone"):
+        dd.exact_substring_index_append(spark, inc, batch, k=10)

@@ -928,21 +928,229 @@ def exact_substring_index_write(documents: DataFrame, path: str,
                                 text_col: str = "text") -> None:
     """Persist the corpus's window-hash index for INCREMENTAL
     ExactSubstr: one row per distinct k-token window hash with its
-    corpus-first packed (doc, pos) key. Every hash is stored (a
-    singleton in the base corpus makes any later occurrence a
-    duplicate), so the index is ~one row per distinct window — at
-    100 TB, bucket it by hash so the daily probe join co-locates.
-    A one-row ``_meta`` parquet (underscore-prefixed: readers of the
-    index root skip it) records the max indexed id so the incremental
-    probe can VALIDATE its monotone-ingest-key precondition."""
+    corpus-first packed (doc, pos) key, under ``{path}/grams`` (r10
+    layout — data in its own subtree like the IVF index's vectors/,
+    so the compaction leg can publish via the whole-tree two-rename
+    swap). Every hash is stored (a singleton in the base corpus makes
+    any later occurrence a duplicate), so the index is ~one row per
+    distinct window — at 100 TB, bucket it by hash so the daily probe
+    join co-locates. A one-row ``_meta`` parquet records the max
+    indexed id and k so the incremental probe and the append can
+    VALIDATE their monotone-ingest-key precondition."""
     wins = _window_hashes(documents, k, id_col, text_col)
     wins.groupBy("h").agg(F.min("p").alias("first_p")).write.mode(
         "overwrite"
-    ).parquet(path)
+    ).parquet(f"{path}/grams")
     documents.select(
         F.max(F.col(id_col)).cast("long").alias("max_id"),
         F.lit(k).alias("k"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+# Per-append journal marker — the IVF append's crash-detection
+# protocol (similarity._APPEND_JOURNAL), applied to the window-hash
+# index: journal -> _meta advance -> grams append -> journal clear.
+_SUBSTR_JOURNAL = "_append_journal"
+
+
+def _require_no_pending_substr_append(spark, path: str) -> None:
+    from torua_spark.sources.io import read_meta_sidecar
+
+    if read_meta_sidecar(spark, path, _SUBSTR_JOURNAL):
+        raise ValueError(
+            f"window-hash index at {path} has an unfinished append "
+            f"(journal marker present): probes would silently miss "
+            f"base-corpus duplicates; run "
+            f"exact_substring_append_recover(spark, path), then retry"
+        )
+
+
+def exact_substring_append_recover(spark, path: str) -> str | None:
+    """Self-heal a crashed ``exact_substring_index_append`` from its
+    journal marker (the ivf_append_recover contract, keyed on the
+    packed (doc, pos) watermark instead of vec_id): rows appended by
+    the batch all carry ``first_p >= (old_max_id + 1) << 20`` — the
+    packed key is monotone in (id, pos) — so the grams tree decides
+    between completed / rolled_back / partial exactly as the IVF twin
+    does, and a partial multi-file append is healed by rewriting the
+    tree without the partial rows via the shared two-rename swap."""
+    import shutil
+
+    from torua_spark.sources.io import read_meta_sidecar, tree_swap_publish
+
+    j = read_meta_sidecar(spark, path, _SUBSTR_JOURNAL)
+    if not j:
+        return None
+    old_max = j[0]["old_max"]
+    n_new = j[0]["n_new"]
+    k = j[0]["k"]
+    jdir = f"{path}/{_SUBSTR_JOURNAL}"
+    meta = read_meta_sidecar(spark, path)
+    meta_max = meta[0]["max_id"] if meta else None
+    if meta_max == old_max:
+        shutil.rmtree(jdir)  # crash before the _meta advance
+        return "rolled_back"
+    if old_max is None:
+        raise ValueError(
+            f"cannot heal an in-flight append on the pre-meta index at "
+            f"{path}: no max-id watermark distinguishes base rows from "
+            f"the half-committed batch; rebuild via "
+            f"exact_substring_index_write"
+        )
+    watermark = (old_max + 1) << 20
+    grams = spark.read.parquet(f"{path}/grams")
+    cond = F.col("first_p") >= watermark
+    n = grams.filter(cond).select("first_p").count()
+    if n == n_new:
+        shutil.rmtree(jdir)  # append landed; only the clear was lost
+        return "completed"
+    action = "rolled_back"
+    if n > 0:
+        exact_substring_compact_recover(path)
+        gdir = f"{path}/grams"
+        tmp = f"{path}/.compact_tmp_grams"
+        trash = f"{path}/.compact_trash_grams"
+        grams.filter(~cond).write.mode("overwrite").parquet(tmp)
+        tree_swap_publish(gdir, tmp, trash)
+        action = "rolled_back_partial"
+    from torua_spark.sources.local import local_df
+
+    local_df(spark, [(old_max, k)], "max_id long, k int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
+    shutil.rmtree(jdir)
+    return action
+
+
+def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
+                                 k: int = 10, id_col: str = "doc_id",
+                                 text_col: str = "text") -> dict:
+    """Daily-ingest APPEND into the persisted window-hash index (the
+    missing fourth leg of the incremental ExactSubstr life cycle:
+    write -> probe -> APPEND -> compact): after a batch is deduped
+    against the index, append its window hashes so the NEXT batch
+    dedups against base ∪ batch. Only hashes NOT already indexed are
+    written (an existing hash keeps its corpus-first packed key — with
+    monotone ingest ids the base occurrence always packs lower, so
+    min(p) over the union IS the stored value), which keeps the index
+    at one row per distinct window and makes the appended index
+    EXACTLY the from-scratch ``exact_substring_index_write`` over
+    base ∪ batch — the pinned equivalence.
+
+    Cost: one window pass over the BATCH + one join of the batch's
+    distinct hashes against the index (hash-bucketed at 100 TB so the
+    join co-locates; nothing rewrites). Crash discipline: the IVF
+    append protocol verbatim — journal marker, _meta-first fail-closed
+    watermark, probes raise while the marker is present,
+    ``exact_substring_append_recover`` heals every crash point (runs
+    first, so a retry after any crash converges)."""
+    import shutil
+
+    from torua_spark.sources.io import read_meta_sidecar
+
+    exact_substring_append_recover(spark, path)
+    meta = read_meta_sidecar(spark, path)
+    old_max = meta[0]["max_id"] if meta else None
+    if meta:
+        if meta[0]["k"] != k:
+            raise ValueError(
+                f"index at {path} was built with k={meta[0]['k']}, "
+                f"append requested k={k} — window hashes don't compare"
+            )
+        if old_max is not None:
+            batch_min = new_docs.agg(
+                F.min(F.col(id_col)).cast("long")
+            ).collect()[0][0]
+            if batch_min is not None and batch_min <= old_max:
+                raise ValueError(
+                    f"monotone-ingest-key precondition violated: batch "
+                    f"min {id_col}={batch_min} <= max indexed id "
+                    f"{old_max}; appending would mis-rank first "
+                    f"occurrences (rebuild the index or re-key the "
+                    f"batch)"
+                )
+    wins = _window_hashes(new_docs, k, id_col, text_col)
+    idx_hashes = spark.read.parquet(f"{path}/grams").select("h")
+    new_rows = (
+        wins.groupBy("h").agg(F.min("p").alias("first_p"))
+        .join(idx_hashes, "h", "left_anti")
+        .localCheckpoint(eager=True)  # pin: counted for the journal,
+        # then appended — recomputation between the two would race
+    )
+    n_new = new_rows.count()
+    # journal FIRST (crash detection), then _meta (fail-closed), then
+    # grams, then journal clear — agg-select writes, never
+    # createDataFrame (the ~5 s local-relation trap)
+    new_docs.agg(
+        F.lit(old_max).cast("long").alias("old_max"),
+        F.lit(n_new).cast("long").alias("n_new"),
+        F.lit(k).alias("k"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_SUBSTR_JOURNAL}"
+    )
+    new_docs.agg(
+        F.greatest(
+            F.max(F.col(id_col)).cast("long"),
+            F.lit(old_max).cast("long"),
+        ).alias("max_id"),
+        F.lit(k).alias("k"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    new_rows.write.mode("append").parquet(f"{path}/grams")
+    shutil.rmtree(f"{path}/{_SUBSTR_JOURNAL}")
+    return {"appended_hashes": n_new}
+
+
+def exact_substring_compact_recover(path: str) -> str | None:
+    """Self-heal a crashed ``exact_substring_index_compact`` — the
+    shared whole-tree two-rename swap recovery
+    (sources/io.tree_swap_recover, ONE definition with the IVF
+    compaction) on the grams tree."""
+    from torua_spark.sources.io import tree_swap_recover
+
+    return tree_swap_recover(
+        f"{path}/grams",
+        f"{path}/.compact_tmp_grams",
+        f"{path}/.compact_trash_grams",
+    )
+
+
+def exact_substring_index_compact(spark, path: str,
+                                  target_mb: int = 128) -> dict:
+    """Small-file COMPACTION for the appended window-hash index (r10,
+    VERDICT r9 #5 — the IVF compaction's twin): every
+    ``exact_substring_index_append`` lands >= one new file, so a daily
+    cadence accumulates files linearly in days and the probe join pays
+    a per-file open. One job rewrites the grams tree into
+    ceil(bytes / target_mb) files range-partitioned on ``h`` (tight
+    parquet min/max stats on the join key), content preserved exactly
+    (pinned in tests), published via the shared two-rename swap with
+    both recover legs run first so a re-run after any crash converges.
+    Same concurrency contract as the IVF compaction: no lock against
+    concurrent probes — a probe racing the two renames fails loudly on
+    the vanished tree and should retry; single-writer deployment."""
+    import math
+    import pathlib
+
+    from torua_spark.sources.io import tree_swap_publish
+
+    exact_substring_compact_recover(path)
+    exact_substring_append_recover(spark, path)
+    grams = f"{path}/grams"
+    tmp = f"{path}/.compact_tmp_grams"
+    trash = f"{path}/.compact_trash_grams"
+    files = list(pathlib.Path(grams).rglob("*.parquet"))
+    n_bytes = sum(f.stat().st_size for f in files)
+    target = max(1, math.ceil(n_bytes / (target_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(grams)
+        .repartitionByRange(target, "h")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    tree_swap_publish(grams, tmp, trash)
+    return {
+        "files_before": len(files),
+        "files_after": len(list(pathlib.Path(grams).rglob("*.parquet"))),
+    }
 
 
 def incremental_exact_substring_dedup(
@@ -966,6 +1174,10 @@ def incremental_exact_substring_dedup(
     check with the old caller-beware contract."""
     from torua_spark.sources.io import read_meta_sidecar
 
+    # probes raise while an append journal is pending (the index would
+    # silently miss base-corpus duplicates — the r10 crash-detection
+    # contract shared with the IVF index)
+    _require_no_pending_substr_append(spark, index_path)
     wins = _window_hashes(new_docs, k, id_col, text_col)
     # [] ONLY for a missing sidecar (pre-meta index: no validation
     # possible); corrupt/permission-broken sidecars re-raise loudly
@@ -990,7 +1202,7 @@ def incremental_exact_substring_dedup(
                     f"every new id to sort after the indexed corpus "
                     f"(rebuild the index or re-key the batch)"
                 )
-    idx = spark.read.parquet(index_path).select(
+    idx = spark.read.parquet(f"{index_path}/grams").select(
         "h", F.col("first_p").alias("_idx_p")
     )
     batch_agg = wins.groupBy("h").agg(

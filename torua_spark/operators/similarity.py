@@ -1313,7 +1313,7 @@ def ivf_append_recover(spark, path: str) -> str | None:
     if n > 0:
         # partial multi-file append: rewrite without the partial rows
         # (two-rename swap, healed by ivf_compact_recover on re-crash)
-        import os
+        from torua_spark.sources.io import tree_swap_publish
 
         ivf_compact_recover(path)
         vdir = f"{path}/vectors"
@@ -1323,9 +1323,7 @@ def ivf_append_recover(spark, path: str) -> str | None:
             vec.filter(~cond)
             .write.mode("overwrite").partitionBy("cell").parquet(tmp)
         )
-        os.rename(vdir, trash)
-        os.rename(tmp, vdir)
-        shutil.rmtree(trash)
+        tree_swap_publish(vdir, tmp, trash)
         action = "rolled_back_partial"
     # restore _meta to the pre-append watermark (old_max is non-NULL
     # past the pre-meta raise above)
@@ -1904,37 +1902,18 @@ def decontaminate_embeddings(
 
 
 def ivf_compact_recover(path: str) -> str | None:
-    """Self-heal a crashed ``ivf_index_compact`` (the _recover_swaps
-    contract, specialized to the index's whole-vectors swap): live
-    present -> the swap completed or never started, drop leftovers;
-    live absent with tmp present -> crash landed between the two
-    renames, roll FORWARD; live absent with only trash -> roll BACK.
-    Returns the action taken (None if nothing to heal)."""
-    import os
-    import pathlib
-    import shutil
+    """Self-heal a crashed ``ivf_index_compact``: the shared
+    whole-tree two-rename swap recovery (sources/io.tree_swap_recover
+    — ONE definition with the ExactSubstr index compaction, r10)
+    specialized to the index's vectors tree. Returns the action taken
+    (None if nothing to heal)."""
+    from torua_spark.sources.io import tree_swap_recover
 
-    vec = pathlib.Path(f"{path}/vectors")
-    tmp = pathlib.Path(f"{path}/.compact_tmp_vectors")
-    trash = pathlib.Path(f"{path}/.compact_trash_vectors")
-    if vec.exists():
-        action = None
-        if trash.exists():
-            shutil.rmtree(trash)
-            action = "dropped_trash"
-        if tmp.exists():
-            shutil.rmtree(tmp)  # crash mid-write: live untouched
-            action = (action or "") + "+dropped_tmp" if action else "dropped_tmp"
-        return action
-    if tmp.exists():
-        os.rename(tmp, vec)  # roll forward: rewrite was complete
-        if trash.exists():
-            shutil.rmtree(trash)
-        return "rolled_forward"
-    if trash.exists():
-        os.rename(trash, vec)  # roll back: rewrite never went live
-        return "rolled_back"
-    return None
+    return tree_swap_recover(
+        f"{path}/vectors",
+        f"{path}/.compact_tmp_vectors",
+        f"{path}/.compact_trash_vectors",
+    )
 
 
 def ivf_index_compact(spark, path: str) -> dict:
@@ -1965,12 +1944,12 @@ def ivf_index_compact(spark, path: str) -> dict:
     APPEND, by contrast, is detected and healed here before the
     rewrite starts — compacting half a batch into the new tree would
     otherwise bake the partial append in."""
-    import os
     import pathlib
-    import shutil
 
     ivf_compact_recover(path)
     ivf_append_recover(spark, path)
+    from torua_spark.sources.io import tree_swap_publish
+
     vec = f"{path}/vectors"
     tmp = f"{path}/.compact_tmp_vectors"
     trash = f"{path}/.compact_trash_vectors"
@@ -1981,8 +1960,6 @@ def ivf_index_compact(spark, path: str) -> dict:
         .write.mode("overwrite").partitionBy("cell")
         .parquet(tmp)
     )
-    os.rename(vec, trash)
-    os.rename(tmp, vec)
-    shutil.rmtree(trash)
+    tree_swap_publish(vec, tmp, trash)
     files_after = len(list(pathlib.Path(vec).rglob("*.parquet")))
     return {"files_before": files_before, "files_after": files_after}

@@ -1899,13 +1899,16 @@ ORACLE_BY_N = {
 
 
 def _q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest ExactSubstr: index the first 80% of documents (by
-    id — the monotone ingest-key order the equivalence needs), then
-    dedup the newest 20% against the persisted window index + the
-    batch itself. The oracle runs the FROM-SCRATCH pipeline on the
-    whole corpus and keeps only the new ids — hash equality IS the
-    incremental-equals-batch proof (same contract as
-    streaming_index_dedup)."""
+    """Daily-ingest ExactSubstr, FULL index life cycle (r10 — the
+    vector_index_append shape on the window-hash index): index the
+    first 80% of documents (by id — the monotone ingest-key order the
+    equivalence needs), dedup day-1's batch (next 10%) against it,
+    APPEND day-1's windows, COMPACT the grown index, then dedup
+    day-2's batch (last 10%) against the appended+compacted index.
+    The oracle runs the FROM-SCRATCH pipeline on the whole corpus and
+    keeps only ids >= the 80% cut — hash equality proves BOTH probes,
+    the append's index equivalence, and compaction's content
+    preservation in one driver check."""
     import shutil
     import tempfile
 
@@ -1913,16 +1916,26 @@ def _q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    t = (int(max_id) + 1) * 4 // 5
+    t1 = (int(max_id) + 1) * 4 // 5
+    t2 = (int(max_id) + 1) * 9 // 10
     tmp = tempfile.mkdtemp(prefix="torua_substr_idx_")
     try:
+        idx = f"{tmp}/idx"
         dd.exact_substring_index_write(
-            docs.filter(F.col("doc_id") < t), f"{tmp}/idx", k=10
+            docs.filter(F.col("doc_id") < t1), idx, k=10
         )
-        out = dd.incremental_exact_substring_dedup(
-            spark, f"{tmp}/idx", docs.filter(F.col("doc_id") >= t), k=10
+        day1 = docs.filter(
+            (F.col("doc_id") >= t1) & (F.col("doc_id") < t2)
         )
-        return out.localCheckpoint(eager=True)
+        out1 = dd.incremental_exact_substring_dedup(
+            spark, idx, day1, k=10
+        ).localCheckpoint(eager=True)
+        dd.exact_substring_index_append(spark, idx, day1, k=10)
+        dd.exact_substring_index_compact(spark, idx)
+        out2 = dd.incremental_exact_substring_dedup(
+            spark, idx, docs.filter(F.col("doc_id") >= t2), k=10
+        ).localCheckpoint(eager=True)
+        return out1.unionByName(out2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

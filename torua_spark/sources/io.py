@@ -536,3 +536,51 @@ def read_meta_sidecar(spark: SparkSession, path: str,
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         return []
+
+
+def tree_swap_recover(live: str, tmp: str, trash: str) -> str | None:
+    """Self-heal a crashed two-rename tree swap (the _swap_partition
+    contract generalized to whole directory trees — ONE definition
+    shared by the IVF and ExactSubstr index compactions, r10): live
+    present -> the swap completed or never started, drop leftovers;
+    live absent with tmp present -> crash landed between the two
+    renames, roll FORWARD; live absent with only trash -> roll BACK.
+    Returns the action taken (None if nothing to heal)."""
+    import os
+    import pathlib
+    import shutil
+
+    live_p = pathlib.Path(live)
+    tmp_p = pathlib.Path(tmp)
+    trash_p = pathlib.Path(trash)
+    if live_p.exists():
+        action = None
+        if trash_p.exists():
+            shutil.rmtree(trash)
+            action = "dropped_trash"
+        if tmp_p.exists():
+            shutil.rmtree(tmp)  # crash mid-write: live untouched
+            action = f"{action}+dropped_tmp" if action else "dropped_tmp"
+        return action
+    if tmp_p.exists():
+        os.rename(tmp, live)  # roll forward: rewrite was complete
+        if trash_p.exists():
+            shutil.rmtree(trash)
+        return "rolled_forward"
+    if trash_p.exists():
+        os.rename(trash, live)  # roll back: rewrite never went live
+        return "rolled_back"
+    return None
+
+
+def tree_swap_publish(live: str, tmp: str, trash: str) -> None:
+    """Publish a fully-written ``tmp`` tree over ``live`` via the
+    two-rename swap: the original bytes survive in ``trash`` until the
+    new tree is live, and every crash point is healed by
+    ``tree_swap_recover``."""
+    import os
+    import shutil
+
+    os.rename(live, trash)
+    os.rename(tmp, live)
+    shutil.rmtree(trash)
