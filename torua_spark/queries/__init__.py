@@ -102,13 +102,17 @@ _DECLARED = [
     # pytest-vs-DuckDB oracled every run): vector_kmeans_cells,
     # vector_pq_ann, vector_quantization, semantic_dedup_auto,
     # rag_hybrid_rrf, curriculum_phases.
-    # Round-9 rotation (VERDICT r8 #1): vector_cluster_mutual_knn —
-    # the one standalone registry entry never driver-proven (landed in
-    # r8's final commit) — rotates IN for vector_knn_join (driver-green
-    # r8; its knn_join machinery is exercised INSIDE the cluster entry,
-    # so B7 keeps four in-window witnesses). With this swap the
-    # every-standalone-entry-driver-proven discipline has zero backlog.
-    "vector_cluster_mutual_knn",
+    # Round-10 NEW operator (landing-round proof, VERDICT r9 #1):
+    # image perceptual-hash near-dup — 64-bit dHash over the codec
+    # surface (real PPM/PGM pixel tier driver-proven via planted
+    # deterministic PGMs whose bands the oracle re-derives
+    # arithmetically; md5 fake tier for non-image payloads) + banded
+    # Hamming pairs with pigeonhole-exact recall. In for
+    # vector_cluster_mutual_knn (driver-green r9, the named r10
+    # give-back; keeps its union-find reference pytest + registry
+    # oracle, and its knn_join machinery stays in-window via
+    # vector_index_append's probe and vector_neardup_pairs).
+    "dedup_image_phash",
     # Round-9 NEW operator (landing-round proof): persisted-IVF APPEND
     # — the daily-ingest index life cycle (write 80% / append 20%
     # under the frozen codebook / partition-pruned probe of the
@@ -207,13 +211,14 @@ _DECLARED = [
     # round it landed (see the swap note at the list head).
     "graph_varlength_range",
     "graph_collect_priorities",
-    # Round-9 form proof (VERDICT r8 #6): the bare [:R*] UNBOUNDED
-    # Cypher shortestPath — BFS to convergence with amortized fixpoint
-    # probes and a loud cap. In for graph_shortest_path_cypher
-    # (driver-green r8, same compile path with a fixed bound,
-    # pytest-oracled forever); *0..k and the OPTIONAL-MATCH-WHERE
-    # aggregate + count(DISTINCT) forms are pinned in test_pattern.py.
-    "graph_shortest_path_unbounded",
+    # Round-10 form proof (VERDICT r9 #4): RELATIONSHIP property maps
+    # — anonymous multi-key [:R {k: v, k2: v2}] desugared through a
+    # synthesized edge variable to pushed edge-scan equality, composed
+    # with a node map. In for graph_shortest_path_unbounded
+    # (driver-green r9, pytest-oracled forever — the unbounded-BFS
+    # convergence forms stay pinned in test_pattern.py, and B1/B6 keep
+    # graph_shortest_path + graph_weighted_shortest_path in-window).
+    "graph_edge_property_map",
     # --- training-data pipeline (dedup / packing / curriculum)
     # Round-8 NEW (landing-round proof): incremental ExactSubstr vs
     # the persisted window index, oracle = from-scratch equivalence.
