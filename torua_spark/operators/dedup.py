@@ -954,9 +954,9 @@ _SUBSTR_JOURNAL = "_append_journal"
 
 
 def _require_no_pending_substr_append(spark, path: str) -> None:
-    from torua_spark.sources.io import read_meta_sidecar
+    from torua_spark.sources.io import sidecar_exists
 
-    if read_meta_sidecar(spark, path, _SUBSTR_JOURNAL):
+    if sidecar_exists(spark, path, _SUBSTR_JOURNAL):
         raise ValueError(
             f"window-hash index at {path} has an unfinished append "
             f"(journal marker present): probes would silently miss "
@@ -976,8 +976,14 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
     tree without the partial rows via the shared two-rename swap."""
     import shutil
 
-    from torua_spark.sources.io import read_meta_sidecar, tree_swap_publish
+    from torua_spark.sources.io import (
+        read_meta_sidecar,
+        sidecar_exists,
+        tree_swap_publish,
+    )
 
+    if not sidecar_exists(spark, path, _SUBSTR_JOURNAL):
+        return None
     j = read_meta_sidecar(spark, path, _SUBSTR_JOURNAL)
     if not j:
         return None

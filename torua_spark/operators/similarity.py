@@ -843,6 +843,103 @@ def embedding_near_dup_pairs(
 
 SEMANTIC_MAX_K = 65_536
 
+# Per-group budget for the hierarchical level-2 Lloyd: each coarse
+# cell's (rows x dim) matrix is local-solved inside one Arrow group —
+# 2^26 float64 elements = 512 MB, far past which the caller should
+# raise k1 (more, smaller groups) instead of letting a worker OOM.
+HIER_GROUP_ELEMS = 1 << 26
+# fine-id stride in the packed (coarse, fine) cell id
+_HIER_FINE_STRIDE = 1 << 20
+
+
+def hierarchical_kmeans_cells(embeddings: DataFrame,
+                              k1: int = KMEANS_K,
+                              target_cell: int = 128,
+                              iterations: int = KMEANS_ITERATIONS
+                              ) -> DataFrame:
+    """TWO-LEVEL Lloyd blocking (r10, the documented extension past
+    SemDeDup's 65,536-cell clamp — SURVEY §9): a flat assignment pass
+    costs n·k distance rows, so k = n/target stops scaling once k
+    crosses the broadcast/compute budget; the hierarchy restores the
+    paper's cell sizing at any corpus size with n·(k1 + n_g/target)
+    distance work — level 1 is the existing distributed
+    ``kmeans_centroids`` + ``assign_cells`` with a BOUNDED codebook
+    (k1 centroids), level 2 re-runs the IDENTICAL Lloyd recipe
+    LOCALLY inside each coarse cell (one Arrow group per cell:
+    hash-spread md5 seeds, k2 = ceil(n_g/target_cell), round4
+    distances with smallest-fine-id tie-break, round6 centroid means,
+    empty cells disappear keeping their ids) — deterministic
+    end-to-end, so a DuckDB oracle unrolls BOTH levels exactly.
+
+    Returns (vec_id, cell: long) with cell = coarse * 2^20 + fine.
+    Scale shape: level 1 is the proven linear pass; level 2 is
+    map-only per coarse group (no shuffle beyond the coarse key) with
+    a LOUD per-group budget guard (HIER_GROUP_ELEMS) whose remedy is
+    raising k1 — at 10^9 vectors, k1 = 4096 keeps groups ~256k rows
+    and the fine vocabulary reaches the paper's n/128 with no flat
+    pass ever exceeding 4096 centroids."""
+    import hashlib
+
+    cents = kmeans_centroids(embeddings, k1, iterations)
+    coarse = assign_cells(embeddings, cents)
+    grouped = embeddings.select("vec_id", "embedding").join(coarse, "vec_id")
+
+    def _local_lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int64")})
+        g = int(pdf["coarse"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        emat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+        )
+        if emat.size > HIER_GROUP_ELEMS:
+            raise ValueError(
+                f"coarse cell {g} holds {n} x {emat.shape[1]} = "
+                f"{emat.size} elements, over the {HIER_GROUP_ELEMS} "
+                f"local-Lloyd budget — raise k1 so groups shrink"
+            )
+        k2 = max(1, -(-n // target_cell))
+        # hash-spread seeds: the seed_centroids convention, group-local
+        md5s = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        )
+        order = np.lexsort((ids, md5s))
+        cmat = emat[order[:k2]].copy()
+        fine_ids = np.arange(k2, dtype=np.int64)
+
+        def _assign_local(cm):
+            acc = np.zeros((emat.shape[0], cm.shape[0]))
+            for j in range(emat.shape[1]):  # exact left-fold per dim
+                diff = emat[:, j: j + 1] - cm[:, j][None, :]
+                acc += diff * diff
+            d4 = np.floor(acc * 10000.0 + 0.5 + 1e-9) / 10000.0
+            return np.argmin(d4, axis=1)  # first min = smallest fine
+
+        for _ in range(iterations):
+            best = _assign_local(cmat)
+            new_c, keep = [], []
+            for fi in range(cmat.shape[0]):
+                mask = best == fi
+                if mask.any():  # empty cells disappear, ids kept
+                    new_c.append(
+                        np.floor(emat[mask].mean(axis=0) * 1e6 + 0.5 + 1e-9)
+                        / 1e6
+                    )
+                    keep.append(fine_ids[fi])
+            cmat = np.stack(new_c)
+            fine_ids = np.asarray(keep, dtype=np.int64)
+        best = _assign_local(cmat)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell": g * _HIER_FINE_STRIDE + fine_ids[best],
+        })
+
+    return grouped.select(
+        "vec_id", "embedding", F.col("cell").alias("coarse")
+    ).groupBy("coarse").applyInPandas(_local_lloyd, "vec_id long, cell long")
+
 
 def _cell_band_pairs(base: DataFrame, threshold: float,
                      max_bucket: int | None = None) -> DataFrame:
@@ -872,7 +969,8 @@ def _cell_band_pairs(base: DataFrame, threshold: float,
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
                    cell_col: str | None = "label",
                    target_cell: int = 128,
-                   max_k: int = SEMANTIC_MAX_K) -> DataFrame:
+                   max_k: int = SEMANTIC_MAX_K,
+                   hierarchical: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (published recipe:
     cluster the embedding space, then prune within-cluster cosine
     duplicates — Abbas et al. 2023, arXiv:2303.09540). Blocking is a
@@ -912,14 +1010,26 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35,
     candidates linear without a hierarchical k-means pass. The
     refinement only removes candidates (bands partition each cell),
     so the min-id keep rule's semantics are unchanged; recall follows
-    the band budget (see lsh_bands_needed)."""
+    the band budget (see lsh_bands_needed).
+
+    ``hierarchical=True`` (r10, SURVEY §9's documented alternative
+    past the cap) swaps the band refinement for TWO-LEVEL k-means
+    (:func:`hierarchical_kmeans_cells` with k1 = the capped k): the
+    paper's own cell sizing at any corpus size — fine cells hold
+    ~target_cell members, so the within-cell pass is brute-exact
+    (full recall inside a cell, like the labeled path) instead of
+    band-bounded."""
     refined = False
     if cell_col is None:
         n = embeddings.count()
         k = min(max(KMEANS_K, -(-n // target_cell)), max_k)
         refined = max(KMEANS_K, -(-n // target_cell)) > k  # cap engaged
-        cents = kmeans_centroids(embeddings, k)
-        cells = assign_cells(embeddings, cents)
+        if refined and hierarchical:
+            cells = hierarchical_kmeans_cells(embeddings, k, target_cell)
+            refined = False  # fine cells are target-sized: brute path
+        else:
+            cents = kmeans_centroids(embeddings, k)
+            cells = assign_cells(embeddings, cents)
         base = embeddings.join(cells, "vec_id")
     else:
         base = embeddings.select(
@@ -1245,10 +1355,12 @@ _APPEND_JOURNAL = "_append_journal"
 def _require_no_pending_append(spark, path: str) -> None:
     """Probe-side guard: raise loudly when the index has an unfinished
     append (journal marker present) instead of silently serving an
-    index that omits the half-committed batch."""
-    from torua_spark.sources.io import read_meta_sidecar
+    index that omits the half-committed batch. Existence-probe only
+    (ms-cheap Hadoop FS call) — the journal's CONTENT is only needed
+    by recovery."""
+    from torua_spark.sources.io import sidecar_exists
 
-    if read_meta_sidecar(spark, path, _APPEND_JOURNAL):
+    if sidecar_exists(spark, path, _APPEND_JOURNAL):
         raise ValueError(
             f"IVF index at {path} has an unfinished append (journal "
             f"marker present): probes would silently omit the batch; "
@@ -1279,8 +1391,10 @@ def ivf_append_recover(spark, path: str) -> str | None:
     Returns the action taken (None when no journal exists)."""
     import shutil
 
-    from torua_spark.sources.io import read_meta_sidecar
+    from torua_spark.sources.io import read_meta_sidecar, sidecar_exists
 
+    if not sidecar_exists(spark, path, _APPEND_JOURNAL):
+        return None
     j = read_meta_sidecar(spark, path, _APPEND_JOURNAL)
     if not j:
         return None

@@ -2106,3 +2106,107 @@ def _image_phash_oracle_sql() -> str:
 
 
 ORACLE["dedup_image_phash"] = _image_phash_oracle_sql()
+
+
+# --- hierarchical SemDeDup (r10 stretch, VERDICT r9 #8) --------------------
+
+_HIER_K1 = 4          # force the cap at the driver SF so the hierarchy runs
+_HIER_TARGET = 16     # fine cells of ~16 members at n=500
+
+
+def _q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level-k-means SemDeDup with the cap FORCED small
+    (max_k=4 at n=500 engages the hierarchy the way SEMANTIC_MAX_K
+    engages it at 10^7+ docs): level-1 Lloyd to 4 coarse cells,
+    per-cell local Lloyd to ~n_g/16 fine cells, min-id keep rule
+    within fine cells. The oracle unrolls BOTH Lloyd levels
+    (group-keyed level 2) so the hierarchy's every hard decision is
+    hash-proven, not just its shape."""
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir), threshold=NEARDUP_COS_THRESHOLD,
+        cell_col=None, target_cell=_HIER_TARGET, max_k=_HIER_K1,
+        hierarchical=True,
+    )
+
+
+QUERIES["semantic_dedup_hierarchical"] = _q_semantic_dedup_hier
+
+
+def _hier_semantic_oracle_sql(threshold: float = NEARDUP_COS_THRESHOLD,
+                              iters: int = sim.KMEANS_ITERATIONS,
+                              k1: int = _HIER_K1,
+                              target: int = _HIER_TARGET) -> str:
+    """Group-keyed loop-unrolled TWO-LEVEL Lloyd: the level-1 CTEs are
+    _kmeans_ctes verbatim; level 2 repeats the same
+    seed/assign/update recipe with every window and aggregate
+    PARTITIONED by the coarse cell g, ending in the packed
+    (g * 2^20 + fine) cell id and the min-id keep rule."""
+    stride = sim._HIER_FINE_STRIDE
+    ctes = _kmeans_ctes(k=k1, iters=iters)
+    ctes.append(f"assign AS ({_kmeans_assign_select(iters)})")
+    ctes.append("""gpos AS (
+        SELECT p.vec_id, p.pos, p.v, a.cell AS g
+        FROM pos p JOIN assign a USING (vec_id))""")
+    ctes.append(f"""seeds2 AS (
+        SELECT vec_id, g, CAST(rn - 1 AS BIGINT) AS fine FROM (
+            SELECT a.vec_id, a.cell AS g,
+                   row_number() OVER (
+                       PARTITION BY a.cell
+                       ORDER BY md5(a.vec_id::VARCHAR), a.vec_id) AS rn,
+                   count(*) OVER (PARTITION BY a.cell) AS n_g
+            FROM assign a
+        ) WHERE rn <= CAST(ceil(n_g / {target}.0) AS BIGINT))""")
+    ctes.append("""fcent0 AS (
+        SELECT s.g, s.fine, p.pos, p.v AS m
+        FROM seeds2 s JOIN pos p USING (vec_id))""")
+    for i in range(iters):
+        ctes.append(f"""fa{i} AS (
+            SELECT vec_id, g, fine FROM (
+                SELECT vec_id, g, fine,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d4, fine) AS rn
+                FROM (SELECT p.vec_id, p.g, c.fine,
+                             floor(sum((p.v - c.m) * (p.v - c.m))
+                                   * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                      FROM gpos p
+                      JOIN fcent{i} c ON p.pos = c.pos AND p.g = c.g
+                      GROUP BY p.vec_id, p.g, c.fine)
+            ) WHERE rn = 1)""")
+        ctes.append(f"""fcent{i + 1} AS (
+            SELECT a.g, a.fine, p.pos,
+                   floor(avg(p.v) * 1000000.0 + 0.5 + 1e-9)
+                       / 1000000.0 AS m
+            FROM fa{i} a JOIN pos p USING (vec_id)
+            GROUP BY a.g, a.fine, p.pos)""")
+    ctes.append(f"""cellmap AS (
+        SELECT vec_id, CAST(g * {stride} + fine AS BIGINT) AS cell FROM (
+            SELECT vec_id, g, fine FROM (
+                SELECT vec_id, g, fine,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d4, fine) AS rn
+                FROM (SELECT p.vec_id, p.g, c.fine,
+                             floor(sum((p.v - c.m) * (p.v - c.m))
+                                   * 10000.0 + 0.5 + 1e-9) / 10000.0 AS d4
+                      FROM gpos p
+                      JOIN fcent{iters} c ON p.pos = c.pos AND p.g = c.g
+                      GROUP BY p.vec_id, p.g, c.fine)
+            ) WHERE rn = 1
+        ))""")
+    ctes.append(f"""hpairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM cellmap a JOIN cellmap b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[])
+                    * 10000.0 + 0.5 + 1e-9) / 10000.0 >= {threshold})""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT c.vec_id, c.cell,
+               c.vec_id NOT IN (SELECT vec_b FROM hpairs) AS kept
+        FROM cellmap c"""
+    )
+
+
+ORACLE["semantic_dedup_hierarchical"] = _hier_semantic_oracle_sql()

@@ -584,3 +584,18 @@ def tree_swap_publish(live: str, tmp: str, trash: str) -> None:
     os.rename(live, trash)
     os.rename(tmp, live)
     shutil.rmtree(trash)
+
+
+def sidecar_exists(spark: SparkSession, path: str, name: str) -> bool:
+    """Fast existence probe for an index sidecar directory via the
+    Hadoop FileSystem API (~ms, works on any Spark-supported FS) —
+    the hot-path guards (probe-side pending-append checks, recover
+    early-outs) run once per query and were paying a full Spark read
+    + AnalysisException round trip (~0.2-0.3 s each) just to learn
+    "not there". Existence only: when the sidecar EXISTS the caller
+    still reads it through ``read_meta_sidecar`` so the
+    missing-vs-corrupt classification stays in one place."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
