@@ -128,6 +128,9 @@ _PYTHON_OK = {
                                 # (measured 3x+ over interpreted HOFs)
     "semantic_dedup",           # Arrow pair-verify dot on the candidate
     "semantic_dedup_auto",      # relation (largest intermediate; the
+    # two-level Lloyd: same Arrow assignment/pair-verify surfaces as
+    # semantic_dedup_auto, plus the per-coarse-cell local level-2 pass
+    "semantic_dedup_hierarchical",
                                 # interpreted HOF ran per element there)
     "vector_kmeans_cells",      # Arrow nearest-centroid assignment
                                 # (bit-identical to the HOF fold; 4x at sf1)

@@ -467,16 +467,15 @@ def image_neardup_pairs(hashed: DataFrame,
     the hot path. True duplicate FLOODS (thousands of byte-identical
     images) collide in every band by construction — run exact dedup
     (digest groupBy) first at 100 TB, as with every banded scheme."""
-    if max_hamming >= DHASH_BANDS:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the exact-recall bound "
-            f"of {DHASH_BANDS}-band blocking (pigeonhole needs "
-            f"max_hamming < {DHASH_BANDS})"
-        )
+    return image_neardup_join(hashed, hashed, max_hamming)
+
+
+def _dhash_bands_exploded(hashed: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) -> one row per band with the carried hash,
+    explicitly repartitioned on the join key (r8 AQE lesson)."""
     from torua_spark.operators.similarity import _shuffle_width
 
-    width = _shuffle_width(hashed)
-    bands = hashed.select(
+    return hashed.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.explode(
             F.array(*[
@@ -490,12 +489,29 @@ def image_neardup_pairs(hashed: DataFrame,
     ).select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.col("pk.part").alias("part"), F.col("pk.key").alias("key"),
-    ).repartition(width, "part", "key")
-    left = bands.select(
+    ).repartition(_shuffle_width(hashed), "part", "key")
+
+
+def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
+                       max_hamming: int = 3) -> DataFrame:
+    """The banded Hamming join over two (possibly identical) dHash
+    relations: (doc_a from left, doc_b from right, dist) with
+    doc_a < doc_b and dist <= max_hamming — exact recall by the same
+    pigeonhole bound. The two-relation form is the incremental /
+    streaming probe shape: a batch's hashes against a persisted
+    corpus index, each unordered pair emitted exactly once (when its
+    smaller id sits on the left)."""
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"of {DHASH_BANDS}-band blocking (pigeonhole needs "
+            f"max_hamming < {DHASH_BANDS})"
+        )
+    left = _dhash_bands_exploded(left_hashed).select(
         "part", "key", F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(DHASH_BANDS)],
     )
-    right = bands.select(
+    right = _dhash_bands_exploded(right_hashed).select(
         "part", "key", F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{j}").alias(f"c{j}") for j in range(DHASH_BANDS)],
     )

@@ -248,11 +248,18 @@ _DECLARED = [
     # in-window).
     "streaming_quality_gate",
     # Round-7 third swap (streaming half): the Kafka-shaped source
-    # proof and the index-probed streaming dedup rotate in for
-    # dedup_simhash and rag_hashed_retrieval (driver-green r4-r6,
+    # proof rotates in for dedup_simhash (driver-green r4-r6,
     # pytest-oracled forever).
     "streaming_kafka_events",
-    "streaming_index_dedup",
+    # Round-10 NEW streaming twin (landing-round proof): image-content
+    # dedup as an index-probed stream — each micro-batch dHashes its
+    # media rows (incl. the planted real-tier PGMs) and runs the
+    # banded Hamming probe against the persisted corpus index; the
+    # drained union equals the batch dedup_image_phash pass, reusing
+    # its arithmetic oracle. In for streaming_index_dedup
+    # (driver-green r7-r9, the same index-probed-stream family,
+    # pytest-oracled forever).
+    "streaming_image_dedup",
     "multimodal_audio_probe",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",

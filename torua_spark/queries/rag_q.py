@@ -2034,10 +2034,14 @@ def _render_pgm_gen(perturb: bool, offset: int):
     return gen
 
 
-def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_media_with_plants(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) media relation for the image-dedup entries:
+    the corpus payloads (fake-tier) plus, per 20th doc, a planted 9x8
+    PGM (real tier, pixels = the md5 chain of the doc's text) and its
+    one-pixel re-encode variant. Shared by the batch entry and its
+    streaming twin so both hash the IDENTICAL relation."""
     from torua_spark.operators import multimodal as mm
 
-    docs = _docs(spark, sf_dir)
     media = mm.to_media_table(docs).select("doc_id", "payload")
     seeds = docs.filter(F.col("doc_id") % _IMG_PLANT_EVERY == 0).select(
         "doc_id",
@@ -2050,9 +2054,13 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant = seeds.mapInPandas(
         _render_pgm_gen(True, _IMG_VAR_OFFSET), out_schema
     )
-    hashed = mm.image_dhash(
-        media.unionByName(orig).unionByName(variant)
-    )
+    return media.unionByName(orig).unionByName(variant)
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.image_dhash(image_media_with_plants(_docs(spark, sf_dir)))
     return mm.image_neardup_pairs(hashed, max_hamming=3)
 
 

@@ -333,3 +333,15 @@ QUERIES["streaming_quality_gate"] = q_streaming_quality_gate
 # The gate is stateless per document, so streaming the corpus through
 # it equals the batch classifier exactly — same literal-weight oracle.
 ORACLE["streaming_quality_gate"] = _rag_q.ORACLE["text_quality_classifier"]
+
+
+from torua_spark.streaming.windows import streaming_image_dedup  # noqa: E402
+
+QUERIES["streaming_image_dedup"] = streaming_image_dedup
+
+# Every doc streams exactly once against an index of the full media
+# relation, each pair emitted when its smaller id streams — the
+# drained union equals the batch dedup_image_phash pass exactly, so
+# the streaming shape reuses its arithmetic (planted-PGM + fake-tier)
+# oracle, the streaming_knn precedent.
+ORACLE["streaming_image_dedup"] = _rag_q.ORACLE["dedup_image_phash"]

@@ -594,3 +594,66 @@ def streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, [], "vec_id long, neighbor_id long, sim double, rank int"
         )
     return out
+
+
+# streaming_image_dedup's persisted dHash index: one per (application,
+# corpus) — the streaming_knn memo rationale (the index is a pure
+# function of the corpus and the deployment builds it once).
+_STREAM_IMG_INDEX: dict[tuple[str, str], str] = {}
+
+
+def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image-content near-dup against a persisted dHash
+    index (r10 — the image twin of `streaming_index_dedup` /
+    `streaming_knn`): the corpus media relation (payloads + the
+    planted real-tier PGMs of the batch entry) is dHashed ONCE into
+    an index; documents arrive as a file stream, and each micro-batch
+    hashes its own media rows and runs the banded Hamming probe
+    against the index (`multimodal.image_neardup_join`), emitting a
+    pair exactly once — when its smaller id streams. Because every
+    doc streams exactly once and the index holds the full relation,
+    the drained union equals the batch `dedup_image_phash` pass
+    row-for-row, so it reuses that entry's arithmetic oracle —
+    blocking, tiering, and the planted-PGM real-decode path all
+    driver-proven through the streaming shape."""
+    import tempfile
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import image_media_with_plants
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _STREAM_IMG_INDEX.get(key)
+    if path is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = tempfile.mkdtemp(prefix="torua_stream_img_")
+        path = f"{base}/hashes"
+        mm.image_dhash(image_media_with_plants(docs)).write.parquet(path)
+        _STREAM_IMG_INDEX[key] = path
+    index = spark.read.parquet(path)
+
+    stream = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hits: list[DataFrame] = []
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        bh = mm.image_dhash(image_media_with_plants(batch_df))
+        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        hits.append(pairs.localCheckpoint(eager=True))
+
+    q = stream.writeStream.foreachBatch(_probe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(spark, [], "doc_a long, doc_b long, dist int")
+    return out
