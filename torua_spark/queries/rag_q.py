@@ -1939,7 +1939,6 @@ def _q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the append's index equivalence, and compaction's content
     preservation in one driver check."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
