@@ -1765,6 +1765,28 @@ def test_ivf_append_journal_detects_and_heals_crashes(spark, sf_dir, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(jdir)
     with _pytest.raises(ValueError, match="pre-meta"):
         sim.ivf_append_recover(spark, path)
+    import shutil as _sh
+
+    _sh.rmtree(jdir)
+
+    # (g) CORRUPT _meta with a journal: the crash landed inside the
+    # _meta overwrite — recovery restores from the journal instead of
+    # wedging (completed case: the one vector above old_max=batch_max
+    # is nxt_id, appended in (e))
+    new_max = int(nxt_id)
+    local_df(
+        spark, [(new_max, 1, int(batch_max))],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.mode("overwrite").parquet(jdir)
+    _sh.rmtree(f"{path}/_meta")
+    import pathlib as _pl
+
+    _pl.Path(f"{path}/_meta").mkdir()
+    _pl.Path(f"{path}/_meta/part-0.parquet").write_bytes(b"junk")
+    assert sim.ivf_append_recover(spark, path) == "completed"
+    from torua_spark.sources.io import read_meta_sidecar as _rms
+
+    assert _rms(spark, path)[0]["max_id"] == new_max
 
 
 def test_substring_index_append_compact_lifecycle(spark, sf_dir, tmp_path):
@@ -1821,8 +1843,8 @@ def test_substring_index_append_compact_lifecycle(spark, sf_dir, tmp_path):
 
     def write_journal(n_new):
         local_df(
-            spark, [(old_max, n_new, 10)],
-            "old_max long, n_new long, k int",
+            spark, [(old_max, n_new, 10, max_id)],
+            "old_max long, n_new long, k int, batch_max long",
         ).coalesce(1).write.mode("overwrite").parquet(jdir)
 
     def write_meta(v):
@@ -1866,6 +1888,20 @@ def test_substring_index_append_compact_lifecycle(spark, sf_dir, tmp_path):
     # (d) a plain append self-heals a pending journal, then converges
     write_journal(len(batch_rows))
     dd.exact_substring_index_append(spark, inc, batch, k=10)
+    assert grams(inc) == before
+    # (d2) CORRUPT _meta with a journal: the crash landed inside the
+    # _meta overwrite — recovery restores from the journal's
+    # watermarks instead of wedging (completed case: grams hold the
+    # full batch, so _meta is re-written at batch_max)
+    import pathlib as _pl
+
+    write_journal(len(batch_rows))
+    shutil_rm = __import__("shutil").rmtree
+    shutil_rm(f"{inc}/_meta")
+    _pl.Path(f"{inc}/_meta").mkdir()
+    _pl.Path(f"{inc}/_meta/part-0.parquet").write_bytes(b"junk")
+    assert dd.exact_substring_append_recover(spark, inc) == "completed"
+    assert read_meta_sidecar(spark, inc)[0]["max_id"] == max_id
     assert grams(inc) == before
     # (e) k-mismatch and stale-id guards are loud
     with _pytest.raises(ValueError, match="k="):

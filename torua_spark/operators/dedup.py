@@ -991,12 +991,26 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
     n_new = j[0]["n_new"]
     k = j[0]["k"]
     jdir = f"{path}/{_SUBSTR_JOURNAL}"
-    meta = read_meta_sidecar(spark, path)
-    meta_max = meta[0]["max_id"] if meta else None
-    if meta_max == old_max:
+    try:
+        meta = read_meta_sidecar(spark, path)
+        meta_max = meta[0]["max_id"] if meta else None
+        meta_corrupt = False
+    except Exception:
+        # corrupt (not missing) _meta with a journal present: the
+        # crash landed inside the _meta overwrite — the journal holds
+        # both watermarks, so recovery restores instead of wedging
+        # (the ivf_append_recover contract, r10 review)
+        meta_max, meta_corrupt = None, True
+    if not meta_corrupt and meta_max == old_max:
         shutil.rmtree(jdir)  # crash before the _meta advance
         return "rolled_back"
     if old_max is None:
+        if meta_corrupt:
+            # first-ever _meta write crashed mid-way: grams come after
+            # _meta in the protocol, so nothing was appended
+            shutil.rmtree(f"{path}/_meta", ignore_errors=True)
+            shutil.rmtree(jdir)
+            return "rolled_back"
         raise ValueError(
             f"cannot heal an in-flight append on the pre-meta index at "
             f"{path}: no max-id watermark distinguishes base rows from "
@@ -1008,6 +1022,12 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
     cond = F.col("first_p") >= watermark
     n = grams.filter(cond).select("first_p").count()
     if n == n_new:
+        if meta_corrupt:
+            from torua_spark.sources.local import local_df
+
+            local_df(
+                spark, [(j[0]["batch_max"], k)], "max_id long, k int"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
         shutil.rmtree(jdir)  # append landed; only the clear was lost
         return "completed"
     action = "rolled_back"
@@ -1091,6 +1111,10 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
         F.lit(old_max).cast("long").alias("old_max"),
         F.lit(n_new).cast("long").alias("n_new"),
         F.lit(k).alias("k"),
+        F.greatest(
+            F.max(F.col(id_col)).cast("long"),
+            F.lit(old_max).cast("long"),
+        ).alias("batch_max"),
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_SUBSTR_JOURNAL}"
     )

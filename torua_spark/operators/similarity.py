@@ -1401,17 +1401,34 @@ def ivf_append_recover(spark, path: str) -> str | None:
     old_max = j[0]["old_max"]
     batch_count = j[0]["batch_count"]
     jdir = f"{path}/{_APPEND_JOURNAL}"
-    meta = read_meta_sidecar(spark, path)
-    meta_max = meta[0]["max_id"] if meta else None
-    if meta_max == old_max:
+    try:
+        meta = read_meta_sidecar(spark, path)
+        meta_max = meta[0]["max_id"] if meta else None
+        meta_corrupt = False
+    except Exception:
+        # a crash DURING the _meta overwrite leaves a corrupt (not
+        # missing) sidecar — normally loud, but WITH a journal the
+        # pre-append watermark is recorded there, so recovery can
+        # restore _meta instead of wedging (r10 review)
+        meta_max, meta_corrupt = None, True
+    if not meta_corrupt and meta_max == old_max:
         shutil.rmtree(jdir)  # crash before the _meta advance
         return "rolled_back"
-    # _meta advanced (== batch_max) or was lost mid-overwrite: the
-    # vectors tree decides. Recovery-only full-ish scan is acceptable
-    # — and it is column-pruned to vec_id (row-group skipping).
+    # _meta advanced (== batch_max) or was lost/corrupted
+    # mid-overwrite: the vectors tree decides. Recovery-only full-ish
+    # scan is acceptable — and it is column-pruned to vec_id
+    # (row-group skipping).
     if old_max is None:
-        # pre-meta index: no watermark separates base rows from batch
-        # rows, so completion cannot be decided — refuse to guess
+        if meta_corrupt:
+            # pre-meta index whose FIRST _meta write crashed mid-way:
+            # vectors come after _meta in the protocol, so nothing was
+            # indexed — drop the half-written sidecar and the marker
+            shutil.rmtree(f"{path}/_meta", ignore_errors=True)
+            shutil.rmtree(jdir)
+            return "rolled_back"
+        # pre-meta index with a fully-advanced _meta: no watermark
+        # separates base rows from batch rows, so completion cannot be
+        # decided — refuse to guess
         raise ValueError(
             f"cannot heal an in-flight append on the pre-meta index at "
             f"{path}: no max-id watermark distinguishes base rows from "
@@ -1421,6 +1438,15 @@ def ivf_append_recover(spark, path: str) -> str | None:
     cond = F.col("vec_id") > old_max
     n = vec.filter(cond).select("vec_id").count()
     if n == batch_count:
+        if meta_corrupt:
+            # vectors landed but the sidecar bytes are bad (post-crash
+            # corruption): re-write _meta at the batch watermark the
+            # journal recorded, completing the append
+            from torua_spark.sources.local import local_df
+
+            local_df(
+                spark, [(j[0]["batch_max"],)], "max_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
         shutil.rmtree(jdir)  # append landed; only the clear was lost
         return "completed"
     action = "rolled_back"
