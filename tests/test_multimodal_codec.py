@@ -612,3 +612,66 @@ class TestImageDhash:
         )
         with pytest.raises(ValueError, match="pigeonhole"):
             image_neardup_pairs(df, max_hamming=4)
+
+
+class TestImagePairs32:
+    """The Manku pairs32 scheme: exact recall at radius 2 vs brute
+    force, guard at radius 3, and scheme equivalence at the shared
+    radius."""
+
+    @staticmethod
+    def _hash_df(spark, hashes):
+        rows = [
+            (i, (h >> 0) & 0xFFFF, (h >> 16) & 0xFFFF,
+             (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF, True)
+            for i, h in hashes.items()
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, b0 int, b1 int, b2 int, b3 int, "
+                  "is_real boolean",
+        )
+
+    def test_pairs32_exact_recall_radius_two(self, spark):
+        import random
+
+        from torua_spark.operators.multimodal import image_neardup_pairs
+
+        rnd = random.Random(17)
+        hashes = {}
+        for i in range(40):
+            hashes[i] = rnd.randrange(1 << 64)
+        for i in range(40, 70):
+            src = hashes[i - 40]
+            for _ in range(rnd.randrange(3)):  # 0..2 flips
+                src ^= 1 << rnd.randrange(64)
+            hashes[i] = src
+        df = self._hash_df(spark, hashes)
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["dist"])
+            for r in image_neardup_pairs(
+                df, max_hamming=2, scheme="pairs32"
+            ).collect()
+        )
+        want = sorted(
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a in hashes for b in hashes
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 2
+        )
+        assert got == want and len(want) > 0
+        # scheme equivalence at the shared radius
+        via_bands = sorted(
+            (r["doc_a"], r["doc_b"], r["dist"])
+            for r in image_neardup_pairs(
+                df, max_hamming=2, scheme="bands16"
+            ).collect()
+        )
+        assert got == via_bands
+
+    def test_pairs32_radius_guard(self, spark):
+        from torua_spark.operators.multimodal import image_neardup_pairs
+
+        df = self._hash_df(spark, {1: 0})
+        with pytest.raises(ValueError, match="clean band pair"):
+            image_neardup_pairs(df, max_hamming=3, scheme="pairs32")
+        with pytest.raises(ValueError, match="unknown blocking"):
+            image_neardup_pairs(df, max_hamming=1, scheme="nope")

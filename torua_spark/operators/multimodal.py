@@ -448,7 +448,8 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
 
 def image_neardup_pairs(hashed: DataFrame,
-                        max_hamming: int = 3) -> DataFrame:
+                        max_hamming: int = 3,
+                        scheme: str = "bands16") -> DataFrame:
     """Image-content near-duplicate pairs: (doc_a, doc_b, dist) with
     Hamming distance <= ``max_hamming`` over the 64-bit dHash.
     Blocking is band equality (the simhash_near_dup_pairs shape): a
@@ -467,7 +468,7 @@ def image_neardup_pairs(hashed: DataFrame,
     the hot path. True duplicate FLOODS (thousands of byte-identical
     images) collide in every band by construction — run exact dedup
     (digest groupBy) first at 100 TB, as with every banded scheme."""
-    return image_neardup_join(hashed, hashed, max_hamming)
+    return image_neardup_join(hashed, hashed, max_hamming, scheme)
 
 
 def _dhash_bands_exploded(hashed: DataFrame) -> DataFrame:
@@ -492,26 +493,91 @@ def _dhash_bands_exploded(hashed: DataFrame) -> DataFrame:
     ).repartition(_shuffle_width(hashed), "part", "key")
 
 
+def _dhash_band_pairs_exploded(hashed: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) -> one row per UNORDERED band pair (the Manku
+    rotated tables): part = pair index 0..5, key = 32-bit
+    concatenation of the two 16-bit bands. Same explicit repartition
+    discipline as the single-band explode."""
+    from itertools import combinations
+
+    from torua_spark.operators.similarity import _shuffle_width
+
+    pairs = list(combinations(range(DHASH_BANDS), 2))
+    return hashed.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("part"),
+                    (
+                        F.col(f"b{i}").cast("long") * F.lit(65536)
+                        + F.col(f"b{j}").cast("long")
+                    ).alias("key"),
+                )
+                for p, (i, j) in enumerate(pairs)
+            ])
+        ).alias("pk"),
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("pk.part").alias("part"), F.col("pk.key").alias("key"),
+    ).repartition(_shuffle_width(hashed), "part", "key")
+
+
 def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       scheme: str = "bands16") -> DataFrame:
     """The banded Hamming join over two (possibly identical) dHash
     relations: (doc_a from left, doc_b from right, dist) with
-    doc_a < doc_b and dist <= max_hamming — exact recall by the same
-    pigeonhole bound. The two-relation form is the incremental /
-    streaming probe shape: a batch's hashes against a persisted
-    corpus index, each unordered pair emitted exactly once (when its
-    smaller id sits on the left)."""
-    if max_hamming >= DHASH_BANDS:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the exact-recall bound "
-            f"of {DHASH_BANDS}-band blocking (pigeonhole needs "
-            f"max_hamming < {DHASH_BANDS})"
-        )
-    left = _dhash_bands_exploded(left_hashed).select(
+    doc_a < doc_b and dist <= max_hamming — exact recall by
+    pigeonhole. The two-relation form is the incremental / streaming
+    probe shape: a batch's hashes against a persisted corpus index,
+    each unordered pair emitted exactly once (when its smaller id
+    sits on the left).
+
+    Two blocking schemes, the simhash/Manku (WWW'07) block-width
+    trade made explicit:
+
+    - ``bands16`` (default): four 16-bit bands — exact recall for
+      max_hamming <= 3, but a FIXED 2^16 bucket vocabulary, so random
+      collisions grow as n^2/2^16 per band. Right up to ~10^7 images
+      (expected bucket ~n/65536); past that the candidate volume is
+      the scan cost.
+    - ``pairs32``: the Manku rotated-table widening — six tables, one
+      per UNORDERED PAIR of 16-bit bands, keyed by the 32-bit
+      concatenation. <= 2 errors corrupt <= 2 bands, leaving >= 2
+      clean bands and hence >= 1 clean pair, so recall is EXACT for
+      max_hamming <= 2 (the guard raises at 3: three errors can dirty
+      three bands and leave no clean pair). Collisions fall to
+      n^2/2^32 per table — ~10^6 candidates per table at 10^9 images,
+      linear territory. The standard corpus-scale recipe: exact
+      (digest) dedup first, pairs32 for the bulk radius-2 sweep,
+      bands16 only if the last radius-3 tail is worth its candidates.
+    """
+    if scheme == "pairs32":
+        if max_hamming > 2:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall "
+                f"bound of the pairs32 scheme (pigeonhole: three errors "
+                f"can leave no clean band pair) — use scheme='bands16' "
+                f"(max_hamming <= 3) and budget for its n^2/2^16 "
+                f"candidate growth"
+            )
+        explode = _dhash_band_pairs_exploded
+    elif scheme == "bands16":
+        if max_hamming >= DHASH_BANDS:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall "
+                f"bound of {DHASH_BANDS}-band blocking (pigeonhole "
+                f"needs max_hamming < {DHASH_BANDS})"
+            )
+        explode = _dhash_bands_exploded
+    else:
+        raise ValueError(f"unknown blocking scheme {scheme!r}")
+    left = explode(left_hashed).select(
         "part", "key", F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(DHASH_BANDS)],
     )
-    right = _dhash_bands_exploded(right_hashed).select(
+    right = explode(right_hashed).select(
         "part", "key", F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{j}").alias(f"c{j}") for j in range(DHASH_BANDS)],
     )

@@ -2251,3 +2251,23 @@ def _hier_semantic_oracle_sql(threshold: float = NEARDUP_COS_THRESHOLD,
 
 
 ORACLE["semantic_dedup_hierarchical"] = _hier_semantic_oracle_sql()
+
+
+def _q_image_phash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale variant of dedup_image_phash: the Manku
+    pairs32 rotated tables (six 32-bit band-pair keys, collisions
+    n^2/2^32 per table instead of n^2/2^16 per band) at its exact
+    radius, max_hamming=2. Because BOTH schemes are exact-recall at
+    this radius, the oracle is the bands16 SQL with the tighter dist
+    filter — blocking scheme equivalence proven by hash equality."""
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.image_dhash(image_media_with_plants(_docs(spark, sf_dir)))
+    return mm.image_neardup_pairs(hashed, max_hamming=2, scheme="pairs32")
+
+
+QUERIES["dedup_image_phash_scaled"] = _q_image_phash_scaled
+
+ORACLE["dedup_image_phash_scaled"] = _image_phash_oracle_sql().replace(
+    "<= 3", "<= 2"
+)
