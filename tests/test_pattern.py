@@ -1603,3 +1603,14 @@ def test_edge_property_map_rejections(spark):
     with pytest.raises(ValueError, match="FK"):
         fk.query("MATCH (c:customer)-[:IN_NATION {x: 1}]->(n:nation) "
                  "RETURN c")
+
+
+def test_edge_property_map_untyped_edge_message(spark):
+    """An untyped map edge [r {k: v}] gets its own diagnosis (hops need
+    a type), not the alternation error (r10 review)."""
+    pg, *_ = _pg_ratings(spark)
+    with pytest.raises(ValueError, match="untyped edge"):
+        pg.query("MATCH (u:user)-[r {stars: 5}]->(i:item) RETURN u")
+    with pytest.raises(ValueError, match="alternating"):
+        pg.query("MATCH (u:user)-[:RATED|KNOWS {stars: 5}]->(i:item) "
+                 "RETURN u")

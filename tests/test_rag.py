@@ -1960,3 +1960,64 @@ def test_hierarchical_semantic_dedup(spark, sf_dir):
     assert sorted(map(tuple, flat.collect())) == sorted(
         map(tuple, flat_ref.collect())
     )
+
+
+def test_index_append_heals_crashed_compaction_first(spark, sf_dir, tmp_path):
+    """r10 review (the round's most severe finding): a compaction that
+    crashed BETWEEN its two renames leaves no live tree; an append that
+    didn't heal first would silently RECREATE the tree with only the
+    batch, and the next recover would drop the trash holding the whole
+    base corpus. Both index families must roll the swap forward before
+    appending — and recovery itself must converge when its own partial
+    rollback crashed mid-swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.local import local_df
+
+    # --- IVF family
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(emb.count() * 0.8)
+    base, batch = emb.filter(F.col("vec_id") < cut), emb.filter(
+        F.col("vec_id") >= cut
+    )
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(base, path)
+    # crash point: live renamed away, rewrite complete in tmp
+    os.rename(f"{path}/vectors", f"{path}/.compact_tmp_vectors")
+    sim.ivf_index_append(spark, path, batch)  # must roll forward first
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
+    # recovery converges when ITS OWN partial rollback crashed mid-swap:
+    # journal present + live tree sitting in tmp
+    old_max = int(base.agg(F.max("vec_id")).collect()[0][0])
+    local_df(
+        spark,
+        [(int(emb.agg(F.max("vec_id")).collect()[0][0]), batch.count(),
+          old_max)],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{sim._APPEND_JOURNAL}"
+    )
+    os.rename(f"{path}/vectors", f"{path}/.compact_tmp_vectors")
+    assert sim.ivf_append_recover(spark, path) == "completed"
+    assert spark.read.parquet(f"{path}/vectors").count() == emb.count()
+
+    # --- window-hash family
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t = (max_id + 1) * 4 // 5
+    idx = str(tmp_path / "widx")
+    dd.exact_substring_index_write(docs.filter(F.col("doc_id") < t), idx, k=10)
+    full = str(tmp_path / "wfull")
+    dd.exact_substring_index_write(docs, full, k=10)
+    os.rename(f"{idx}/grams", f"{idx}/.compact_tmp_grams")
+    dd.exact_substring_index_append(
+        spark, idx, docs.filter(F.col("doc_id") >= t), k=10
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/grams").collect())
+    ) == sorted(map(tuple, spark.read.parquet(f"{full}/grams").collect()))

@@ -1017,6 +1017,10 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
             f"the half-committed batch; rebuild via "
             f"exact_substring_index_write"
         )
+    # heal any mid-swap crash of a previous recovery's own partial
+    # rollback BEFORE reading the tree (the ivf_append_recover
+    # contract: reading first would raise PATH_NOT_FOUND forever)
+    exact_substring_compact_recover(path)
     watermark = (old_max + 1) << 20
     grams = spark.read.parquet(f"{path}/grams")
     cond = F.col("first_p") >= watermark
@@ -1032,7 +1036,6 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
         return "completed"
     action = "rolled_back"
     if n > 0:
-        exact_substring_compact_recover(path)
         gdir = f"{path}/grams"
         tmp = f"{path}/.compact_tmp_grams"
         trash = f"{path}/.compact_trash_grams"
@@ -1074,6 +1077,11 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
 
     from torua_spark.sources.io import read_meta_sidecar
 
+    # heal a crashed compaction first (r10 review: with the grams tree
+    # renamed away mid-swap, append-mode would silently recreate it
+    # holding only the batch's hashes, and the next compaction's
+    # recover would drop the trash holding the base index)
+    exact_substring_compact_recover(path)
     exact_substring_append_recover(spark, path)
     meta = read_meta_sidecar(spark, path)
     old_max = meta[0]["max_id"] if meta else None

@@ -587,10 +587,14 @@ def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
             F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))
         )
         dist = term if dist is None else dist + term
+    # filter BEFORE distinct (r10 review): dist is deterministic per
+    # pair, so the order is semantically identical, but the distinct
+    # shuffle then dedups only the tiny near-dup set instead of the
+    # dominant random-collision candidate volume
     return (
         left.join(right, ["part", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
-        .distinct()
         .filter(F.col("dist") <= max_hamming)
+        .distinct()
     )

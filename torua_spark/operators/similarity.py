@@ -874,10 +874,15 @@ def hierarchical_kmeans_cells(embeddings: DataFrame,
     Returns (vec_id, cell: long) with cell = coarse * 2^20 + fine.
     Scale shape: level 1 is the proven linear pass; level 2 is
     map-only per coarse group (no shuffle beyond the coarse key) with
-    a LOUD per-group budget guard (HIER_GROUP_ELEMS) whose remedy is
-    raising k1 — at 10^9 vectors, k1 = 4096 keeps groups ~256k rows
-    and the fine vocabulary reaches the paper's n/128 with no flat
-    pass ever exceeding 4096 centroids."""
+    a LOUD per-group budget guard whose remedy is raising k1. The
+    guard bounds BOTH local allocations — the n_g x dim embedding
+    matrix and the n_g x k2 distance matrix (the latter dominates:
+    n_g^2/target elements) — so groups must satisfy
+    n_g <= sqrt(HIER_GROUP_ELEMS * target_cell) ~ 92k rows at the
+    defaults; at 10^9 vectors that is k1 ~ 11k coarse cells, still two
+    orders below the flat cap while the fine vocabulary reaches the
+    paper's n/128. Past that, recurse (the same two-level recipe on
+    each coarse cell) — documented, not yet needed."""
     import hashlib
 
     cents = kmeans_centroids(embeddings, k1, iterations)
@@ -891,16 +896,25 @@ def hierarchical_kmeans_cells(embeddings: DataFrame,
                                  "cell": pd.Series([], dtype="int64")})
         g = int(pdf["coarse"].iloc[0])
         ids = pdf["vec_id"].to_numpy(np.int64)
+        k2 = max(1, -(-n // target_cell))
+        # budget BOTH allocations (r10 review): the n x dim embedding
+        # matrix AND the n x k2 distance matrix — at large groups the
+        # distance matrix dominates (n^2/target elements), and it is
+        # exactly the allocation an uncapped flat pass would OOM on
+        dim_probe = next(
+            (len(x) for x in pdf["embedding"] if x is not None), 1
+        )
+        worst = max(n * dim_probe, n * k2)
+        if worst > HIER_GROUP_ELEMS:
+            raise ValueError(
+                f"coarse cell {g} holds {n} rows -> max({n}x{dim_probe} "
+                f"embedding, {n}x{k2} distance) = {worst} elements, over "
+                f"the {HIER_GROUP_ELEMS} local-Lloyd budget — raise k1 "
+                f"so groups shrink"
+            )
         emat = np.stack(
             [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         )
-        if emat.size > HIER_GROUP_ELEMS:
-            raise ValueError(
-                f"coarse cell {g} holds {n} x {emat.shape[1]} = "
-                f"{emat.size} elements, over the {HIER_GROUP_ELEMS} "
-                f"local-Lloyd budget — raise k1 so groups shrink"
-            )
-        k2 = max(1, -(-n // target_cell))
         # hash-spread seeds: the seed_centroids convention, group-local
         md5s = np.array(
             [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
@@ -1434,6 +1448,11 @@ def ivf_append_recover(spark, path: str) -> str | None:
             f"{path}: no max-id watermark distinguishes base rows from "
             f"the half-committed batch; rebuild via ivf_index_write"
         )
+    # heal any mid-swap crash of a PREVIOUS recovery's own partial
+    # rollback BEFORE reading the tree (r10 review: reading first
+    # would raise PATH_NOT_FOUND forever and break the documented
+    # retry-converges contract)
+    ivf_compact_recover(path)
     vec = spark.read.parquet(f"{path}/vectors")
     cond = F.col("vec_id") > old_max
     n = vec.filter(cond).select("vec_id").count()
@@ -1452,10 +1471,10 @@ def ivf_append_recover(spark, path: str) -> str | None:
     action = "rolled_back"
     if n > 0:
         # partial multi-file append: rewrite without the partial rows
-        # (two-rename swap, healed by ivf_compact_recover on re-crash)
+        # (two-rename swap, healed by the ivf_compact_recover above on
+        # a re-crashed retry)
         from torua_spark.sources.io import tree_swap_publish
 
-        ivf_compact_recover(path)
         vdir = f"{path}/vectors"
         tmp = f"{path}/.compact_tmp_vectors"
         trash = f"{path}/.compact_trash_vectors"
@@ -1512,6 +1531,13 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
 
     from torua_spark.sources.io import read_meta_sidecar
 
+    # heal a crashed COMPACTION first (r10 review): with the vectors
+    # tree renamed away mid-swap, parquet append-mode would silently
+    # RECREATE {path}/vectors holding only the batch, and the next
+    # compaction's recover would then drop the trash holding the
+    # entire base corpus — permanent loss. tree_swap_recover rolls the
+    # swap forward/back so the append always sees the full tree.
+    ivf_compact_recover(path)
     ivf_append_recover(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     meta = read_meta_sidecar(spark, path)
@@ -1809,8 +1835,10 @@ def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
     construction, asserted in tests)."""
     from torua_spark.sources.io import merge_upsert, purge_keys
 
-    # an upsert over a half-committed append would purge/merge against
-    # an incomplete tree — same guard as the probe paths
+    # heal a crashed compaction first (a mid-swap-crashed vectors tree
+    # would otherwise be silently recreated partition-by-partition),
+    # then refuse a half-committed append — same guards as the append
+    ivf_compact_recover(path)
     _require_no_pending_append(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = new_embeddings.join(

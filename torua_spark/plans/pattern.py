@@ -525,12 +525,19 @@ class PropertyGraph:
             return f"({var}{':' + label if label else ''})"
 
         text = self._EDGE_PROP_MAP.sub(_one_edge, text)
-        if re.search(r"\[[^\]]*\{", text):
+        m_left = re.search(r"\[([^\]]*)\{", text)
+        if m_left:
+            if "|" in m_left.group(1):
+                raise ValueError(
+                    "property map on an alternating hop [:A|B {...}] is "
+                    "unsupported — per-type attribute schemas need not "
+                    "align; match each type in its own query (UNION) "
+                    "with its own map"
+                )
             raise ValueError(
-                "property map on an alternating hop [:A|B {...}] is "
-                "unsupported — per-type attribute schemas need not "
-                "align; match each type in its own query (UNION) with "
-                "its own map"
+                "property map on an untyped edge [r {...}] is "
+                "unsupported — hops need a relationship type; write "
+                "[r:TYPE {k: v}]"
             )
         return self._PROP_MAP.sub(_one, text), terms
 

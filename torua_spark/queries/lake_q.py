@@ -363,7 +363,11 @@ def q_streaming_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (each run gets its own lake + checkpoint, so every run still
     # replays the full two-wave merge from scratch); the CDC feed a
     # deployment consumes is likewise not re-rendered per reader
-    wave_key = (spark.sparkContext.applicationId, sf_dir)
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_CDC_WAVES_MEMO, app)
+    wave_key = (app, sf_dir)
     stream_dir = _CDC_WAVES_MEMO.get(wave_key)
     if stream_dir is None:
         wbase = tempfile.mkdtemp(prefix="torua_cdc_waves_")

@@ -1378,7 +1378,12 @@ def _memoized_base_index(spark, key: tuple, build) -> str:
     import shutil
     import tempfile
 
-    full_key = (spark.sparkContext.applicationId, *key)
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    # stored values ARE the mkdtemp roots: root_of=identity
+    evict_stale_app_entries(_BASE_INDEX_MEMO, app, root_of=lambda p: p)
+    full_key = (app, *key)
     base = _BASE_INDEX_MEMO.get(full_key)
     if base is None:
         base = tempfile.mkdtemp(prefix="torua_base_idx_")

@@ -599,3 +599,21 @@ def sidecar_exists(spark: SparkSession, path: str, name: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def evict_stale_app_entries(memo: dict, app: str, root_of=None) -> None:
+    """Sweep an (applicationId, ...)-keyed path memo: entries
+    belonging to another (restarted/dead) application are dropped and
+    their temp trees removed — the _GATHER_BC eviction discipline
+    applied to the on-disk caches (r10 review: a long-lived process
+    restarting its SparkContext would otherwise accumulate one
+    orphaned index/fixture tree per old application). ``root_of``
+    maps a stored path to the temp root to delete (default: its
+    parent directory — the mkdtemp root the path sits inside)."""
+    import os
+    import shutil
+
+    for k in [k for k in memo if k[0] != app]:
+        p = memo.pop(k)
+        root = root_of(p) if root_of is not None else os.path.dirname(p)
+        shutil.rmtree(root, ignore_errors=True)

@@ -532,8 +532,11 @@ def _stream_knn_index(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from torua_spark.operators import similarity as sim
+    from torua_spark.sources.io import evict_stale_app_entries
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_STREAM_KNN_INDEX, app)
+    key = (app, sf_dir)
     path = _STREAM_KNN_INDEX.get(key)
     if path is None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -621,7 +624,11 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torua_spark.operators import multimodal as mm
     from torua_spark.queries.rag_q import image_media_with_plants
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_STREAM_IMG_INDEX, app)
+    key = (app, sf_dir)
     path = _STREAM_IMG_INDEX.get(key)
     if path is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
