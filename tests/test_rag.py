@@ -2021,3 +2021,164 @@ def test_index_append_heals_crashed_compaction_first(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{idx}/grams").collect())
     ) == sorted(map(tuple, spark.read.parquet(f"{full}/grams").collect()))
+
+
+def test_index_rebuild_clears_stale_crash_artifacts(spark, sf_dir, tmp_path):
+    """r10 advice (medium): rebuilding an index IN PLACE after a
+    crashed append/compaction must clear the stale _append_journal and
+    half-swapped .compact_* trees — otherwise probes on the fresh
+    index still raise on the dead journal, and running the recover
+    'to fix it' compares the NEW index against the OLD journal's
+    watermark and can silently truncate the rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.local import local_df
+
+    # --- IVF family
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).select("embedding")
+         .collect()[0][0]]
+    want = sorted(
+        map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect())
+    )
+    # plant a stale journal (old_max FAR below the rebuilt corpus:
+    # recover against it would classify the rebuild 'partial' and
+    # truncate) plus crashed-compaction leftovers
+    local_df(
+        spark, [(5, 3, 2)],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.parquet(f"{path}/{sim._APPEND_JOURNAL}")
+    os.makedirs(f"{path}/.compact_tmp_vectors", exist_ok=True)
+    os.makedirs(f"{path}/.compact_trash_vectors", exist_ok=True)
+    sim.ivf_index_write(emb, path)  # rebuild in place
+    assert not os.path.exists(f"{path}/{sim._APPEND_JOURNAL}")
+    assert not os.path.exists(f"{path}/.compact_tmp_vectors")
+    assert not os.path.exists(f"{path}/.compact_trash_vectors")
+    assert sim.ivf_append_recover(spark, path) is None  # nothing stale
+    got = sorted(
+        map(tuple, sim.ivf_index_topk(spark, path, q, 10, 3).collect())
+    )
+    assert got == want  # probes serve, and serve the full rebuild
+
+    # --- window-hash family
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "widx")
+    dd.exact_substring_index_write(docs, idx, k=10)
+    want_grams = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/grams").collect())
+    )
+    local_df(
+        spark, [(2, 7, 10, 1)],
+        "old_max long, n_new long, k int, batch_max long",
+    ).coalesce(1).write.parquet(f"{idx}/{dd._SUBSTR_JOURNAL}")
+    os.makedirs(f"{idx}/.compact_tmp_grams", exist_ok=True)
+    dd.exact_substring_index_write(docs, idx, k=10)
+    assert not os.path.exists(f"{idx}/{dd._SUBSTR_JOURNAL}")
+    assert not os.path.exists(f"{idx}/.compact_tmp_grams")
+    assert dd.exact_substring_append_recover(spark, idx) is None
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/grams").collect())
+    ) == want_grams
+
+
+def test_append_recover_restores_missing_meta(spark, sf_dir, tmp_path):
+    """r10 advice (medium): _meta overwrite is delete-then-write, so a
+    crash between the two leaves _meta MISSING (not corrupt). With an
+    empty effective batch (n == batch_count == 0 — a fully-duplicate
+    daily batch) the completed branch must still restore _meta from
+    the journal, not silently downgrade the index to the pre-meta
+    caller-beware contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.io import read_meta_sidecar
+    from torua_spark.sources.local import local_df
+
+    # --- IVF: empty batch (batch_count=0), crash mid-_meta-overwrite
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    old_max = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    local_df(
+        spark, [(old_max, 0, old_max)],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.parquet(f"{path}/{sim._APPEND_JOURNAL}")
+    shutil.rmtree(f"{path}/_meta")  # the delete landed, the write didn't
+    assert sim.ivf_append_recover(spark, path) == "completed"
+    meta = read_meta_sidecar(spark, path)
+    assert meta and meta[0]["max_id"] == old_max  # contract preserved
+
+    # --- window-hash twin (n_new=0, missing _meta)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "widx")
+    dd.exact_substring_index_write(docs, idx, k=10)
+    dmax = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    local_df(
+        spark, [(dmax, 0, 10, dmax)],
+        "old_max long, n_new long, k int, batch_max long",
+    ).coalesce(1).write.parquet(f"{idx}/{dd._SUBSTR_JOURNAL}")
+    shutil.rmtree(f"{idx}/_meta")
+    assert dd.exact_substring_append_recover(spark, idx) == "completed"
+    meta = read_meta_sidecar(spark, idx)
+    assert meta and meta[0]["max_id"] == dmax and meta[0]["k"] == 10
+
+
+def test_legacy_root_layout_raises_informatively(spark, sf_dir, tmp_path):
+    """r10 advice (low): an index persisted by the pre-r10
+    exact_substring_index_write (gram rows at the index ROOT, no
+    grams/ subtree) must fail with a message naming the breaking
+    layout change, not a bare PATH_NOT_FOUND."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = str(tmp_path / "legacy_idx")
+    # simulate the pre-r10 layout: data parquet at the root
+    dd._window_hashes(docs, 10, "doc_id", "text").groupBy("h").agg(
+        F.min("p").alias("first_p")
+    ).write.parquet(legacy)
+    for op in (
+        lambda: dd.incremental_exact_substring_dedup(
+            spark, legacy, docs.limit(5), k=10
+        ),
+        lambda: dd.exact_substring_index_append(
+            spark, legacy, docs.limit(5), k=10
+        ),
+        lambda: dd.exact_substring_index_compact(spark, legacy),
+    ):
+        with _pytest.raises(ValueError, match="pre-r10 root-level"):
+            op()
+
+
+def test_image_plant_offset_guard_raises_on_collision(spark):
+    """r10 advice (low): a corpus whose doc_id reaches the plant
+    offset (10M) would silently collide with planted rows — the media
+    builder now carries a row-level loud guard."""
+    import pytest as _pytest
+
+    from torua_spark.queries.rag_q import _IMG_ORIG_OFFSET
+    from torua_spark.queries import rag_q
+    from torua_spark.sources.local import local_df
+
+    docs = local_df(
+        spark,
+        [(_IMG_ORIG_OFFSET + 1, "colliding doc text", "web")],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(Exception, match="collide"):
+        rag_q.image_media_with_plants(docs).collect()

@@ -937,6 +937,12 @@ def exact_substring_index_write(documents: DataFrame, path: str,
     join co-locates. A one-row ``_meta`` parquet records the max
     indexed id and k so the incremental probe and the append can
     VALIDATE their monotone-ingest-key precondition."""
+    from torua_spark.sources.io import clear_index_leftovers
+
+    # rebuild-in-place hygiene (r10 advice, shared with
+    # ivf_index_write): stale journal / half-swapped compact trees
+    # from the OLD index must not leak into the rebuilt one
+    clear_index_leftovers(path)
     wins = _window_hashes(documents, k, id_col, text_col)
     wins.groupBy("h").agg(F.min("p").alias("first_p")).write.mode(
         "overwrite"
@@ -951,6 +957,29 @@ def exact_substring_index_write(documents: DataFrame, path: str,
 # protocol (similarity._APPEND_JOURNAL), applied to the window-hash
 # index: journal -> _meta advance -> grams append -> journal clear.
 _SUBSTR_JOURNAL = "_append_journal"
+
+
+def _require_grams_layout(path: str) -> None:
+    """Loud, cause-naming rejection of the pre-r10 index layout (r10
+    advice): ``exact_substring_index_write`` originally wrote the
+    gram rows at the index ROOT; r10 moved them under ``grams/`` so
+    the compaction leg can publish via the whole-tree two-rename
+    swap. An old index fed to the new readers would otherwise die
+    with a bare PATH_NOT_FOUND on ``{path}/grams`` that says nothing
+    about the breaking format change."""
+    import pathlib
+
+    root = pathlib.Path(path)
+    if (root / "grams").is_dir() or not root.is_dir():
+        return  # r10 layout, or missing entirely (reader raises plainly)
+    if any(root.glob("*.parquet")):
+        raise ValueError(
+            f"window-hash index at {path} uses the pre-r10 root-level "
+            f"layout (parquet files at the index root, no grams/ "
+            f"subtree); r10 moved index data under grams/ so "
+            f"compaction can publish via the whole-tree swap — "
+            f"rebuild it with exact_substring_index_write"
+        )
 
 
 def _require_no_pending_substr_append(spark, path: str) -> None:
@@ -995,12 +1024,18 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
         meta = read_meta_sidecar(spark, path)
         meta_max = meta[0]["max_id"] if meta else None
         meta_corrupt = False
+        # delete-then-write overwrite: a crash between the two leaves
+        # _meta MISSING, not corrupt — the completed branch must
+        # restore it too (r10 advice; the n == n_new == 0
+        # fully-duplicate-batch case would otherwise silently drop to
+        # the pre-meta caller-beware contract)
+        meta_missing = not meta
     except Exception:
         # corrupt (not missing) _meta with a journal present: the
         # crash landed inside the _meta overwrite — the journal holds
         # both watermarks, so recovery restores instead of wedging
         # (the ivf_append_recover contract, r10 review)
-        meta_max, meta_corrupt = None, True
+        meta_max, meta_corrupt, meta_missing = None, True, False
     if not meta_corrupt and meta_max == old_max:
         shutil.rmtree(jdir)  # crash before the _meta advance
         return "rolled_back"
@@ -1026,7 +1061,7 @@ def exact_substring_append_recover(spark, path: str) -> str | None:
     cond = F.col("first_p") >= watermark
     n = grams.filter(cond).select("first_p").count()
     if n == n_new:
-        if meta_corrupt:
+        if meta_corrupt or meta_missing:
             from torua_spark.sources.local import local_df
 
             local_df(
@@ -1081,6 +1116,7 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
     # renamed away mid-swap, append-mode would silently recreate it
     # holding only the batch's hashes, and the next compaction's
     # recover would drop the trash holding the base index)
+    _require_grams_layout(path)
     exact_substring_compact_recover(path)
     exact_substring_append_recover(spark, path)
     meta = read_meta_sidecar(spark, path)
@@ -1171,6 +1207,7 @@ def exact_substring_index_compact(spark, path: str,
 
     from torua_spark.sources.io import tree_swap_publish
 
+    _require_grams_layout(path)
     exact_substring_compact_recover(path)
     exact_substring_append_recover(spark, path)
     grams = f"{path}/grams"
@@ -1215,6 +1252,7 @@ def incremental_exact_substring_dedup(
     # probes raise while an append journal is pending (the index would
     # silently miss base-corpus duplicates — the r10 crash-detection
     # contract shared with the IVF index)
+    _require_grams_layout(index_path)
     _require_no_pending_substr_append(spark, index_path)
     wins = _window_hashes(new_docs, k, id_col, text_col)
     # [] ONLY for a missing sidecar (pre-meta index: no validation

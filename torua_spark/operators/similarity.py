@@ -1336,6 +1336,14 @@ def ivf_index_write(embeddings: DataFrame, path: str,
     Returns a layout report (cells, vectors, files)."""
     import pathlib
 
+    from torua_spark.sources.io import clear_index_leftovers
+
+    # rebuild-in-place hygiene (r10 advice): a stale _append_journal
+    # or half-swapped .compact_* tree from a crashed mutation on the
+    # OLD index must not survive into the rebuilt one — probes would
+    # raise on the dead journal, and recovery would compare the NEW
+    # index against the OLD watermark and could truncate it
+    clear_index_leftovers(path)
     cents = kmeans_centroids(embeddings, kmeans_k, iterations)
     cells = assign_cells(embeddings, cents)
     (
@@ -1419,12 +1427,20 @@ def ivf_append_recover(spark, path: str) -> str | None:
         meta = read_meta_sidecar(spark, path)
         meta_max = meta[0]["max_id"] if meta else None
         meta_corrupt = False
+        # the overwrite is delete-then-write, so a crash between the
+        # two leaves _meta MISSING (read returns []) rather than
+        # corrupt — track it separately so the completed branch below
+        # restores the sidecar in that window too (r10 advice: with
+        # n == batch_count == 0, e.g. a fully-duplicate daily batch,
+        # skipping the rewrite would silently downgrade the index to
+        # the pre-meta caller-beware contract)
+        meta_missing = not meta
     except Exception:
         # a crash DURING the _meta overwrite leaves a corrupt (not
         # missing) sidecar — normally loud, but WITH a journal the
         # pre-append watermark is recorded there, so recovery can
         # restore _meta instead of wedging (r10 review)
-        meta_max, meta_corrupt = None, True
+        meta_max, meta_corrupt, meta_missing = None, True, False
     if not meta_corrupt and meta_max == old_max:
         shutil.rmtree(jdir)  # crash before the _meta advance
         return "rolled_back"
@@ -1457,10 +1473,11 @@ def ivf_append_recover(spark, path: str) -> str | None:
     cond = F.col("vec_id") > old_max
     n = vec.filter(cond).select("vec_id").count()
     if n == batch_count:
-        if meta_corrupt:
-            # vectors landed but the sidecar bytes are bad (post-crash
-            # corruption): re-write _meta at the batch watermark the
-            # journal recorded, completing the append
+        if meta_corrupt or meta_missing:
+            # vectors landed but the sidecar is bad or gone (crash
+            # inside the delete-then-write overwrite): re-write _meta
+            # at the batch watermark the journal recorded, completing
+            # the append
             from torua_spark.sources.local import local_df
 
             local_df(

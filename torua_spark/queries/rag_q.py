@@ -2047,6 +2047,29 @@ def image_media_with_plants(docs: DataFrame) -> DataFrame:
     from torua_spark.operators import multimodal as mm
 
     media = mm.to_media_table(docs).select("doc_id", "payload")
+    # row-level loud guard (r10 advice): the planted rows live at
+    # doc_id + 10M/20M, so any corpus id >= the first offset would
+    # silently collide with a plant (and diverge from the oracle).
+    # F.when + raise_error keeps the check JVM-side with no extra job
+    # (the packed-key overflow-guard pattern elsewhere in the repo).
+    guarded_id = F.when(
+        F.col("doc_id") < _IMG_ORIG_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "image_media_with_plants: doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant offset {_IMG_ORIG_OFFSET}; planted "
+                    f"rows would collide with real ids — raise the "
+                    f"offsets for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
     seeds = docs.filter(F.col("doc_id") % _IMG_PLANT_EVERY == 0).select(
         "doc_id",
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),

@@ -601,6 +601,34 @@ def sidecar_exists(spark: SparkSession, path: str, name: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def clear_index_leftovers(path: str) -> list[str]:
+    """Drop every stale crash artifact under an index root before a
+    full rebuild publishes: a leftover ``_append_journal`` from a
+    crashed append, plus any ``.compact_tmp_*`` / ``.compact_trash_*``
+    trees from a crashed compaction/recovery swap. Without this, a
+    rebuild-in-place after a crashed append yields an index whose
+    probes still raise on the OLD journal — and running the recover
+    then compares the NEW index against the stale journal's old_max
+    watermark, which can classify it 'partial' and silently truncate
+    the freshly rebuilt data (r10 advice). Called by both index
+    families' ``*_index_write``. Returns the removed entries (names
+    relative to ``path``) for the caller's report."""
+    import pathlib
+    import shutil
+
+    root = pathlib.Path(path)
+    removed = []
+    if not root.is_dir():
+        return removed
+    for entry in root.iterdir():
+        if entry.name == "_append_journal" or entry.name.startswith(
+            (".compact_tmp_", ".compact_trash_")
+        ):
+            shutil.rmtree(entry, ignore_errors=True)
+            removed.append(entry.name)
+    return removed
+
+
 def evict_stale_app_entries(memo: dict, app: str, root_of=None) -> None:
     """Sweep an (applicationId, ...)-keyed path memo: entries
     belonging to another (restarted/dead) application are dropped and
