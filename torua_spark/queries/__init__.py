@@ -227,12 +227,16 @@ _DECLARED = [
     "dedup_incremental_substring",
     "pack_sequences",
     "source_cap",
-    # Round-9 form proof #2: [:A|B] relationship alternation (per-type
-    # bindings unioned before the aggregate) composed with a node
-    # property map ({k: v} -> pushed equality WHERE). In for
-    # graph_return_arithmetic (driver-green r8, same RETURN-grammar
-    # family, pytest-oracled forever).
-    "graph_alternation_map",
+    # Round-11 rotation (VERDICT r10 #1): the two r10 extras that
+    # landed without a landing-round driver proof rotate IN so the
+    # cumulative every-entry-driver-proven ledger is back to zero
+    # backlog. Hierarchical SemDeDup: two-level Lloyd (coarse k1
+    # shards, per-shard k2 Lloyd) past the flat-k budget cap, oracle =
+    # the two-level group-keyed unrolled Lloyd. In for
+    # graph_alternation_map (driver-green r9-r10, same
+    # pattern-compiler family as the six other in-window graph
+    # witnesses, pytest-oracled forever).
+    "semantic_dedup_hierarchical",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_profile_drift",
     "streaming_health_state",
@@ -260,7 +264,15 @@ _DECLARED = [
     # (driver-green r7-r9, the same index-probed-stream family,
     # pytest-oracled forever).
     "streaming_image_dedup",
-    "multimodal_audio_probe",
+    # Round-11 rotation (VERDICT r10 #1, second half): the Manku
+    # pairs32 corpus-scale image-dedup blocking scheme (6 rotated
+    # 32-bit pair tables, pigeonhole-exact at Hamming radius <= 2,
+    # n^2/2^32 candidate volume vs bands16's n^2/2^16), hash-proven
+    # equivalent to the bands16 path at radius 2. In for
+    # multimodal_audio_probe (driver-green r8-r10; the codec surface
+    # keeps dedup_image_phash + streaming_image_dedup in-window and
+    # the audio probe stays pytest-oracled forever).
+    "dedup_image_phash_scaled",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",
     "kv_writes",
