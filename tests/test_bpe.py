@@ -1,0 +1,156 @@
+"""Byte-level BPE tokenizer (functions/bpe.py) — r11, VERDICT r10 #3.
+
+Pins: the expression-chain / Arrow-kernel / DuckDB-oracle three-way
+agreement, the pre-token boundary semantics, merge-table validation,
+and the pack_sequences token_count= integration.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import compare
+from torua_spark.functions import bpe
+from torua_spark.queries import pipeline_q
+from torua_spark.sources.catalog import load_table
+from torua_spark.sources.local import local_df
+
+
+def test_chain_kernel_and_oracle_agree_on_corpus(spark, sf_dir):
+    """The three implementations are the SAME tokenizer: JVM replace
+    chain == iterative min-rank Arrow kernel (the rank-order/min-rank
+    equivalence the validated merge property guarantees) == the
+    unrolled DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    chain = docs.select(
+        "doc_id", bpe.bpe_token_count("text").alias("n_chain")
+    )
+    kern = bpe.bpe_count_kernel(docs)
+    bad = (
+        chain.join(kern, "doc_id")
+        .filter(F.col("n_chain") != F.col("n_bpe_tokens"))
+        .count()
+    )
+    assert bad == 0
+    compare(
+        kern,
+        f"SELECT * FROM {bpe.oracle_counts_subquery('documents')} t",
+        sf_dir,
+    )
+
+
+def test_registry_oracle_parity(spark, sf_dir):
+    """Rotation discipline: the declared entries keep pytest-vs-DuckDB
+    parity after they leave the driver window."""
+    for name in ("text_bpe_tokens", "pack_sequences_bpe"):
+        compare(
+            pipeline_q.QUERIES[name](spark, sf_dir),
+            pipeline_q.ORACLE[name],
+            sf_dir,
+        )
+
+
+def test_hand_computed_segmentation(spark):
+    """Tiny hand-verified cases under a 2-rule table:
+    rule0 fuses (a,a); rule1 fuses (aa,b). Pre-token boundaries sit
+    before every space, and a space byte can never be a fusion's
+    RIGHT operand mid-pre-token (nothing precedes it in its segment).
+    """
+    merges = [("61", "61"), ("6161", "62")]
+    rows = [
+        # "aaab aa" -> pre [aaab][ aa]: [aa,a,b -> aa? no: leftmost
+        # fusion aa|ab -> (aa)(a)(b), rule1 needs (aa)(b) adjacency:
+        # not adjacent -> 3 tokens; " aa" -> [sp,a,a] -> [sp,aa] -> 2
+        (1, "aaab aa", 5),
+        # "aaaa" -> (aa)(aa) -> 2 (leftmost non-overlap run fusion)
+        (2, "aaaa", 2),
+        # "aab" -> (aa)(b) -> rule1 -> (aab) -> 1
+        (3, "aab", 1),
+        # boundary: "a ab": [a][ ab]; rule0 pair never spans the
+        # boundary even though 'a' ends seg1 and 'a' sits in seg2
+        (4, "a ab", 4),
+        # empty + leading space
+        (5, "", 0),
+        (6, " a", 2),
+    ]
+    df = local_df(spark, [(i, t) for i, t, _ in rows],
+                  "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe.bpe_token_count("text", merges).alias("n")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+    # kernel agrees on the same custom table
+    kern = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_count_kernel(df, merges=merges).collect()
+    }
+    assert kern == got
+
+
+def test_tokens_roundtrip_and_count(spark, sf_dir):
+    """Decoded tokens concatenate back to the exact original text,
+    and their array size equals the scalar count."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    bad = docs.select(
+        "text",
+        bpe.bpe_tokens("text").alias("t"),
+        bpe.bpe_token_count("text").alias("n"),
+    ).filter(
+        (F.array_join("t", "") != F.coalesce(F.col("text"), F.lit("")))
+        | (F.size("t") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_merge_table_validation_rejects_orphan_operand():
+    with pytest.raises(ValueError, match="rank 1"):
+        bpe._validate([("61", "62"), ("6363", "61")])
+
+
+def test_frozen_fixture_subword_not_saturated():
+    """The committed table must stay GENUINELY subword on its
+    training corpus: saturation (every word one token) would make
+    BPE == whitespace and the oracle check vacuous. Pinned via the
+    corpus-wide ratio band recorded when v1 was frozen."""
+    from torua_spark.resources.bpe_merges_v1 import MERGES, N_MERGES
+
+    assert N_MERGES == len(MERGES) == 96
+    bpe._validate(MERGES)
+
+
+def test_corpus_ratio_in_divergence_band(spark, sf_dir):
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            bpe.bpe_token_count("text").alias("b"),
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1))
+            .alias("w"),
+        )
+        .agg(F.sum("b").alias("b"), F.sum("w").alias("w"))
+        .collect()[0]
+    )
+    ratio = stats["b"] / stats["w"]
+    assert 1.2 <= ratio <= 1.6, ratio
+
+
+def test_pack_sequences_token_count_mode(spark, sf_dir):
+    """token_count= changes ONLY the token mass: total packed mass
+    equals the corpus BPE token sum, and the default path is
+    unchanged whitespace."""
+    from torua_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = smp.pack_sequences(
+        docs, token_count=bpe.bpe_token_count("text")
+    )
+    total = packed.agg(F.sum("tok_mass")).collect()[0][0]
+    want = docs.select(
+        bpe.bpe_token_count("text").alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total == want
+    # BPE-denominated packing needs MORE sequences than whitespace
+    # (the ~28% under-budgeting the mode exists to fix)
+    assert packed.count() > smp.pack_sequences(docs).count()

@@ -675,3 +675,71 @@ class TestImagePairs32:
             image_neardup_pairs(df, max_hamming=3, scheme="pairs32")
         with pytest.raises(ValueError, match="unknown blocking"):
             image_neardup_pairs(df, max_hamming=1, scheme="nope")
+
+
+def test_triples11_blocks_match_reference_bit_slicing(spark):
+    """The six 11/10-bit blocks derived from the four 16-bit bands by
+    shift/mask composition equal a straight bit-slice of the 64-bit
+    hash (reference computed in Python ints, where b0<<48 cannot
+    overflow-trap)."""
+    import random
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.local import local_df
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(64):
+        h = rng.getrandbits(64)
+        rows.append((i, (h >> 48) & 0xFFFF, (h >> 32) & 0xFFFF,
+                     (h >> 16) & 0xFFFF, h & 0xFFFF, h))
+    df = local_df(
+        spark, [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    blocks = mm._six_block_cols()
+    got = {
+        r["doc_id"]: [r[f"blk{k}"] for k in range(6)]
+        for r in df.select(
+            "doc_id",
+            *[c.alias(f"blk{k}") for k, c in enumerate(blocks)],
+        ).collect()
+    }
+    starts = [0]
+    for w in mm._TRIPLE_WIDTHS[:-1]:
+        starts.append(starts[-1] + w)
+    for i, *_bands, h in rows:
+        want = [
+            (h >> (64 - (s + w))) & ((1 << w) - 1)
+            for s, w in zip(starts, mm._TRIPLE_WIDTHS)
+        ]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_triples11_equals_bands16_at_radius_3(spark, sf_dir):
+    """Scheme equivalence on the corpus fixture: both are exact at
+    radius 3, so the pair sets must be identical."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import image_media_with_plants
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = mm.image_dhash(image_media_with_plants(docs)).localCheckpoint()
+    a = sorted(map(tuple, mm.image_neardup_pairs(
+        hashed, max_hamming=3, scheme="bands16").collect()))
+    b = sorted(map(tuple, mm.image_neardup_pairs(
+        hashed, max_hamming=3, scheme="triples11").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_triples11_guard_raises_past_exact_radius(spark, sf_dir):
+    import pytest as _pytest
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import image_media_with_plants
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = mm.image_dhash(image_media_with_plants(docs))
+    with _pytest.raises(ValueError, match="no clean triple"):
+        mm.image_neardup_pairs(hashed, max_hamming=4, scheme="triples11")

@@ -222,7 +222,8 @@ def exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
 
 
 def pack_sequences(documents: DataFrame,
-                   budget: int = PACK_BUDGET) -> DataFrame:
+                   budget: int = PACK_BUDGET,
+                   token_count=None) -> DataFrame:
     """Concat-then-chunk sequence packing — the standard pretraining
     batch construction: lay every document's tokens end-to-end in
     doc_id order and cut the stream every `budget` tokens. A document
@@ -237,9 +238,20 @@ def pack_sequences(documents: DataFrame,
 
     Scale: token counting is an embarrassingly-parallel projection;
     the only coordination is the block-offset table from
-    `exclusive_prefix_sum` (broadcast-sized)."""
+    `exclusive_prefix_sum` (broadcast-sized).
+
+    ``token_count`` (r11, VERDICT r10 #3): an optional Column giving
+    each document's token mass — pass
+    ``functions.bpe.bpe_token_count("text")`` to denominate the
+    budget in real BPE tokens (whitespace counts run 25-40% under
+    what a trained tokenizer produces, so a whitespace-budgeted pack
+    silently overfills every sequence). Default stays the whitespace
+    count."""
+    n_tok = (
+        F.size(tokens("text")) if token_count is None else token_count
+    )
     toks = documents.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+        "doc_id", n_tok.cast("long").alias("n_tok")
     )
     placed = exclusive_prefix_sum(toks, "doc_id", "n_tok", out_col="start")
     return (

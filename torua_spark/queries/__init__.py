@@ -169,8 +169,23 @@ _DECLARED = [
     # text_dedup_doc_lines (driver-green r8, pytest-oracled forever).
     "text_quality_classifier",
     "temporal_ohlc",
-    "text_bigram_logprob",
-    "profile_correlations",
+    # Round-11 NEW operator (landing-round proof, VERDICT r10 #3):
+    # byte-level BPE tokenization under the frozen v1 merge table —
+    # the whole tokenizer a JVM expression chain (hex render + one
+    # literal replace per merge rule), oracle = the identical chain
+    # unrolled as layered DuckDB replace() subqueries; enc_md5 pins
+    # the full segmentation. In for text_bigram_logprob (driver-green
+    # r8-r10; text analysis keeps text_quality_classifier +
+    # streaming_quality_gate in-window, the bigram LM stays
+    # pytest-oracled forever).
+    "text_bpe_tokens",
+    # Round-11 NEW twin: pack_sequences budgeted in BPE tokens
+    # (token_count= mode on the operator) — training-mix budgets
+    # denominated in real tokenizer tokens; whitespace counts run
+    # ~28% under on this corpus. In for profile_correlations
+    # (driver-green r8-r10; profiling keeps streaming_profile_drift
+    # in-window, the correlation matrix stays pytest-oracled).
+    "pack_sequences_bpe",
     "graphrag_retrieve",
     # Round-7 second swap: the round's two NEW cross-subsystem entries
     # driver-proven immediately — mixture_sample (source-weighted
