@@ -149,6 +149,16 @@ def main() -> None:
     # off the head (where "metric"/"value" live) -> "parsed": null.
     # Raw per-run wall-clocks + mins go on an EARLIER line; the FINAL
     # line is the short parseable record the driver keys on.
+    # Entries whose first call pays a per-session one-time build
+    # (memoized persisted index / fixture trees): their warm median
+    # times the serving path, which is the deployment-correct number,
+    # but cross-round deltas must not read the r10 memoization as an
+    # engine speedup (ADVICE r10). The first raw run IS the cold
+    # number; surface it explicitly so comparisons can use either.
+    memoized = [
+        "streaming_knn", "streaming_image_dedup", "vector_index_append",
+        "dedup_incremental_substring", "streaming_lake_cdc",
+    ]
     raw_line = json.dumps(
         {
             "metric": "bench_runs_raw",
@@ -161,6 +171,9 @@ def main() -> None:
             "value_min_total": round(
                 sum(t for t in mins.values() if t > 0), 4
             ),
+            "cold_first_run": {
+                n: raw[n][0] for n in memoized if raw.get(n)
+            },
         }
     )
     line = json.dumps(

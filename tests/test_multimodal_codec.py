@@ -743,3 +743,58 @@ def test_triples11_guard_raises_past_exact_radius(spark, sf_dir):
     hashed = mm.image_dhash(image_media_with_plants(docs))
     with _pytest.raises(ValueError, match="no clean triple"):
         mm.image_neardup_pairs(hashed, max_hamming=4, scheme="triples11")
+
+
+def test_multimodal_decontaminate_planted_expectations(spark, sf_dir):
+    """Ground truth on the fixture corpus: every planted ORIGINAL
+    image (+10M ids) is image_hit (its eval variant sits at Hamming
+    <= 1); every %50 doc is caption_hit (its caption IS an eval
+    caption); a doc that is neither plant-seed-aligned nor %50 with
+    no accidental hits stays clean; ids are the union of both
+    modality relations."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.queries.rag_q import (
+        _IMG_ORIG_OFFSET,
+        _q_decontaminate_multimodal,
+    )
+
+    out = _q_decontaminate_multimodal(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    plants = [i for i in by_id if i >= _IMG_ORIG_OFFSET]
+    assert plants, "fixture must plant originals"
+    for i in plants:
+        assert by_id[i]["image_hit"] and by_id[i]["contaminated"]
+        assert not by_id[i]["caption_hit"]  # plants carry no caption
+    caption_leaks = [i for i in by_id if i < n_docs and i % 50 == 0]
+    assert caption_leaks
+    for i in caption_leaks:
+        assert by_id[i]["caption_hit"] and by_id[i]["contaminated"]
+    clean = [
+        i for i in by_id
+        if i < n_docs and not by_id[i]["contaminated"]
+    ]
+    assert clean, "most of the corpus must stay clean"
+    # union of modality id spaces: plants appear (media-only), and
+    # every doc appears (caption side covers the full corpus)
+    assert len(by_id) == n_docs + len(plants)
+
+
+def test_image_neardup_join_unordered_probe_form(spark):
+    """ordered=False (the cross-corpus probe) surfaces a hit even
+    when the train id sorts ABOVE the eval id — the dedup form's
+    doc_a < doc_b filter would silently drop it."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.local import local_df
+
+    schema = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    train = local_df(spark, [(100, 1, 2, 3, 4)], schema)
+    ev = local_df(spark, [(5, 1, 2, 3, 4)], schema)
+    got = mm.image_neardup_join(
+        train, ev, max_hamming=2, scheme="pairs32", ordered=False
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(100, 5, 0)]
+    assert mm.image_neardup_join(
+        train, ev, max_hamming=2, scheme="pairs32"
+    ).count() == 0

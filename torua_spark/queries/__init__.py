@@ -168,7 +168,17 @@ _DECLARED = [
     # features + literal weight table in DuckDB. In for
     # text_dedup_doc_lines (driver-green r8, pytest-oracled forever).
     "text_quality_classifier",
-    "temporal_ohlc",
+    # Round-11 NEW operator (landing-round proof, VERDICT r10 #8
+    # stretch): CROSS-MODAL eval-set decontamination — a train doc is
+    # contaminated when its image near-dups an eval image (pairs32
+    # banded probe, unordered cross-corpus form, exact at radius 2)
+    # OR its caption embedding clears threshold against an eval
+    # caption (broadcast-eval one-GEMM decontaminate_embeddings);
+    # per-modality flags + the union gate, oracle brute-forces both
+    # probes. In for temporal_ohlc (driver-green r8-r10; B9 keeps
+    # asof_next_order + the streaming temporal twins in-window, OHLC
+    # stays pytest-oracled forever).
+    "dedup_decontaminate_multimodal",
     # Round-11 NEW operator (landing-round proof, VERDICT r10 #3):
     # byte-level BPE tokenization under the frozen v1 merge table —
     # the whole tokenizer a JVM expression chain (hex render + one

@@ -2316,3 +2316,147 @@ def _q_image_phash_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_image_phash_triples"] = _q_image_phash_triples
 ORACLE["dedup_image_phash_triples"] = _image_phash_oracle_sql()
+
+
+# --- cross-modal decontamination (r11, VERDICT r10 #8 stretch) -------------
+
+CAP_DECON_THRESHOLD = 0.999  # identical captions round4 to 1.0; the
+# tight cone keeps random 8-dim pairs out (deterministic either way —
+# both engines compute the same round4 cosines)
+
+
+def _cap_vec_col(text_col):
+    """Deterministic 8-dim caption embedding: the md5 hex of the text
+    split into eight 16-bit chunks / 65536 — exact binary fractions,
+    so Spark and DuckDB compare bit-identical doubles (the md5-derived
+    uniforms technique). Identical captions => identical vectors =>
+    cosine exactly 1.0."""
+    h = F.md5(F.coalesce(text_col, F.lit("")))
+    return F.array(*[
+        (
+            F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
+            / F.lit(65536.0)
+        )
+        for i in range(8)
+    ])
+
+
+def _q_decontaminate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal eval-set decontamination: the eval set leaks into
+    training through EITHER modality — its images (here the planted
+    one-pixel re-encode variants, Hamming <= 1 from their train
+    originals) or its captions (the %50 doc sample, embedded
+    identically). Image probe = pairs32 banded join at its exact
+    radius 2, unordered cross-corpus form; caption probe =
+    broadcast-eval one-GEMM `decontaminate_embeddings`."""
+    from torua_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    hashed = mm.image_dhash(image_media_with_plants(docs))
+    cap = docs.select("doc_id", _cap_vec_col(F.col("text")).alias("embedding"))
+    return mm.multimodal_decontaminate(
+        hashed.filter(F.col("doc_id") < _IMG_VAR_OFFSET),
+        hashed.filter(F.col("doc_id") >= _IMG_VAR_OFFSET),
+        cap,
+        cap.filter(F.col("doc_id") % 50 == 0),
+        max_hamming=2,
+        threshold=CAP_DECON_THRESHOLD,
+    )
+
+
+def _multimodal_decon_oracle_sql() -> str:
+    """Both probes brute-forced: the banded blocking is exact at its
+    radius, so a plain cross join with the Hamming filter is the same
+    relation; the caption probe is the documented any-eval >=
+    threshold equivalence of best-match >= threshold."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(4):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    hx = " || ".join(parts)
+    cap_chunks = ", ".join(
+        f"('0x' || substr(md5(coalesce(text, '')), {1 + 4 * i}, 4))::BIGINT"
+        f" / 65536.0"
+        for i in range(8)
+    )
+    ham = ("bit_count(xor(t.b0, e.b0)) + bit_count(xor(t.b1, e.b1)) + "
+           "bit_count(xor(t.b2, e.b2)) + bit_count(xor(t.b3, e.b3))")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, 72),
+                   i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_IMG_PLANT_EVERY} = 0)
+    ),
+    pboth AS (
+        SELECT doc_id + {_IMG_ORIG_OFFSET} AS doc_id, px FROM pix
+        UNION ALL
+        SELECT doc_id + {_IMG_VAR_OFFSET} AS doc_id,
+               list_concat([px[2]], px[2:72]) AS px
+        FROM pix
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN px[(i // 8) * 9 + (i % 8) + 2]
+                      > px[(i // 8) * 9 + (i % 8) + 1]
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pboth
+    ),
+    pbands AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    allh AS (SELECT * FROM fake UNION ALL SELECT * FROM pbands),
+    train_h AS (SELECT * FROM allh WHERE doc_id < {_IMG_VAR_OFFSET}),
+    eval_h AS (SELECT * FROM allh WHERE doc_id >= {_IMG_VAR_OFFSET}),
+    img AS (
+        SELECT DISTINCT t.doc_id FROM train_h t, eval_h e
+        WHERE {ham} <= 2
+    ),
+    cap AS (SELECT doc_id, [{cap_chunks}] AS emb FROM documents),
+    caph AS (
+        SELECT DISTINCT t.doc_id
+        FROM cap t, (SELECT * FROM cap WHERE doc_id % 50 = 0) e
+        WHERE floor(list_cosine_similarity(t.emb::DOUBLE[],
+                                           e.emb::DOUBLE[])
+                    * 10000.0 + 0.5 + 1e-9) / 10000.0
+              >= {CAP_DECON_THRESHOLD}
+    ),
+    ids AS (
+        SELECT doc_id FROM train_h UNION SELECT doc_id FROM cap
+    )
+    SELECT ids.doc_id,
+           img.doc_id IS NOT NULL AS image_hit,
+           caph.doc_id IS NOT NULL AS caption_hit,
+           (img.doc_id IS NOT NULL OR caph.doc_id IS NOT NULL)
+               AS contaminated
+    FROM ids
+    LEFT JOIN img ON img.doc_id = ids.doc_id
+    LEFT JOIN caph ON caph.doc_id = ids.doc_id
+    """
+
+
+QUERIES["dedup_decontaminate_multimodal"] = _q_decontaminate_multimodal
+ORACLE["dedup_decontaminate_multimodal"] = _multimodal_decon_oracle_sql()
