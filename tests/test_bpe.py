@@ -154,3 +154,41 @@ def test_pack_sequences_token_count_mode(spark, sf_dir):
     # BPE-denominated packing needs MORE sequences than whitespace
     # (the ~28% under-budgeting the mode exists to fix)
     assert packed.count() > smp.pack_sequences(docs).count()
+
+
+def test_unicode_multibyte_chain_kernel_oracle_agree(spark):
+    """Byte-level BPE is byte-exact on multi-byte UTF-8: the chain,
+    the kernel, and a Python reference all agree on non-ASCII text
+    (each non-ASCII char is 2-4 base tokens before any merge)."""
+    texts = [
+        (1, "héllo wörld"),
+        (2, "日本語 テキスト"),
+        (3, "emoji 🙂 and café au lait"),
+        (4, "mixed ascii + ñ + 中文"),
+    ]
+    from torua_spark.sources.local import local_df
+
+    df = local_df(spark, texts, "doc_id long, text string")
+    merges = bpe.load_merges()
+    chain = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_count_kernel(df).collect()
+    }
+    assert chain == kern
+    # python reference: pre-tokens split before each space, iterative
+    # min-rank fusion over raw UTF-8 bytes
+    import re
+
+    ranks = bpe._rank_table(merges)
+    for i, t in texts:
+        want = sum(
+            bpe._encode_pretoken(p.encode("utf-8"), ranks)
+            for p in re.split(r"(?= )", t) if p
+        )
+        assert chain[i] == want, (i, chain[i], want)

@@ -140,6 +140,9 @@ _PYTHON_OK = {
                                 # plus the Arrow pair-dot einsum
     "dedup_decontaminate_embedding",  # one Arrow GEMM pass vs the
                                       # broadcast eval matrix (r9)
+    "dedup_decontaminate_multimodal",  # caption probe = the same Arrow
+                                       # GEMM pandas_udf (r11); image
+                                       # probe is MapInPandas hashing
 }
 _NESTED_LOOP_OK = {
     # broadcast of a single-row query vector is a BroadcastNestedLoopJoin

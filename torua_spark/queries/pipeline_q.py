@@ -436,3 +436,43 @@ def _bpe_oracles() -> dict[str, str]:
 QUERIES["text_bpe_tokens"] = q_text_bpe_tokens
 QUERIES["pack_sequences_bpe"] = q_pack_sequences_bpe
 ORACLE.update(_bpe_oracles())
+
+
+def q_text_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.D `text_stats` re-denominated in BPE tokens: per
+    source, doc count + total/avg BPE token mass (round4). The stats
+    every training-mix decision actually consumes."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions import bpe
+    from torua_spark.functions.compat import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", bpe.bpe_token_count("text").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("bpe_tokens"),
+            round4(F.sum("n") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+def _text_stats_bpe_oracle() -> str:
+    from torua_spark.functions import bpe
+
+    counts = bpe.oracle_counts_subquery("documents")
+    return f"""
+        SELECT d.source,
+               count(*)::BIGINT AS n_docs,
+               sum(c.n_bpe_tokens)::BIGINT AS bpe_tokens,
+               floor(sum(c.n_bpe_tokens)::DOUBLE / count(*)
+                     * 10000.0 + 0.5 + 1e-9) / 10000.0 AS avg_bpe_tokens
+        FROM documents d JOIN {counts} c USING (doc_id)
+        GROUP BY d.source
+    """
+
+
+QUERIES["text_stats_bpe"] = q_text_stats_bpe
+ORACLE["text_stats_bpe"] = _text_stats_bpe_oracle()
