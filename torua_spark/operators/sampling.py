@@ -200,7 +200,18 @@ def exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     plus an intra-block exclusive window that runs parallel per block.
     At 1e10 rows / block=4096 the offset table is ~2.4M rows — if that
     ever mattered, recurse the same construction over it."""
-    keyed = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block)))
+    # explicit exchange on the block key (r11): BOTH consumers below
+    # (the block-sum aggregate and the intra-block window) need a
+    # _blk partitioning, and both re-execute this subtree otherwise —
+    # with an expensive value_col expression (pack_sequences_bpe's
+    # 96-rule merge chain) the double execution benched 5.5 s vs
+    # 0.6 s. The shared exchange is planned ONCE and the second
+    # consumer picks it up as a ReusedExchange: the input expression
+    # runs exactly once per row, and neither consumer needs a further
+    # shuffle (the aggregate and the window are both _blk-keyed).
+    keyed = df.withColumn(
+        "_blk", F.floor(F.col(order_col) / F.lit(block))
+    ).repartition("_blk")
     blk_sums = keyed.groupBy("_blk").agg(F.sum(value_col).alias("_bsum"))
     w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
     blk_offsets = blk_sums.select(

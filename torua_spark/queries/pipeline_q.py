@@ -359,7 +359,12 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torua_spark.functions import bpe
     from torua_spark.functions.compat import round4
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread an under-partitioned scan so the merge chain
+    # parallelizes in any consumer that materializes the projection
+    # (the pack_sequences_bpe lesson; count()-only probes prune it)
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     enc = bpe.apply_merges(bpe.wrapped_hex("text"))
     n_bpe = bpe.token_count_from_encoded(enc)
     n_ws = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1))
@@ -381,10 +386,15 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics; only the token mass changes."""
     from torua_spark.functions import bpe
 
-    return smp.pack_sequences(
-        load_table(spark, sf_dir, "documents"),
-        token_count=bpe.bpe_token_count("text"),
-    )
+    # spread an under-partitioned scan so the 96-rule merge chain
+    # runs corpus-parallel (measured 2.3 s single-core of the entry's
+    # 5.5 s at bench SF); the prefix sum re-keys by block afterwards
+    # (order-keyed, partitioning-independent), and at production
+    # scale the guard adds no shuffle
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return smp.pack_sequences(docs, token_count=bpe.bpe_token_count("text"))
 
 
 def _bpe_oracles() -> dict[str, str]:
@@ -447,7 +457,11 @@ def q_text_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torua_spark.functions import bpe
     from torua_spark.functions.compat import round4
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread an under-partitioned scan so the merge chain
+    # parallelizes (the pack_sequences_bpe lesson; no-op at scale)
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("source", bpe.bpe_token_count("text").alias("n"))
         .groupBy("source")

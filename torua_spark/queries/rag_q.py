@@ -2046,6 +2046,14 @@ def image_media_with_plants(docs: DataFrame) -> DataFrame:
     streaming twin so both hash the IDENTICAL relation."""
     from torua_spark.operators import multimodal as mm
 
+    # spread an under-partitioned docs scan BEFORE the Arrow hashing
+    # tiers: a single ~MB parquet file would serialize every
+    # downstream mapInPandas (dHash, codec probes) on one core (the
+    # pack_sequences_bpe r11 lesson applied to the image family);
+    # no-op at production scale where the scan already splits
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
     media = mm.to_media_table(docs).select("doc_id", "payload")
     # row-level loud guard (r10 advice): the planted rows live at
     # doc_id + 10M/20M, so any corpus id >= the first offset would

@@ -28,6 +28,25 @@ TABLES = (
 )
 
 
+def spread_small_scan(df: DataFrame, parallelism: int | None = None
+                      ) -> DataFrame:
+    """Repartition a scan ONLY when it reads fewer partitions than
+    the session parallelism. Toy-SF corpora are single ~MB parquet
+    files -> one input partition, which serializes every downstream
+    Arrow kernel / expression chain on one core (the r11
+    pack_sequences_bpe finding: a 96-rule merge chain benched 2.3 s
+    single-core vs ~0.1 s spread). At production scale the scan
+    already splits by spark.sql.files.maxPartitionBytes, the guard is
+    false, and NO extra full-corpus shuffle is added — an
+    unconditional repartition here would be exactly the 100 TB
+    anti-pattern this repo avoids."""
+    sc = df.sparkSession.sparkContext
+    p = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Constraint propagation infers isnotnull filters on join keys, which
     # duplicates expensive routing expressions (fnv1a32) into a second
