@@ -73,17 +73,21 @@ def train(texts, n_merges: int):
                 pairs[(a, b)] += c
         # fuse only pairs that actually repeat (freq 1 fusions would
         # just memorize the corpus tail)
-        best = None
-        for pair, c in pairs.items():
-            if c < 2:
-                continue
-            if best is None or (c, [-ord(x) for x in "".join(pair)]) > (
-                best[1], [-ord(x) for x in "".join(best[0])]
-            ):
-                best = (pair, c)
-        if best is None:
+        candidates = [(pair, c) for pair, c in pairs.items() if c >= 2]
+        if not candidates:
             break
-        (p, q), _ = best
+        # ties on frequency break on the lexicographically smaller
+        # (P, Q) TUPLE, exactly as the module docstring pins (the r11
+        # review caught the previous negated-ordinal trick breaking
+        # ties on the JOINED string and preferring the longer one on
+        # proper-prefix ties). Regenerating under the documented rule
+        # swapped ranks 43/44 of the v1 fixture — two TIED rules,
+        # (' c','olumn') and (' ','order'), which share no token and
+        # so can never compete for an adjacency: every input's
+        # segmentation is identical under either order, and the
+        # committed fixture was updated to this rule's output so
+        # trainer, docs, and fixture agree.
+        (p, q), _ = min(candidates, key=lambda pc: (-pc[1], pc[0]))
         merges.append((p, q))
         pat, rep = f"({p})({q})", f"({p}{q})"
         nxt: Counter = Counter()

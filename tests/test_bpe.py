@@ -91,15 +91,31 @@ def test_hand_computed_segmentation(spark):
 
 
 def test_tokens_roundtrip_and_count(spark, sf_dir):
-    """Decoded tokens concatenate back to the exact original text,
-    and their array size equals the scalar count."""
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    """Tokens roundtrip at the BYTE level and the array size equals
+    the scalar count — including non-ASCII text, where byte-level
+    tokens split UTF-8 multi-byte characters and the render is the
+    byte-transparent ISO-8859-1 form (r11 review: per-token UTF-8
+    decode crashed on any non-ASCII corpus). Lossless contract:
+    re-encoding the concatenated render as ISO-8859-1 recovers the
+    original text's exact UTF-8 bytes."""
+    docs = (
+        load_table(spark, sf_dir, "documents").select("text").limit(50)
+        .unionByName(local_df(
+            spark,
+            [("héllo wörld",), ("日本語 テキスト",), ("emoji 🙂 café",),
+             (None,)],
+            "text string",
+        ))
+    )
     bad = docs.select(
         "text",
         bpe.bpe_tokens("text").alias("t"),
         bpe.bpe_token_count("text").alias("n"),
     ).filter(
-        (F.array_join("t", "") != F.coalesce(F.col("text"), F.lit("")))
+        (
+            F.encode(F.array_join("t", ""), "ISO-8859-1")
+            != F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        )
         | (F.size("t") != F.col("n"))
     )
     assert bad.count() == 0
@@ -108,6 +124,28 @@ def test_tokens_roundtrip_and_count(spark, sf_dir):
 def test_merge_table_validation_rejects_orphan_operand():
     with pytest.raises(ValueError, match="rank 1"):
         bpe._validate([("61", "62"), ("6363", "61")])
+
+
+def test_merge_table_validation_rejects_duplicate_product():
+    """Duplicate products break chain==kernel even when every operand
+    exists (r11 review counterexample: rule 4's product '616263'
+    re-creates a rank-3 adjacency the chain's finished pass never
+    revisits, chain=2 tokens vs kernel=1 on 'abcd')."""
+    table = [("62", "63"), ("61", "62"), ("6162", "63"),
+             ("616263", "64"), ("61", "6263")]
+    with pytest.raises(ValueError, match="duplicates"):
+        bpe._validate(table)
+
+
+def test_apply_merges_validates_explicit_tables(spark):
+    """Both public entry points gate invalid tables identically (r11
+    review: the chain path previously skipped validation for explicit
+    merges= and silently mis-segmented where the kernel raised)."""
+    with pytest.raises(ValueError, match="rank 1"):
+        bpe.apply_merges(
+            bpe.wrapped_hex(F.lit("ab")),
+            [("61", "62"), ("6363", "61")],
+        )
 
 
 def test_frozen_fixture_subword_not_saturated():

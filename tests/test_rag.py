@@ -2089,6 +2089,66 @@ def test_index_rebuild_clears_stale_crash_artifacts(spark, sf_dir, tmp_path):
     ) == want_grams
 
 
+def test_rebuild_failure_before_write_keeps_journal_guard(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """r11 review (the severity-1 finding): the stale-artifact clear
+    must NOT precede the rebuild's first destructive write by the
+    long compute — a rebuild that dies during Lloyd (OOM-kill,
+    preemption) would otherwise leave the OLD half-appended index
+    serving with its journal guard already deleted, the exact silent
+    truncation the journal exists to detect. Pin: a failure before
+    the data-tree teardown leaves journal AND old data intact, and
+    probes still raise."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import dedup as dd
+    from torua_spark.operators import similarity as sim
+    from torua_spark.sources.catalog import load_table
+    from torua_spark.sources.local import local_df
+
+    # --- IVF family: crash inside kmeans_centroids (the long compute)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(emb, path)
+    local_df(
+        spark, [(5, 3, 2)],
+        "batch_max long, batch_count long, old_max long",
+    ).coalesce(1).write.parquet(f"{path}/{sim._APPEND_JOURNAL}")
+
+    def boom(*a, **k):
+        raise MemoryError("simulated mid-Lloyd death")
+
+    monkeypatch.setattr(sim, "kmeans_centroids", boom)
+    with _pt.raises(MemoryError):
+        sim.ivf_index_write(emb, path)
+    assert os.path.exists(f"{path}/{sim._APPEND_JOURNAL}")
+    assert os.path.exists(f"{path}/vectors")  # old data untouched
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).select("embedding")
+         .collect()[0][0]]
+    with _pt.raises(ValueError, match="unfinished append"):
+        sim.ivf_index_topk(spark, path, q, 10, 3)
+
+    # --- window-hash family: crash building the window-hash plan
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "widx")
+    dd.exact_substring_index_write(docs, idx, k=10)
+    local_df(
+        spark, [(2, 7, 10, 1)],
+        "old_max long, n_new long, k int, batch_max long",
+    ).coalesce(1).write.parquet(f"{idx}/{dd._SUBSTR_JOURNAL}")
+    monkeypatch.setattr(dd, "_window_hashes", boom)
+    with _pt.raises(MemoryError):
+        dd.exact_substring_index_write(docs, idx, k=10)
+    assert os.path.exists(f"{idx}/{dd._SUBSTR_JOURNAL}")
+    assert os.path.exists(f"{idx}/grams")
+    with _pt.raises(ValueError, match="unfinished append"):
+        dd._require_no_pending_substr_append(spark, idx)
+
+
 def test_append_recover_restores_missing_meta(spark, sf_dir, tmp_path):
     """r10 advice (medium): _meta overwrite is delete-then-write, so a
     crash between the two leaves _meta MISSING (not corrupt). With an

@@ -78,6 +78,20 @@ def _validate(merges) -> None:
                     f"product of an earlier rule — rank-order and "
                     f"min-rank encoding would diverge"
                 )
+        if p + q in known:
+            # duplicate PRODUCTS break the equivalence proof too (r11
+            # review counterexample): fusing a later rule with the
+            # same product string re-creates an adjacency an
+            # earlier-rank rule consumes, which the chain's
+            # already-finished pass never revisits. With unique
+            # products the proof closes: a new adjacency after fusing
+            # rule r involves r's product, whose only producer IS r,
+            # so any rule consuming it has rank > r.
+            raise ValueError(
+                f"BPE merge table invalid at rank {i}: product "
+                f"{p + q!r} duplicates an earlier rule's product — "
+                f"rank-order and min-rank encoding would diverge"
+            )
         known.add(p + q)
 
 
@@ -104,6 +118,11 @@ def apply_merges(wrapped_col: Column,
     never spans one."""
     if merges is None:
         merges = load_merges()
+    else:
+        # explicit tables get the SAME loud gate as the kernel path
+        # (r11 review): an invalid table previously raised on
+        # bpe_count_kernel but silently mis-segmented here
+        _validate(merges)
     return reduce(
         lambda c, pq: F.replace(
             c, F.lit(f"({pq[0]})({pq[1]})"), F.lit(f"({pq[0]}{pq[1]})")
@@ -133,20 +152,30 @@ def bpe_token_count(text_col,
 def bpe_tokens(text_col,
                merges: list[tuple[str, str]] | None = None) -> Column:
     """The decoded token array (debug/inspection surface; declared
-    entries serialize it — driver canon is scalar-only)."""
+    entries serialize it — driver canon is scalar-only). Tokens are
+    rendered BYTE-TRANSPARENTLY via ISO-8859-1 (every byte value maps
+    to one codepoint, so the render can never fail), because byte-
+    level BPE tokens routinely split UTF-8 multi-byte characters —
+    'é' is two base tokens (C3)(A9), and decoding each as UTF-8
+    raises MALFORMED_CHARACTER_CODING under ANSI mode (r11 review).
+    This is the same display convention GPT-2 token dumps use (its
+    bytes-to-unicode table): non-ASCII tokens read as mojibake
+    ('Ã©'), and the LOSSLESS roundtrip is at the byte level —
+    ``encode(concat_ws('', tokens), 'ISO-8859-1')`` equals the
+    original text's UTF-8 bytes."""
     enc = apply_merges(wrapped_hex(text_col), merges)
     hexes = F.split(
         F.translate(F.replace(enc, F.lit("|"), F.lit("")), "()", " ,"),
         ",",
     )
     # translate maps '('->' ' and ')'->','; trim + drop empties, then
-    # unhex each token back to text
+    # unhex each token back to its byte-transparent render
     return F.transform(
         F.filter(
             F.transform(hexes, lambda h: F.trim(h)),
             lambda h: h != F.lit(""),
         ),
-        lambda h: F.decode(F.unhex(h), "UTF-8"),
+        lambda h: F.decode(F.unhex(h), "ISO-8859-1"),
     )
 
 

@@ -937,13 +937,21 @@ def exact_substring_index_write(documents: DataFrame, path: str,
     join co-locates. A one-row ``_meta`` parquet records the max
     indexed id and k so the incremental probe and the append can
     VALIDATE their monotone-ingest-key precondition."""
+    import shutil
+
     from torua_spark.sources.io import clear_index_leftovers
 
+    wins = _window_hashes(documents, k, id_col, text_col)
     # rebuild-in-place hygiene (r10 advice, shared with
     # ivf_index_write): stale journal / half-swapped compact trees
-    # from the OLD index must not leak into the rebuilt one
+    # from the OLD index must not leak into the rebuilt one.
+    # ORDERING (r11 review, the ivf_index_write fix applied here for
+    # protocol symmetry): tear down the old data tree FIRST, then
+    # clear the artifacts, immediately before the publish — clearing
+    # at function entry would leave the OLD index serving without its
+    # journal guard if anything raised before the write began
+    shutil.rmtree(f"{path}/grams", ignore_errors=True)
     clear_index_leftovers(path)
-    wins = _window_hashes(documents, k, id_col, text_col)
     wins.groupBy("h").agg(F.min("p").alias("first_p")).write.mode(
         "overwrite"
     ).parquet(f"{path}/grams")

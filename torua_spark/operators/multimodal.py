@@ -597,11 +597,22 @@ def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
                        ordered: bool = True) -> DataFrame:
     """The banded Hamming join over two (possibly identical) dHash
     relations: (doc_a from left, doc_b from right, dist) with
-    doc_a < doc_b and dist <= max_hamming — exact recall by
-    pigeonhole. The two-relation form is the incremental / streaming
-    probe shape: a batch's hashes against a persisted corpus index,
-    each unordered pair emitted exactly once (when its smaller id
-    sits on the left).
+    dist <= max_hamming — exact recall by pigeonhole.
+
+    ``ordered`` selects between the two caller shapes:
+
+    - ``ordered=True`` (default, the DEDUP form): left and right
+      share one id space and each unordered pair is emitted exactly
+      once, with the invariant ``doc_a < doc_b`` (the smaller id on
+      the left). The incremental / streaming probe of a batch
+      against a persisted corpus index uses this form.
+    - ``ordered=False`` (the cross-corpus PROBE form,
+      ``multimodal_decontaminate``): left and right are DIFFERENT
+      corpora whose id spaces may interleave arbitrarily — every
+      (left, right) hit surfaces regardless of id order, so
+      ``doc_a < doc_b`` does NOT hold and doc_a/doc_b must be read
+      as train-side/eval-side, never merged with dedup-form output
+      on the ordered-pair key.
 
     Two blocking schemes, the simhash/Manku (WWW'07) block-width
     trade made explicit:

@@ -1335,17 +1335,28 @@ def ivf_index_write(embeddings: DataFrame, path: str,
 
     Returns a layout report (cells, vectors, files)."""
     import pathlib
+    import shutil
 
     from torua_spark.sources.io import clear_index_leftovers
 
+    cents = kmeans_centroids(embeddings, kmeans_k, iterations)
+    cells = assign_cells(embeddings, cents)
     # rebuild-in-place hygiene (r10 advice): a stale _append_journal
     # or half-swapped .compact_* tree from a crashed mutation on the
     # OLD index must not survive into the rebuilt one — probes would
     # raise on the dead journal, and recovery would compare the NEW
-    # index against the OLD watermark and could truncate it
+    # index against the OLD watermark and could truncate it.
+    # ORDERING (r11 review): the clear runs AFTER the long Lloyd
+    # compute above and only together with tearing down the old data
+    # tree — clearing at function entry opened a minutes-wide crash
+    # window where the OLD half-appended index kept serving with its
+    # journal guard deleted (silent truncation, exactly what the
+    # journal exists to prevent). From the rmtree on, every crash
+    # point reads LOUD (missing/partial tree), never silently stale;
+    # a caller needing an ATOMIC rebuild writes to a fresh path and
+    # renames (in-place rebuild is inherently destructive).
+    shutil.rmtree(f"{path}/vectors", ignore_errors=True)
     clear_index_leftovers(path)
-    cents = kmeans_centroids(embeddings, kmeans_k, iterations)
-    cells = assign_cells(embeddings, cents)
     (
         embeddings.join(cells, "vec_id")
         .write.mode("overwrite").partitionBy("cell")

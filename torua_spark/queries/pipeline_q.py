@@ -490,3 +490,32 @@ def _text_stats_bpe_oracle() -> str:
 
 QUERIES["text_stats_bpe"] = q_text_stats_bpe
 ORACLE["text_stats_bpe"] = _text_stats_bpe_oracle()
+
+
+def q_text_bpe_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow PRODUCTION path of the BPE tokenizer
+    (`bpe_count_kernel`, functions/bpe.py — iterative min-rank
+    encoder with a per-batch pre-token memo, mapInPandas) under the
+    SAME oracle as the expression chain. The chain is what a 96-rule
+    fixture runs; a 50k-rule production table runs the kernel (the
+    chain's per-rule string scans don't amortize past ~10^3 rules).
+    pytest proves chain == kernel on hypothesis corpora
+    (tests/test_bpe.py); this entry gives the kernel its own
+    driver-grade hash proof against the unrolled-replace() oracle —
+    the two implementations can't drift apart without a red row."""
+    from torua_spark.functions import bpe
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return bpe.bpe_count_kernel(docs)
+
+
+def _text_bpe_kernel_oracle() -> str:
+    from torua_spark.functions import bpe
+
+    counts = bpe.oracle_counts_subquery("documents")
+    return f"SELECT doc_id, n_bpe_tokens FROM {counts} _k"
+
+
+QUERIES["text_bpe_kernel"] = q_text_bpe_kernel
+ORACLE["text_bpe_kernel"] = _text_bpe_kernel_oracle()
