@@ -41,12 +41,13 @@ split-on-space.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from collections import Counter
 from pathlib import Path
 
-TOKEN_RE = re.compile(r"\(([0-9A-F]+)\)")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pretokens(text: str) -> list[str]:
@@ -60,41 +61,24 @@ def wrap_hex(pre: str) -> str:
 
 
 def train(texts, n_merges: int):
+    """Delegates the merge loop to the ONE shared trainer definition
+    (torua_spark.functions.bpe.train_from_counts) so the committed
+    fixture, this generator, and the engine's distributed bpe_train
+    cannot drift. History note (r11 review): the loop previously
+    lived here with a tie-break that diverged from the documented
+    lexicographically-smaller-(P, Q) rule on proper-prefix ties;
+    regenerating under the documented rule swapped ranks 43/44 of
+    the v1 fixture — two TIED rules, (' c','olumn') and
+    (' ','order'), which share no token and so can never compete
+    for an adjacency: every input's segmentation is identical under
+    either order."""
+    from torua_spark.functions.bpe import train_from_counts
+
     words = Counter()
     for t in texts:
         for p in pretokens(t or ""):
             words[wrap_hex(p)] += 1
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for w, c in words.items():
-            toks = TOKEN_RE.findall(w)
-            for a, b in zip(toks, toks[1:]):
-                pairs[(a, b)] += c
-        # fuse only pairs that actually repeat (freq 1 fusions would
-        # just memorize the corpus tail)
-        candidates = [(pair, c) for pair, c in pairs.items() if c >= 2]
-        if not candidates:
-            break
-        # ties on frequency break on the lexicographically smaller
-        # (P, Q) TUPLE, exactly as the module docstring pins (the r11
-        # review caught the previous negated-ordinal trick breaking
-        # ties on the JOINED string and preferring the longer one on
-        # proper-prefix ties). Regenerating under the documented rule
-        # swapped ranks 43/44 of the v1 fixture — two TIED rules,
-        # (' c','olumn') and (' ','order'), which share no token and
-        # so can never compete for an adjacency: every input's
-        # segmentation is identical under either order, and the
-        # committed fixture was updated to this rule's output so
-        # trainer, docs, and fixture agree.
-        (p, q), _ = min(candidates, key=lambda pc: (-pc[1], pc[0]))
-        merges.append((p, q))
-        pat, rep = f"({p})({q})", f"({p}{q})"
-        nxt: Counter = Counter()
-        for w, c in words.items():
-            nxt[w.replace(pat, rep)] += c
-        words = nxt
-    return merges
+    return train_from_counts(words, n_merges)
 
 
 def main() -> None:

@@ -40,8 +40,10 @@ def test_chain_kernel_and_oracle_agree_on_corpus(spark, sf_dir):
 
 def test_registry_oracle_parity(spark, sf_dir):
     """Rotation discipline: the declared entries keep pytest-vs-DuckDB
-    parity after they leave the driver window."""
-    for name in ("text_bpe_tokens", "pack_sequences_bpe"):
+    parity after they leave the driver window; the oracled extras
+    (kernel path, pre-token counts) carry the same check."""
+    for name in ("text_bpe_tokens", "pack_sequences_bpe",
+                 "text_bpe_kernel", "text_bpe_pretoken_counts"):
         compare(
             pipeline_q.QUERIES[name](spark, sf_dir),
             pipeline_q.ORACLE[name],
@@ -230,3 +232,62 @@ def test_unicode_multibyte_chain_kernel_oracle_agree(spark):
             for p in re.split(r"(?= )", t) if p
         )
         assert chain[i] == want, (i, chain[i], want)
+
+
+def test_bpe_train_reproduces_frozen_fixture(spark, sf_dir):
+    """PROVENANCE PIN (r11): the engine's distributed trainer on the
+    fixture's training corpus reproduces the committed v1 merge table
+    bit-for-bit — Spark pre-token counting + the shared merge loop
+    (train_from_counts, ONE definition with the offline generator)
+    IS the fixture's generation path."""
+    from torua_spark.resources.bpe_merges_v1 import MERGES
+
+    got = bpe.bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=96
+    )
+    assert got == list(MERGES)
+
+
+def test_bpe_train_gather_budget_is_loud(spark, sf_dir):
+    """The vocabulary gather raises (never silently truncates) when
+    distinct pre-tokens exceed the budget — truncation would bias
+    low-frequency merges without a trace."""
+    with pytest.raises(ValueError, match="max_pretokens"):
+        bpe.bpe_train(
+            load_table(spark, sf_dir, "documents"), n_merges=4,
+            max_pretokens=10,
+        )
+
+
+def test_bpe_train_registry_entry_schema(spark, sf_dir):
+    """The registry facade returns the (rank, p, q) relation of the
+    same training run, rank-ordered from 0."""
+    df = pipeline_q.QUERIES["text_bpe_train"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["rank"])
+    from torua_spark.resources.bpe_merges_v1 import MERGES
+
+    assert [(r["p"], r["q"]) for r in rows] == list(MERGES)
+    assert [r["rank"] for r in rows] == list(range(len(MERGES)))
+
+
+def test_pretoken_counts_sentinel_equals_lookahead(spark):
+    """The sentinel split (dialect-portable: literal replace + literal
+    split) equals the Java-regex lookahead split it replaces,
+    including consecutive-space and leading-space shapes."""
+    import re
+
+    texts = ["a  b", " lead", "no", "", "x y z", "tab\tkeeps one token"]
+    df = local_df(spark, [(i, t) for i, t in enumerate(texts)],
+                  "doc_id long, text string")
+    got = {
+        (r["pre"],): r["cnt"]
+        for r in bpe.pretoken_counts(df).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for t in texts:
+        for p in re.split(r"(?= )", t):
+            if p:
+                want[p] += 1
+    assert got == {(k,): v for k, v in want.items()}

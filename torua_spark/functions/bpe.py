@@ -295,3 +295,144 @@ def bpe_count_kernel(documents: DataFrame, id_col: str = "doc_id",
     return documents.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, n_bpe_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE TRAINING (r11): the corpus-sized part runs in Spark,
+# the merge loop runs over the vocabulary head.
+# ---------------------------------------------------------------------------
+
+# Pre-token boundary sentinel for the lookahead-free split: Spark's
+# split() takes Java regex (lookahead OK) but DuckDB's is RE2 (no
+# lookahead), so the shared, dialect-safe formulation is "insert \x01
+# before every space, split on \x01" — one literal replace + one
+# literal split in BOTH engines, same relation, hash-exact oracle.
+_PRETOKEN_SENTINEL = "\x01"
+
+
+def pretoken_counts(documents: DataFrame, text_col: str = "text"
+                    ) -> DataFrame:
+    """(pre, cnt) — corpus pre-token frequency, THE corpus-sized job
+    of BPE training: one explode + one combiner-friendly groupBy
+    shuffle over the corpus; everything after operates on this
+    zipfian-headed vocabulary relation (|vocab| ~ 10^6-10^8 at 100 TB
+    vs 10^11 documents). Pre-tokens split BEFORE every space (the
+    GPT-2 " word" attachment), via the sentinel formulation above.
+    Caveat: a corpus that already contains \\x01 bytes would split on
+    them; real text corpora do not (it is a C0 control byte)."""
+    toks = F.split(
+        F.replace(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(" "),
+            F.lit(_PRETOKEN_SENTINEL + " "),
+        ),
+        _PRETOKEN_SENTINEL,
+    )
+    return (
+        documents.select(
+            F.explode(F.filter(toks, lambda s: s != F.lit(""))).alias("pre")
+        )
+        .groupBy("pre")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def pretoken_counts_oracle_subquery(table_sql: str,
+                                    text_col: str = "text") -> str:
+    """The DuckDB mirror of ``pretoken_counts`` — identical sentinel
+    replace + split (no regex anywhere, so no dialect drift)."""
+    return (
+        f"(SELECT pre, count(*)::BIGINT AS cnt FROM ("
+        f"SELECT unnest(string_split(replace(coalesce({text_col}, ''), "
+        f"' ', chr(1) || ' '), chr(1))) AS pre FROM {table_sql}"
+        f") WHERE pre != '' GROUP BY pre)"
+    )
+
+
+def _wrap_hex_py(pre: str) -> str:
+    """Python twin of ``wrapped_hex`` for one pre-token (training-side
+    rendering; the Column version is the encoding-side one)."""
+    hx = pre.encode("utf-8").hex().upper()
+    return "".join(f"({hx[i:i + 2]})" for i in range(0, len(hx), 2))
+
+
+def train_from_counts(words: dict[str, int], n_merges: int,
+                      min_pair_freq: int = 2) -> list[tuple[str, str]]:
+    """The BPE merge loop over a (wrapped-hex pre-token -> count)
+    table: repeatedly fuse the most frequent adjacent pair, ties on
+    the lexicographically smaller (P, Q) tuple, stopping when no pair
+    reaches ``min_pair_freq`` (freq-1 fusions would memorize the
+    corpus tail). ONE definition shared by ``bpe_train`` and the
+    fixture generator (scripts/train_bpe_fixture.py) so the committed
+    fixture and the engine trainer cannot drift. Deterministic: no
+    RNG, no iteration-order dependence (the min() key is total)."""
+    import re as _re
+    from collections import Counter
+
+    token_re = _re.compile(r"\(([0-9A-F]+)\)")
+    words = dict(words)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            toks = token_re.findall(w)
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += c
+        candidates = [(p, c) for p, c in pairs.items()
+                      if c >= min_pair_freq]
+        if not candidates:
+            break
+        (p, q), _c = min(candidates, key=lambda pc: (-pc[1], pc[0]))
+        merges.append((p, q))
+        pat, rep = f"({p})({q})", f"({p}{q})"
+        nxt: dict[str, int] = {}
+        for w, c in words.items():
+            w2 = w.replace(pat, rep)
+            nxt[w2] = nxt.get(w2, 0) + c
+        words = nxt
+    return merges
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 96,
+              text_col: str = "text",
+              max_pretokens: int = 2_000_000,
+              min_pair_freq: int = 2) -> list[tuple[str, str]]:
+    """Train a BPE merge table FROM the corpus, Spark-first: the
+    corpus-sized work is ``pretoken_counts`` (one shuffle, map-side
+    combined); the merge loop then runs driver-side over the gathered
+    vocabulary — the shape every production trainer uses (HuggingFace
+    tokenizers, sentencepiece: count words distributed/streamed, train
+    on the count table), because after counting, cost is a function of
+    |vocab|, not corpus bytes. At 100 TB: ~10^11 docs reduce to a
+    ~10^7-row vocabulary relation; the loop never touches the corpus
+    again.
+
+    The vocabulary gather has a LOUD budget (the broadcast-gather
+    discipline): if distinct pre-tokens exceed ``max_pretokens`` the
+    call raises with the two production moves — raise the budget
+    (vocab tables are small: ~60 B/row -> ~120 MB at the default) or
+    train on a sample (``sample_weighted`` upstream), which is what
+    real pipelines do. Silent truncation would bias low-frequency
+    merges without a trace.
+
+    Returns the merge list (wrapped-hex pairs, rank = position) —
+    feed to ``apply_merges`` / ``bpe_count_kernel`` / the resources
+    fixture. Training is run-once-offline (the IVF codebook
+    contract); the committed v1 fixture is exactly
+    ``bpe_train(sf0.001 documents, 96)`` (pinned by test)."""
+    wc = pretoken_counts(documents, text_col)
+    n_distinct = wc.count()
+    if n_distinct > max_pretokens:
+        raise ValueError(
+            f"BPE training vocabulary has {n_distinct} distinct "
+            f"pre-tokens, over the max_pretokens={max_pretokens} "
+            f"gather budget — raise the budget (the vocab relation "
+            f"is ~60 B/row) or train on a corpus sample "
+            f"(sample_weighted), the standard production move; "
+            f"silently truncating the vocabulary would bias "
+            f"low-frequency merges"
+        )
+    words = {
+        _wrap_hex_py(r["pre"]): r["cnt"] for r in wc.collect()
+    }
+    return train_from_counts(words, n_merges, min_pair_freq)

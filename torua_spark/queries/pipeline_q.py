@@ -519,3 +519,59 @@ def _text_bpe_kernel_oracle() -> str:
 
 QUERIES["text_bpe_kernel"] = q_text_bpe_kernel
 ORACLE["text_bpe_kernel"] = _text_bpe_kernel_oracle()
+
+
+def q_text_bpe_pretoken_counts(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The corpus-sized HALF of distributed BPE training
+    (`bpe.pretoken_counts`): the pre-token frequency relation — one
+    explode + one combiner-friendly groupBy shuffle; after this,
+    training cost is a function of |vocab|, not corpus bytes. Split
+    uses the sentinel formulation (literal replace + literal split,
+    no regex) so the DuckDB oracle is dialect-drift-free — RE2 has
+    no lookahead, so the Java-regex '(?= )' split is NOT portable;
+    the sentinel is."""
+    from torua_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.pretoken_counts(docs)
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING end-to-end (`bpe.bpe_train`): Spark
+    counts pre-tokens (the corpus-sized shuffle), the merge loop runs
+    over the gathered zipfian vocabulary head under a loud budget,
+    and the result is the (rank, p, q) merge relation — the table
+    `apply_merges`/`bpe_count_kernel` consume, and exactly what the
+    frozen v1 fixture is (pinned: training on the sf0.001 corpus
+    reproduces resources/bpe_merges_v1.py bit-for-bit,
+    tests/test_bpe.py). No SQL oracle: the merge loop is iterative
+    and data-dependent (each rule's argmax depends on the table the
+    previous rule rewrote), the documented non-SQL-expressible
+    category — correctness rides the fixture-provenance pin plus
+    shared-definition parity with the offline generator."""
+    from torua_spark.functions import bpe
+    from torua_spark.sources.local import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=96)
+    return local_df(
+        spark,
+        [(i, p, q) for i, (p, q) in enumerate(merges)],
+        "rank int, p string, q string",
+    )
+
+
+def _pretoken_counts_oracle() -> str:
+    from torua_spark.functions import bpe
+
+    return (
+        "SELECT pre, cnt FROM "
+        + bpe.pretoken_counts_oracle_subquery("documents")
+        + " _pc"
+    )
+
+
+QUERIES["text_bpe_pretoken_counts"] = q_text_bpe_pretoken_counts
+ORACLE["text_bpe_pretoken_counts"] = _pretoken_counts_oracle()
+QUERIES["text_bpe_train"] = q_text_bpe_train
