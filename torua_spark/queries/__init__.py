@@ -161,13 +161,16 @@ _DECLARED = [
     # graph_edge_attr_filter (driver-green r7; B1 keeps seven other
     # in-window witnesses).
     "dedup_exact_substring",
-    # Round-9 NEW operator (landing-round proof, VERDICT r8 #5):
-    # fastText-style hashed-feature linear quality classifier —
-    # sigmoid(w . x + b) over the hashing-trick features, weight
-    # vector a map literal, pure JVM dot; oracle = identical md5
-    # features + literal weight table in DuckDB. In for
-    # text_dedup_doc_lines (driver-green r8, pytest-oracled forever).
-    "text_quality_classifier",
+    # Round-11 second rotation (landing-round discipline applied to
+    # the round's OWN extras — the exact r10 #3 critique, not
+    # repeated): the Arrow production path of the BPE tokenizer
+    # (iterative min-rank kernel, mapInPandas) under the SAME
+    # unrolled-replace() oracle as the chain, so the two
+    # implementations cannot drift without a red driver row. In for
+    # text_quality_classifier (driver-green r9-r10; the quality
+    # family keeps streaming_quality_gate in-window, the classifier
+    # stays pytest-oracled forever).
+    "text_bpe_kernel",
     # Round-11 NEW operator (landing-round proof, VERDICT r10 #8
     # stretch): CROSS-MODAL eval-set decontamination — a train doc is
     # contaminated when its image near-dups an eval image (pairs32
@@ -250,7 +253,20 @@ _DECLARED = [
     # In for semantic_dedup (driver-green r4-r7; B7 keeps the three
     # vector witnesses in-window, SemDeDup stays pytest-oracled).
     "dedup_incremental_substring",
-    "pack_sequences",
+    # Round-11 second rotation (landing-round discipline, second
+    # half): the corpus-sized HALF of distributed BPE training — the
+    # pre-token frequency relation via the dialect-safe sentinel
+    # split (literal replace + literal split; RE2 has no lookahead),
+    # hash-exact vs DuckDB. The trainer itself (text_bpe_train,
+    # extra) stays rows-only-by-nature (iterative data-dependent
+    # argmax) and rides this entry's driver proof + the
+    # fixture-provenance pytest pin (training sf0.001 reproduces the
+    # committed v1 table consumed by the three driver-proven encoding
+    # entries). In for pack_sequences (driver-green r1-r10;
+    # pack_sequences_bpe is the SAME operator in its heavier
+    # token_count= mode, so packing keeps an in-window witness; the
+    # whitespace mode stays pytest-oracled forever).
+    "text_bpe_pretoken_counts",
     "source_cap",
     # Round-11 rotation (VERDICT r10 #1): the two r10 extras that
     # landed without a landing-round driver proof rotate IN so the
