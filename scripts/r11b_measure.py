@@ -102,6 +102,43 @@ def row_bpe(spark, sf_dir):
     return {"docs": n, "chain_sec": timed(chain), "kernel_sec": timed(kernel)}
 
 
+def row_crossover(spark):
+    """Chain-vs-kernel cost as a function of MERGE-TABLE SIZE at
+    fixed corpus (sf0.1 documents): the chain is one string pass per
+    rule (cost ~ rules x corpus bytes), the kernel is O(pre-token
+    length x merges-applied) per row with a memo (cost ~ flat in
+    rules). Trains larger tables on the sf0.01 corpus (bigger vocab
+    than the fixture's sf0.001 -> more pre-saturation merges)."""
+    from torua_spark.functions import bpe
+    from torua_spark.sources.catalog import spread_small_scan
+
+    train_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = spread_small_scan(
+        spark.read.parquet(f"{SF01}/documents.parquet")
+    ).localCheckpoint()
+    out = {}
+    for n_rules in (96, 384, 1536):
+        merges = bpe.bpe_train(train_docs, n_merges=n_rules)
+        got = len(merges)
+
+        def chain():
+            docs.select(
+                bpe.bpe_token_count("text", merges).alias("n")
+            ).agg(F.sum("n")).collect()
+
+        def kernel():
+            bpe.bpe_count_kernel(docs, merges=merges).agg(
+                F.sum("n_bpe_tokens")
+            ).collect()
+
+        out[f"rules_{n_rules}"] = {
+            "trained": got,
+            "chain_sec": timed(chain),
+            "kernel_sec": timed(kernel),
+        }
+    return out
+
+
 def main():
     spark = get_spark("r11b_measure", cpus=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32")))
@@ -109,6 +146,9 @@ def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "decon,triples,bpe"
              ).split(",")
     rows = {"decon": row_decon, "triples": row_triples, "bpe": row_bpe}
+    if "crossover" in which:
+        out["crossover"] = row_crossover(spark)
+        which = [w for w in which if w != "crossover"]
     for name in which:
         a = rows[name](spark, SF01)
         b = rows[name](spark, SF1)

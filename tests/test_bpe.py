@@ -291,3 +291,18 @@ def test_pretoken_counts_sentinel_equals_lookahead(spark):
             if p:
                 want[p] += 1
     assert got == {(k,): v for k, v in want.items()}
+
+
+def test_bpe_vocab_mass_equals_token_count(spark, sf_dir):
+    """The vocab relation's total mass equals the corpus token count
+    (no token lost or double-counted by the explode), and it matches
+    its DuckDB oracle."""
+    vocab = pipeline_q.QUERIES["text_bpe_vocab"](spark, sf_dir)
+    mass = vocab.agg(F.sum("cnt")).collect()[0][0]
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .select(bpe.bpe_token_count("text").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert mass == want
+    compare(vocab, pipeline_q.ORACLE["text_bpe_vocab"], sf_dir)

@@ -575,3 +575,55 @@ def _pretoken_counts_oracle() -> str:
 QUERIES["text_bpe_pretoken_counts"] = q_text_bpe_pretoken_counts
 ORACLE["text_bpe_pretoken_counts"] = _pretoken_counts_oracle()
 QUERIES["text_bpe_train"] = q_text_bpe_train
+
+
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TOKEN-frequency under the frozen merge table — the
+    tokenizer-QA relation every pipeline reads before committing a
+    vocabulary (coverage, head/tail shape, dead merges): one explode
+    over the encoded token stream + one groupBy. Token rendered as
+    its wrapped-hex id (engine-portable, byte-transparent; the
+    human-readable form is bpe_tokens' ISO-8859-1 render). Oracle:
+    the same explode expressed as DuckDB string_split over the
+    unrolled chain's encoded string."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.functions import bpe
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    enc = bpe.apply_merges(bpe.wrapped_hex("text"))
+    toks = F.split(
+        F.translate(F.replace(enc, F.lit("|"), F.lit("")), "()", " ,"),
+        ",",
+    )
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.transform(toks, lambda h: F.trim(h)),
+                    lambda h: h != F.lit(""),
+                )
+            ).alias("token_hex")
+        )
+        .groupBy("token_hex")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _text_bpe_vocab_oracle() -> str:
+    from torua_spark.functions import bpe
+
+    enc = bpe.oracle_encoded_subquery("documents")
+    return f"""
+        SELECT token_hex, count(*)::BIGINT AS cnt FROM (
+            SELECT trim(unnest(string_split(
+                translate(replace(_s, '|', ''), '()', ' ,'), ','
+            ))) AS token_hex
+            FROM {enc} e
+        ) WHERE token_hex != '' GROUP BY token_hex
+    """
+
+
+QUERIES["text_bpe_vocab"] = q_text_bpe_vocab
+ORACLE["text_bpe_vocab"] = _text_bpe_vocab_oracle()
