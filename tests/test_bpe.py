@@ -306,3 +306,23 @@ def test_bpe_vocab_mass_equals_token_count(spark, sf_dir):
     )
     assert mass == want
     compare(vocab, pipeline_q.ORACLE["text_bpe_vocab"], sf_dir)
+
+
+def test_chain_rule_cap_is_loud(spark):
+    """A merge table past the chain's structural cap raises a
+    cause-naming error instead of the bare JVM StackOverflowError the
+    Catalyst analyzer throws on a 320-deep replace tree (measured:
+    OK at 256, overflow at 320 on the default stack); the kernel
+    handles the same table (flat in table size)."""
+    base = bpe.load_merges()
+    extra = [(f"{a:02X}", f"{b:02X}")
+             for a in range(0x80, 0xC0) for b in range(0x80, 0xC0)]
+    big = (base + extra)[:bpe._CHAIN_MAX_RULES + 1]
+    with pytest.raises(ValueError, match="bpe_count_kernel"):
+        bpe.apply_merges(bpe.wrapped_hex(F.lit("ab")), big)
+    df = local_df(spark, [(1, "hello world")], "doc_id long, text string")
+    got = bpe.bpe_count_kernel(df, merges=big).collect()
+    # the synthetic high-byte rules never fire on ASCII text, so the
+    # count equals the frozen-table count
+    want = bpe.bpe_count_kernel(df).collect()
+    assert got[0]["n_bpe_tokens"] == want[0]["n_bpe_tokens"]

@@ -110,12 +110,25 @@ def wrapped_hex(text_col) -> Column:
     )
 
 
+# Measured structural cap of the expression chain (r11, sf0.1 corpus,
+# default JVM driver stack): the nested replace tree analyzes fine at
+# 256 rules and dies with an opaque java.lang.StackOverflowError in
+# the Catalyst analyzer at 320 — the analyzer recurses per expression
+# node, so the bound is JVM -Xss-dependent, not data-dependent. The
+# Arrow kernel is FLAT in table size (measured 0.7-1.3 s from 96 to
+# 2048 rules on the same corpus) and is the only path for
+# production-sized tables (GPT-2 ships 50k rules).
+_CHAIN_MAX_RULES = 256
+
+
 def apply_merges(wrapped_col: Column,
                  merges: list[tuple[str, str]] | None = None) -> Column:
     """Fold the merge table into a chain of literal replaces — rule r
     is ``replace(s, '(P)(Q)', '(PQ)')``. Boundaries are safe for
     free: a ``|`` between pre-tokens means the pattern's ``)(``
-    never spans one."""
+    never spans one. Tables over ``_CHAIN_MAX_RULES`` raise loudly
+    (the alternative is a bare JVM StackOverflowError from the
+    Catalyst analyzer) — use ``bpe_count_kernel`` for large tables."""
     if merges is None:
         merges = load_merges()
     else:
@@ -123,6 +136,15 @@ def apply_merges(wrapped_col: Column,
         # (r11 review): an invalid table previously raised on
         # bpe_count_kernel but silently mis-segmented here
         _validate(merges)
+    if len(merges) > _CHAIN_MAX_RULES:
+        raise ValueError(
+            f"merge table has {len(merges)} rules, over the expression "
+            f"chain's structural cap of {_CHAIN_MAX_RULES} (the nested "
+            f"replace tree overflows the Catalyst analyzer's stack — "
+            f"measured StackOverflowError at 320 rules on the default "
+            f"JVM stack); tokenize with bpe_count_kernel, which is "
+            f"flat in table size and is the production path"
+        )
     return reduce(
         lambda c, pq: F.replace(
             c, F.lit(f"({pq[0]})({pq[1]})"), F.lit(f"({pq[0]}{pq[1]})")
