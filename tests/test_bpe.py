@@ -326,3 +326,24 @@ def test_chain_rule_cap_is_loud(spark):
     # count equals the frozen-table count
     want = bpe.bpe_count_kernel(df).collect()
     assert got[0]["n_bpe_tokens"] == want[0]["n_bpe_tokens"]
+
+
+def test_pack_sequences_relation_mode_equals_column_mode(spark, sf_dir):
+    """The token_counts= relation form (the kernel path past the
+    chain's 256-rule cap) packs identically to the token_count=
+    Column form, and rejects passing both."""
+    from torua_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_col = pipeline_q.QUERIES["pack_sequences_bpe"](spark, sf_dir)
+    via_rel = pipeline_q.QUERIES["pack_sequences_bpe_kernel"](spark, sf_dir)
+    assert sorted(map(tuple, via_col.collect())) == sorted(
+        map(tuple, via_rel.collect())
+    )
+    compare(via_rel, pipeline_q.ORACLE["pack_sequences_bpe_kernel"], sf_dir)
+    with pytest.raises(ValueError, match="not both"):
+        smp.pack_sequences(
+            docs,
+            token_count=F.lit(1),
+            token_counts=bpe.bpe_count_kernel(docs),
+        )

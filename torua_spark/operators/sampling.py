@@ -234,7 +234,8 @@ def exclusive_prefix_sum(df: DataFrame, order_col: str, value_col: str,
 
 def pack_sequences(documents: DataFrame,
                    budget: int = PACK_BUDGET,
-                   token_count=None) -> DataFrame:
+                   token_count=None,
+                   token_counts: DataFrame | None = None) -> DataFrame:
     """Concat-then-chunk sequence packing — the standard pretraining
     batch construction: lay every document's tokens end-to-end in
     doc_id order and cut the stream every `budget` tokens. A document
@@ -257,13 +258,37 @@ def pack_sequences(documents: DataFrame,
     budget in real BPE tokens (whitespace counts run 25-40% under
     what a trained tokenizer produces, so a whitespace-budgeted pack
     silently overfills every sequence). Default stays the whitespace
-    count."""
-    n_tok = (
-        F.size(tokens("text")) if token_count is None else token_count
-    )
-    toks = documents.select(
-        "doc_id", n_tok.cast("long").alias("n_tok")
-    )
+    count.
+
+    ``token_counts`` (r11): an optional (doc_id, count) RELATION for
+    counters that are DataFrame transforms rather than Columns — the
+    production-sized-tokenizer path: ``bpe_count_kernel`` (the
+    expression chain is structurally capped at 256 rules by the
+    Catalyst analyzer's recursion, so a 50k-rule table can only
+    count via the Arrow kernel, which yields a relation). The join
+    is on doc_id; a doc missing from the relation is an error
+    surfaced by the inner join dropping it from the pack (loudly
+    visible as lost mass), not silently zero-counted."""
+    if token_counts is not None:
+        if token_count is not None:
+            raise ValueError(
+                "pass token_count (a Column) OR token_counts "
+                "(a relation), not both"
+            )
+        cnt = [c for c in token_counts.columns if c != "doc_id"][0]
+        toks = documents.select("doc_id").join(
+            token_counts.select(
+                "doc_id", F.col(cnt).cast("long").alias("n_tok")
+            ),
+            "doc_id",
+        )
+    else:
+        n_tok = (
+            F.size(tokens("text")) if token_count is None else token_count
+        )
+        toks = documents.select(
+            "doc_id", n_tok.cast("long").alias("n_tok")
+        )
     placed = exclusive_prefix_sum(toks, "doc_id", "n_tok", out_col="start")
     return (
         placed.select(

@@ -627,3 +627,24 @@ def _text_bpe_vocab_oracle() -> str:
 
 QUERIES["text_bpe_vocab"] = q_text_bpe_vocab
 ORACLE["text_bpe_vocab"] = _text_bpe_vocab_oracle()
+
+
+def q_pack_sequences_bpe_kernel(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """`pack_sequences` fed by the Arrow KERNEL's token counts via
+    the relation form (`token_counts=`) — the production-sized-
+    tokenizer packing path: past the chain's 256-rule analyzer cap,
+    the kernel is the only counter, and it yields a (doc_id, count)
+    relation rather than a Column. Oracle: IDENTICAL to
+    pack_sequences_bpe (kernel == chain counts is the proven
+    equivalence), so a drift in either the kernel or the join-form
+    plumbing turns this row red."""
+    from torua_spark.functions import bpe
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return smp.pack_sequences(docs, token_counts=bpe.bpe_count_kernel(docs))
+
+
+QUERIES["pack_sequences_bpe_kernel"] = q_pack_sequences_bpe_kernel
+ORACLE["pack_sequences_bpe_kernel"] = _bpe_oracles()["pack_sequences_bpe"]
