@@ -42,6 +42,11 @@ def spread_small_scan(df: DataFrame, parallelism: int | None = None
     anti-pattern this repo avoids."""
     sc = df.sparkSession.sparkContext
     p = parallelism or sc.defaultParallelism
+    # .rdd here is PLAN METADATA only — getNumPartitions reads the
+    # physical plan's partitioning without launching a job or moving
+    # a row through Python; this is not the row-at-a-time .rdd path
+    # the repo bans (there is no DataFrame-API equivalent for input
+    # partition count)
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
