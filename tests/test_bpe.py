@@ -347,3 +347,68 @@ def test_pack_sequences_relation_mode_equals_column_mode(spark, sf_dir):
             token_count=F.lit(1),
             token_counts=bpe.bpe_count_kernel(docs),
         )
+
+
+def test_bpe_train_single_corpus_pass(spark, sf_dir):
+    """ONE-PASS PIN (VERDICT r11 #2): bpe_train's budget check and
+    vocabulary gather share a single bounded collect, so the corpus
+    is scanned exactly once. An accumulator inside a mapInPandas
+    wrapper counts every row the scan delivers — the pre-fix
+    count()+collect() pair scanned the corpus twice (2n)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = docs.mapInPandas(counting, docs.schema)
+    got = bpe.bpe_train(instrumented, n_merges=8)
+    assert got == bpe.bpe_train(docs, n_merges=8)
+    assert acc.value == n_rows, (
+        f"corpus scanned {acc.value / n_rows:.1f}x, expected exactly 1x"
+    )
+
+
+def test_train_from_counts_skips_duplicate_products():
+    """TRAINER-SIDE duplicate-product guard (ADVICE r11): a candidate
+    pair whose product duplicates an earlier rule's product is
+    skipped at TRAIN time, so the trainer always emits a table its
+    own consumers (_validate in apply_merges / bpe_count_kernel /
+    load_merges) accept. The words dict below forces the sequence
+    ('61','62') -> ('6162','63') and then leaves ('61','6263') as
+    the only remaining candidate — its product '616263' duplicates
+    rule 2's, so training must stop rather than emit it."""
+    words = {"(61)(62)": 100, "(61)(62)(63)": 50, "(61)(6263)": 30}
+    got = bpe.train_from_counts(words, n_merges=10, min_pair_freq=2)
+    assert got == [("61", "62"), ("6162", "63")]
+    bpe._validate(got)  # consumers accept what the trainer emits
+
+
+def test_kernel_memo_cap_is_pure(spark, sf_dir):
+    """The per-batch pre-token memo is a pure cache: clearing it on
+    every insert (memo_cap=1, the adversarial-partition bound from
+    VERDICT r11 #5) leaves the counts bit-identical to the default."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = sorted(
+        map(tuple, bpe.bpe_count_kernel(docs, memo_cap=1).collect())
+    )
+    default = sorted(map(tuple, bpe.bpe_count_kernel(docs).collect()))
+    assert capped == default
+
+
+def test_pack_sequences_token_counts_shape_is_loud(spark, sf_dir):
+    """The token_counts= relation must be exactly (doc_id, count):
+    a wider relation raises (instead of silently binding an arbitrary
+    column as token mass) and a doc_id-only relation raises (instead
+    of a bare IndexError) — ADVICE r11."""
+    from torua_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = bpe.bpe_count_kernel(docs).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="2-column"):
+        smp.pack_sequences(docs, token_counts=wide)
+    with pytest.raises(ValueError, match="2-column"):
+        smp.pack_sequences(docs, token_counts=docs.select("doc_id"))

@@ -268,14 +268,31 @@ def pack_sequences(documents: DataFrame,
     count via the Arrow kernel, which yields a relation). The join
     is on doc_id; a doc missing from the relation is an error
     surfaced by the inner join dropping it from the pack (loudly
-    visible as lost mass), not silently zero-counted."""
+    visible as lost mass), not silently zero-counted. The relation
+    must be exactly (doc_id, count) — wider relations raise (an
+    arbitrary column silently binding as token mass) — and doc_id
+    must be unique (duplicate rows would multiply through the join
+    and double-count packing mass; ``bpe_count_kernel`` output is
+    unique by construction since it maps the documents relation)."""
     if token_counts is not None:
         if token_count is not None:
             raise ValueError(
                 "pass token_count (a Column) OR token_counts "
                 "(a relation), not both"
             )
-        cnt = [c for c in token_counts.columns if c != "doc_id"][0]
+        # Strict relation shape (ADVICE r11): exactly (doc_id, count).
+        # "First column that isn't doc_id" on a wider relation would
+        # silently bind an arbitrary column as the token mass, and a
+        # doc_id-only relation raised a bare IndexError.
+        others = [c for c in token_counts.columns if c != "doc_id"]
+        if "doc_id" not in token_counts.columns or len(others) != 1:
+            raise ValueError(
+                f"token_counts must be a 2-column (doc_id, count) "
+                f"relation — got columns {token_counts.columns}; "
+                f"select the count column explicitly (e.g. "
+                f"token_counts.select('doc_id', 'n_bpe_tokens'))"
+            )
+        cnt = others[0]
         toks = documents.select("doc_id").join(
             token_counts.select(
                 "doc_id", F.col(cnt).cast("long").alias("n_tok")
