@@ -112,7 +112,16 @@ _DECLARED = [
     # give-back; keeps its union-find reference pytest + registry
     # oracle, and its knn_join machinery stays in-window via
     # vector_index_append's probe and vector_neardup_pairs).
-    "dedup_image_phash",
+    # Round-12 rotation (VERDICT r11 #3): the RADIUS-3 image tier —
+    # triples11 blocking (6 blocks of 11/11/11/11/10/10 bits,
+    # C(6,3)=20 triple tables, pigeonhole-exact at Hamming radius 3:
+    # 3 errors dirty at most 3 blocks, leaving one clean triple),
+    # n²/2⁴⁸-class candidate volume; hash-proven ≡ bands16 at radius
+    # 3, same brute-force arithmetic oracle. In for dedup_image_phash
+    # (driver-green r10-r11; the image family keeps
+    # dedup_image_phash_scaled + streaming_image_dedup in-window, and
+    # the bands16 path stays pytest-oracled forever).
+    "dedup_image_phash_triples",
     # Round-9 NEW operator (landing-round proof): persisted-IVF APPEND
     # — the daily-ingest index life cycle (write 80% / append 20%
     # under the frozen codebook / partition-pruned probe of the
@@ -191,14 +200,32 @@ _DECLARED = [
     # r8-r10; text analysis keeps text_quality_classifier +
     # streaming_quality_gate in-window, the bigram LM stays
     # pytest-oracled forever).
-    "text_bpe_tokens",
+    # Round-12 rotation (VERDICT r11 #3): corpus TOKEN-frequency under
+    # the frozen table — the tokenizer-QA relation (coverage, head/
+    # tail shape, dead merges); explode over the chain-encoded stream,
+    # oracle = the same explode over the unrolled chain in DuckDB. In
+    # for text_bpe_tokens (driver-green r11; the chain family keeps
+    # TWO in-window witnesses: text_bpe_kernel hash-checks the same
+    # per-doc counts against the unrolled-chain oracle, and this
+    # entry's encode IS apply_merges — text_bpe_tokens stays
+    # pytest-oracled forever).
+    "text_bpe_vocab",
     # Round-11 NEW twin: pack_sequences budgeted in BPE tokens
     # (token_count= mode on the operator) — training-mix budgets
     # denominated in real tokenizer tokens; whitespace counts run
     # ~28% under on this corpus. In for profile_correlations
     # (driver-green r8-r10; profiling keeps streaming_profile_drift
     # in-window, the correlation matrix stays pytest-oracled).
-    "pack_sequences_bpe",
+    # Round-12 rotation (VERDICT r11 #3): the relation-form packing
+    # path — pack_sequences(token_counts=bpe_count_kernel(...)), the
+    # only packing route past the chain's 256-rule analyzer cap (a
+    # production 50k-rule table can't be a Column). Oracle IDENTICAL
+    # to pack_sequences_bpe, so kernel-vs-chain drift or join-form
+    # plumbing drift turns the row red. In for pack_sequences_bpe
+    # (driver-green r11, the SAME operator in its Column form;
+    # packing keeps this in-window witness, the Column form stays
+    # pytest-oracled forever).
+    "pack_sequences_bpe_kernel",
     "graphrag_retrieve",
     # Round-7 second swap: the round's two NEW cross-subsystem entries
     # driver-proven immediately — mixture_sample (source-weighted
@@ -266,7 +293,19 @@ _DECLARED = [
     # pack_sequences_bpe is the SAME operator in its heavier
     # token_count= mode, so packing keeps an in-window witness; the
     # whitespace mode stays pytest-oracled forever).
-    "text_bpe_pretoken_counts",
+    # Round-12 rotation (VERDICT r11 #3): distributed BPE TRAINING
+    # end-to-end — the (rank, p, q) merge relation from
+    # bpe_train(documents, 96). Rows-only by nature (iterative
+    # data-dependent argmax, the documented non-SQL-expressible
+    # category): the driver records its rows+schema check; value
+    # correctness rides the fixture-provenance pytest pin (training
+    # the sf0.001 corpus reproduces the committed v1 table
+    # bit-for-bit) plus shared-definition parity with the offline
+    # generator. In for text_bpe_pretoken_counts (driver-green r11 —
+    # and this entry RUNS pretoken_counts as its corpus-sized half,
+    # so the relation keeps executing in-window; the hash-exact
+    # sentinel-split proof stays pytest-oracled forever).
+    "text_bpe_train",
     "source_cap",
     # Round-11 rotation (VERDICT r10 #1): the two r10 extras that
     # landed without a landing-round driver proof rotate IN so the
@@ -277,7 +316,14 @@ _DECLARED = [
     # graph_alternation_map (driver-green r9-r10, same
     # pattern-compiler family as the six other in-window graph
     # witnesses, pytest-oracled forever).
-    "semantic_dedup_hierarchical",
+    # Round-12 rotation (VERDICT r11 #3): text_stats re-denominated
+    # in BPE tokens — per-source doc count + total/avg BPE token mass,
+    # the stats a training-mix decision actually consumes now that
+    # counting is a projection. In for semantic_dedup_hierarchical
+    # (driver-green r11; B7 keeps vector_index_append,
+    # vector_neardup_pairs, and streaming_knn in-window, and the
+    # two-level Lloyd stays pytest-oracled forever).
+    "text_stats_bpe",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_profile_drift",
     "streaming_health_state",
@@ -336,11 +382,14 @@ _DECLARED = [
 ]
 
 # Declared entries with NO DuckDB oracle: the driver falls back to its
-# documented rows-only check. EMPTY since round 5 (VERDICT r4 #2): the
-# two learned-ANN paths now carry full loop-unrolled DuckDB oracles
-# (joint per-subspace Lloyd in SQL — rag_q._ivf_learned_oracle_sql /
-# _pq_oracle_sql), so every declared entry is hash-checked.
-_ROWS_ONLY: set[str] = set()
+# documented rows-only check. Was EMPTY rounds 5-11 (VERDICT r4 #2:
+# the two learned-ANN paths carry full loop-unrolled DuckDB oracles).
+# r12 declares text_bpe_train — iterative data-dependent argmax (each
+# rule's selection depends on the relation the previous rule rewrote),
+# the documented non-SQL-expressible category; its value correctness
+# is pinned by the fixture-provenance pytest (bit-for-bit reproduction
+# of the committed v1 table) while the driver records rows+schema.
+_ROWS_ONLY: set[str] = {"text_bpe_train"}
 
 
 def _load(name: str):
