@@ -798,3 +798,158 @@ def test_image_neardup_join_unordered_probe_form(spark):
     assert mm.image_neardup_join(
         train, ev, max_hamming=2, scheme="pairs32"
     ).count() == 0
+
+
+class TestAudioFingerprint:
+    """r12 audio content-dedup tier (VERDICT r11 missing #2): the
+    temporal energy-gradient fingerprint + the shared banded join."""
+
+    def _wav(self, samples16, rate=8000, nch=1):
+        import struct
+
+        from torua_spark.operators.codecs import encode_wav
+
+        frames = b"".join(
+            struct.pack("<h", v) * nch for v in samples16
+        )
+        return encode_wav(nch, rate, 16, frames)
+
+    def test_fingerprint_matches_python_reference(self, spark):
+        """The engine fingerprint on a known 16-bit WAV equals the
+        windowed-energy reference computed by hand."""
+        import numpy as np
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        rng_vals = [((i * 7919) % 4001) - 2000 for i in range(650)]
+        media = local_df(
+            spark, [(1, self._wav(rng_vals))], "doc_id long, payload binary"
+        )
+        row = mm.audio_fingerprint(media).collect()[0]
+        assert row["is_real"]
+        want = mm._audio_fp_bands_from_amps(np.array(rng_vals))
+        assert [row[f"b{j}"] for j in range(4)] == want
+        # hand-check a couple of bits against the definition
+        n = len(rng_vals)
+        bounds = [(w * n) // 65 for w in range(66)]
+        e = [
+            sum(abs(v) for v in rng_vals[bounds[w]:bounds[w + 1]])
+            / max(bounds[w + 1] - bounds[w], 1)
+            for w in range(65)
+        ]
+        assert ((row["b0"] >> 0) & 1) == (1 if e[1] > e[0] else 0)
+        assert ((row["b3"] >> 15) & 1) == (1 if e[64] > e[63] else 0)
+
+    def test_gain_invariance(self, spark):
+        """Scaling every sample by a positive constant preserves the
+        fingerprint bit-for-bit (sign-of-gradient is gain-invariant) —
+        the content-dedup property: a re-mastered louder copy of the
+        same recording collides at distance 0."""
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        vals = [((i * 31) % 997) - 498 for i in range(1300)]
+        media = local_df(
+            spark,
+            [(1, self._wav(vals)), (2, self._wav([v * 2 for v in vals]))],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in mm.audio_fingerprint(media).collect()}
+        assert all(rows[1][f"b{j}"] == rows[2][f"b{j}"] for j in range(4))
+        pairs = mm.audio_neardup_pairs(
+            mm.audio_fingerprint(media), max_hamming=0
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs] == [
+            (1, 2, 0)
+        ]
+
+    def test_stereo_uses_first_channel(self, spark):
+        """A stereo clip whose FIRST channel equals a mono clip
+        fingerprints identically (second channel ignored)."""
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        import struct
+
+        from torua_spark.operators.codecs import encode_wav
+
+        vals = [((i * 13) % 401) - 200 for i in range(400)]
+        mono = self._wav(vals)
+        stereo = encode_wav(
+            2, 8000, 16,
+            b"".join(
+                struct.pack("<hh", v, (v * 3 + 7) % 1000) for v in vals
+            ),
+        )
+        media = local_df(
+            spark, [(1, mono), (2, stereo)], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in mm.audio_fingerprint(media).collect()}
+        assert all(rows[1][f"b{j}"] == rows[2][f"b{j}"] for j in range(4))
+
+    def test_fake_tier_is_md5_bands(self, spark):
+        """Non-WAV payloads take the documented md5 fake tier —
+        band j = hex[4j:4j+4] of md5(payload)."""
+        import hashlib
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        payload = b"not audio at all"
+        media = local_df(
+            spark, [(7, payload)], "doc_id long, payload binary"
+        )
+        row = mm.audio_fingerprint(media).collect()[0]
+        d = hashlib.md5(payload).hexdigest()
+        assert not row["is_real"]
+        assert [row[f"b{j}"] for j in range(4)] == [
+            int(d[4 * j: 4 * j + 4], 16) for j in range(4)
+        ]
+
+    def test_planted_variant_within_hamming_one(self, spark, sf_dir):
+        """The declared entry's planted orig/variant WAV pairs land at
+        dist <= 1 (sample 0 := sample 1 flips at most bit 0), and
+        every planted orig finds its variant."""
+        from torua_spark.queries import rag_q
+
+        got = rag_q.QUERIES["dedup_audio_fingerprint"](spark, sf_dir)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["dist"] for r in got.collect()
+        }
+        planted = [
+            (a, b) for (a, b) in pairs
+            if a >= rag_q._AUD_ORIG_OFFSET and b >= rag_q._AUD_VAR_OFFSET
+        ]
+        assert planted, "no planted pairs surfaced"
+        for a, b in planted:
+            if b - a == rag_q._AUD_VAR_OFFSET - rag_q._AUD_ORIG_OFFSET:
+                assert pairs[(a, b)] <= 1
+
+    def test_registry_oracle_parity(self, spark, sf_dir):
+        from tests.oracle import compare
+        from torua_spark.queries import rag_q
+
+        compare(
+            rag_q.QUERIES["dedup_audio_fingerprint"](spark, sf_dir),
+            rag_q.ORACLE["dedup_audio_fingerprint"],
+            sf_dir,
+        )
+
+    def test_scheme_ladder_shared_with_image_tier(self, spark):
+        """The audio tier inherits the blocking-scheme ladder and its
+        pigeonhole guards (pairs32 raises at radius 3, triples11 at
+        radius 4) because the join machinery is shared."""
+        import pytest as _pytest
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        hashed = local_df(
+            spark, [(1, 1, 2, 3, 4)],
+            "doc_id long, b0 int, b1 int, b2 int, b3 int",
+        )
+        with _pytest.raises(ValueError, match="pairs32"):
+            mm.audio_neardup_pairs(hashed, max_hamming=3, scheme="pairs32")
+        with _pytest.raises(ValueError, match="triples11"):
+            mm.audio_neardup_pairs(hashed, max_hamming=4, scheme="triples11")

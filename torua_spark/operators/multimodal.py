@@ -785,3 +785,125 @@ def multimodal_decontaminate(train_hashed: DataFrame,
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AUDIO content dedup (r12, VERDICT r11 missing #2): temporal
+# energy-gradient fingerprint over the codec surface + the SAME banded
+# Hamming blocking the image tier runs. Until now an audio-bearing
+# corpus deduped only on exact bytes (digest groupBy); this gives it a
+# content tier — re-encoded / gain-changed variants of the same
+# recording collide. Design provenance: Haitsma & Kalker (2002) sign-
+# of-energy-difference fingerprinting, reduced to the time domain so
+# the fingerprint is computable with the repo's stdlib/numpy codec
+# tier (no FFT dependency) and reproducible arithmetically by the
+# DuckDB oracle; the dHash 4x16-bit band layout is reused verbatim so
+# image_neardup_join serves both modalities unchanged.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOWS = 65  # 64 gradient bits over 65 window energies
+
+
+def _audio_fp_bands_from_amps(amps) -> list[int]:
+    """The fingerprint engine: 65 equal time windows over the
+    first-channel integer amplitude stream (window w covers frames
+    [floor(w*n/65), floor((w+1)*n/65))), mean |amplitude| per window,
+    bit i (i = 0..63) = [E_{i+1} > E_i], band j packs bits
+    [16j, 16j+16) LSB-first — the exact dHash packing, time axis in
+    place of the pixel grid. Sign-of-gradient is GAIN-INVARIANT
+    (scaling every sample by a positive constant scales every window
+    mean by the same constant, preserving all 64 comparisons — the
+    property pinned in tests) and sample-RATE-proportional windows
+    make it robust to resampling. Fewer than 65 frames leaves the
+    tail windows empty (energy 0); an empty stream is all-zero."""
+    import numpy as np
+
+    n = len(amps)
+    bounds = [(w * n) // AUDIO_FP_WINDOWS
+              for w in range(AUDIO_FP_WINDOWS + 1)]
+    e = []
+    a = np.abs(np.asarray(amps, dtype=np.int64))
+    for w in range(AUDIO_FP_WINDOWS):
+        lo, hi = bounds[w], bounds[w + 1]
+        e.append(float(a[lo:hi].sum()) / max(hi - lo, 1))
+    bits = [1 if e[i + 1] > e[i] else 0 for i in range(64)]
+    return [
+        sum(bits[16 * j + k] << k for k in range(16))
+        for j in range(DHASH_BANDS)
+    ]
+
+
+def _audio_fp_batch(batches: Iterable[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+    """REAL fingerprint where the payload is an integer-PCM RIFF/WAVE
+    (full data-chunk read of the FIRST channel — a fingerprint needs
+    the whole signal, unlike the probe's n sampled frames; at
+    production scale this IS the decode cost and it stays inside the
+    Arrow worker), md5-derived DETERMINISTIC FAKE otherwise — band j
+    = hex[4j:4j+4] of md5(payload), the image/audio tier contract."""
+    import numpy as np
+
+    from torua_spark.operators.codecs import decode_wav_header
+
+    for pdf in batches:
+        rows = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [],
+                "b3": [], "is_real": []}
+        for p in pdf["payload"]:
+            b = bytes(p) if p is not None else b""
+            bands = None
+            hdr = decode_wav_header(b)
+            if hdr is not None:
+                nch, _rate, bits, n_frames, off, _dlen = hdr
+                step = bits // 8
+                data = b[off: off + n_frames * nch * step]
+                frames = np.frombuffer(data, dtype=np.uint8).reshape(
+                    n_frames, nch, step
+                )
+                ch0 = frames[:, 0, :]  # first channel, little-endian
+                if bits == 8:
+                    amps = ch0[:, 0].astype(np.int64) - 128
+                else:
+                    # compose little-endian bytes; top byte signed
+                    amps = ch0[:, -1].astype(np.int64)
+                    amps = np.where(amps >= 128, amps - 256, amps)
+                    for k in range(step - 2, -1, -1):
+                        amps = amps * 256 + ch0[:, k].astype(np.int64)
+                bands = _audio_fp_bands_from_amps(amps)
+                rows["is_real"].append(True)
+            else:
+                d = hashlib.md5(b).hexdigest()
+                bands = [int(d[4 * j: 4 * j + 4], 16)
+                         for j in range(DHASH_BANDS)]
+                rows["is_real"].append(False)
+            for j in range(DHASH_BANDS):
+                rows[f"b{j}"].append(bands[j])
+        yield pd.DataFrame(rows)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit audio content fingerprint per payload as four 16-bit
+    bands (b0..b3) + the tier flag — the audio twin of
+    ``image_dhash``, same schema on purpose: every downstream blocking
+    scheme (bands16 / pairs32 / triples11) and the persisted-index
+    probe machinery consume it unchanged. Map-only mapInPandas, no
+    driver involvement, no skew sensitivity."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_fp_batch,
+        "doc_id long, b0 int, b1 int, b2 int, b3 int, is_real boolean",
+    )
+
+
+def audio_neardup_pairs(hashed: DataFrame,
+                        max_hamming: int = 3,
+                        scheme: str = "bands16") -> DataFrame:
+    """Audio-content near-duplicate pairs: (doc_a, doc_b, dist) with
+    Hamming distance <= ``max_hamming`` over the 64-bit fingerprint.
+    DELEGATES to the banded Hamming join (``image_neardup_join`` —
+    fingerprint-generic: it reads only (doc_id, b0..b3)), so the
+    audio tier inherits the whole scheme ladder with its pigeonhole
+    recall proofs and scale posture: bands16 exact at radius <= 3 to
+    ~10^7 clips, pairs32 exact at radius <= 2 with n^2/2^32
+    candidates for the corpus-scale bulk, triples11 exact at radius
+    <= 3 for the tail. Run exact (digest) dedup first — byte-identical
+    clip floods collide in every band by construction."""
+    return image_neardup_join(hashed, hashed, max_hamming, scheme)
