@@ -412,3 +412,93 @@ def test_pack_sequences_token_counts_shape_is_loud(spark, sf_dir):
         smp.pack_sequences(docs, token_counts=wide)
     with pytest.raises(ValueError, match="2-column"):
         smp.pack_sequences(docs, token_counts=docs.select("doc_id"))
+
+
+# --- production-sized (32k-rule) table, VERDICT r11 #3 ----------------------
+
+
+def test_large_fixture_valid_and_chain_refuses():
+    """The committed 32 768-rule table passes the consumer validation
+    (operand closure, unique products) and sits two orders past the
+    expression chain's structural cap — the kernel is its only path,
+    by design."""
+    large = bpe.load_merges_large()
+    assert len(large) == 32_768
+    with pytest.raises(ValueError, match="structural cap"):
+        bpe.apply_merges(F.lit("x"), large)
+
+
+def test_large_fixture_trainer_equivalence_gate():
+    """The incremental trainer that generated the fixture implements
+    EXACTLY train_from_counts' selection semantics (argmax,
+    (-count, pair) tie-break, min freq, duplicate-product skip):
+    bit-for-bit equal output on a lexicon subset."""
+    from scripts.make_large_bpe_fixture import build_lexicon, train_fast
+
+    sub = dict(sorted(build_lexicon().items())[:300])
+    ref = bpe.train_from_counts(
+        {bpe._wrap_hex_py(w): c for w, c in sub.items()}, 200, 2
+    )
+    assert train_fast(sub, 200, 2) == ref
+
+
+def test_large_fixture_fuses_common_words_to_single_tokens():
+    """Production-vocabulary behavior: common space-attached words
+    are SINGLE tokens under the large table (they are multi-token
+    under the 96-rule v1 fixture)."""
+    ranks = bpe._rank_table(bpe.load_merges_large())
+    ranks_v1 = bpe._rank_table(bpe.load_merges())
+    for w in (" the", " window", " table", " spark", " customer",
+              " international"):
+        assert bpe._encode_pretoken(w.encode(), ranks) == 1, w
+    assert bpe._encode_pretoken(" international".encode(), ranks_v1) > 1
+
+
+def _chain_count_py(text: str, merges) -> int:
+    """Rank-order full-fusion count in pure Python string replaces —
+    the expression chain's ALGORITHM without the Catalyst analyzer's
+    structural cap, so chain == kernel equivalence is checkable at
+    32k rules too (the load-time _validate proof says they must
+    agree; this exercises it on real text)."""
+    hx = (text or "").encode("utf-8").hex().upper()
+    s = "".join(f"({hx[i:i + 2]})" for i in range(0, len(hx), 2))
+    s = s.replace("(20)", "|(20)")
+    for p, q in merges:
+        s = s.replace(f"({p})({q})", f"({p}{q})")
+    return s.count("(")
+
+
+def test_kernel_large_table_end_to_end(spark, sf_dir):
+    """The production path at production vocab scale: kernel counts
+    on the 32k table match the rank-order reference per-document;
+    pack_sequences(token_counts=) and source_cap consume them; the
+    divergence band orders as whitespace <= large < v1 (the large
+    table fuses common words the tiny fixture can't)."""
+    from torua_spark.operators import sampling as smp
+
+    large = bpe.load_merges_large()
+    docs = load_table(spark, sf_dir, "documents")
+    kc = bpe.bpe_count_kernel(docs, merges=large)
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in kc.collect()}
+    for r in docs.limit(4).collect():
+        assert counts[r["doc_id"]] == _chain_count_py(r["text"], large)
+    packed = smp.pack_sequences(docs, token_counts=kc)
+    assert packed.agg(F.sum("tok_mass")).collect()[0][0] == sum(
+        counts.values()
+    )
+    capped = smp.source_cap(docs, cap=10)
+    cap_mass = (
+        capped.select("doc_id")
+        .join(bpe.bpe_count_kernel(docs, merges=large), "doc_id")
+        .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    assert 0 < cap_mass <= sum(counts.values())
+    # divergence band (pinned loosely — the exact ratios are SCALE.md
+    # measurement rows): whitespace <= large-table <= v1-table mass
+    ws = docs.select(
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    v1_mass = docs.select(
+        bpe.bpe_token_count("text").alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert ws <= sum(counts.values()) < v1_mass
