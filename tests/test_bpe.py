@@ -502,3 +502,88 @@ def test_kernel_large_table_end_to_end(spark, sf_dir):
         bpe.bpe_token_count("text").alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert ws <= sum(counts.values()) < v1_mass
+
+
+# --- token_mode='bpe' across the stats family (VERDICT r11 #8) ---------------
+
+
+def test_token_mode_bpe_text_stats(spark, sf_dir):
+    """text_stats(token_mode='bpe') re-denominates avg_tokens in BPE
+    tokens: per-lang total mass matches the projection counter; the
+    whitespace mode is unchanged."""
+    from torua_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["lang"]: r for r in ta.text_stats(docs, "bpe").collect()}
+    want = {
+        r["lang"]: (r["n"], r["s"])
+        for r in docs.select("lang", bpe.bpe_token_count("text").alias("t"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("t").alias("s"))
+        .collect()
+    }
+    for lang, (n, s) in want.items():
+        assert got[lang]["n_docs"] == n
+        assert abs(got[lang]["avg_tokens"] - s / n) < 1e-3
+    ws = {r["lang"]: r for r in ta.text_stats(docs).collect()}
+    assert all(ws[g]["avg_tokens"] <= got[g]["avg_tokens"] for g in got)
+    with pytest.raises(ValueError, match="token_mode"):
+        ta.text_stats(docs, "chars")
+
+
+def test_token_mode_bpe_repetition_hand_example(spark):
+    """BPE-mode repetition grams run over the hex token-id stream: a
+    doc that repeats one word gives top_bigram_frac 1.0 in BOTH modes
+    when the word is multi-token (its internal bigram repeats too),
+    and the gram counts are token-denominated."""
+    from torua_spark.operators import text_analysis as ta
+
+    df = local_df(
+        spark, [(1, "zq zq zq zq")], "doc_id long, text string"
+    )
+    n_tok = df.select(bpe.bpe_token_count("text").alias("n")).collect()[0]["n"]
+    row = ta.repetition_scores(df, token_mode="bpe").collect()[0]
+    assert row["n_bigrams"] == n_tok - 1
+    ws_row = ta.repetition_scores(df).collect()[0]
+    assert ws_row["n_bigrams"] == 3  # 4 words -> 3 word bigrams
+    # the repeated ' zq' unit repeats its token bigram at least
+    # twice among the n_tok - 1 token bigrams
+    assert ws_row["top_bigram_frac"] == 1.0
+    assert row["top_bigram_frac"] >= 2.0 / (n_tok - 1)
+
+
+def test_token_mode_bpe_quality_gate_feature_space(spark):
+    """feature_hash_embed('bpe') hashes the hex token ids (md5_32
+    bucket/sign on the id string), and linear_quality_score passes
+    token_mode through — weights addressed in the BPE feature space
+    move the score, pinned against a hand computation."""
+    import hashlib
+
+    from torua_spark.operators import text_analysis as ta
+
+    df = local_df(spark, [(1, "ab cd")], "doc_id long, text string")
+    hexes = [
+        r["h"] for r in df.select(
+            F.explode(bpe.bpe_token_hex_array("text")).alias("h")
+        ).collect()
+    ]
+    want_buckets = set()
+    for h in hexes:
+        v = int(hashlib.md5(h.encode()).hexdigest()[:8], 16)
+        want_buckets.add(v % 64)
+    got = ta.feature_hash_embed(df, 64, token_mode="bpe").collect()
+    assert {r["bucket"] for r in got} <= want_buckets
+    scored = ta.linear_quality_score(
+        df, weights={b: 1.0 for b in want_buckets}, token_mode="bpe"
+    ).collect()[0]
+    assert scored["logit"] != 0.0
+
+
+def test_token_mode_bpe_repetition_oracle_parity(spark, sf_dir):
+    from torua_spark.queries import rag_q
+
+    compare(
+        rag_q.QUERIES["text_repetition_bpe"](spark, sf_dir),
+        rag_q.ORACLE["text_repetition_bpe"],
+        sf_dir,
+    )

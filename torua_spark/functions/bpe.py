@@ -193,6 +193,26 @@ def bpe_token_count(text_col,
                                                  merges))
 
 
+def bpe_token_hex_array(text_col,
+                        merges: list[tuple[str, str]] | None = None
+                        ) -> Column:
+    """The encoded token sequence as an ARRAY of wrapped-hex token ids
+    (engine-portable: both Spark and DuckDB can split the encoded
+    string identically, no byte-decode involved) — the token stream
+    the BPE-denominated stats family consumes (token_mode='bpe' in
+    text_stats / repetition_scores / feature_hash_embed, and the
+    text_bpe_vocab explode)."""
+    enc = apply_merges(wrapped_hex(text_col), merges)
+    hexes = F.split(
+        F.translate(F.replace(enc, F.lit("|"), F.lit("")), "()", " ,"),
+        ",",
+    )
+    return F.filter(
+        F.transform(hexes, lambda h: F.trim(h)),
+        lambda h: h != F.lit(""),
+    )
+
+
 def bpe_tokens(text_col,
                merges: list[tuple[str, str]] | None = None) -> Column:
     """The decoded token array (debug/inspection surface; declared
@@ -207,18 +227,9 @@ def bpe_tokens(text_col,
     ('Ã©'), and the LOSSLESS roundtrip is at the byte level —
     ``encode(concat_ws('', tokens), 'ISO-8859-1')`` equals the
     original text's UTF-8 bytes."""
-    enc = apply_merges(wrapped_hex(text_col), merges)
-    hexes = F.split(
-        F.translate(F.replace(enc, F.lit("|"), F.lit("")), "()", " ,"),
-        ",",
-    )
-    # translate maps '('->' ' and ')'->','; trim + drop empties, then
-    # unhex each token back to its byte-transparent render
+    # unhex each hex token id back to its byte-transparent render
     return F.transform(
-        F.filter(
-            F.transform(hexes, lambda h: F.trim(h)),
-            lambda h: h != F.lit(""),
-        ),
+        bpe_token_hex_array(text_col, merges),
         lambda h: F.decode(F.unhex(h), "ISO-8859-1"),
     )
 

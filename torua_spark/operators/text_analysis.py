@@ -20,11 +20,33 @@ from torua_spark.functions.text import (
 )
 
 
-def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-language corpus stats: doc count, avg chars, avg whitespace
-    token count (declared `text_stats`)."""
+def _token_array(token_mode: str):
+    """The stats family's token stream selector (VERDICT r11 #8):
+    'ws' = whitespace words (the historical denominator), 'bpe' = the
+    frozen-table BPE token ids as wrapped-hex strings (engine-portable
+    — the DuckDB oracles split the unrolled chain identically). Every
+    downstream shape (explode, size, gram windows, feature hashing) is
+    token-stream-agnostic, so the whole quality pipeline can budget in
+    real tokenizer tokens by flipping one argument."""
+    if token_mode == "ws":
+        return tokens("text")
+    if token_mode == "bpe":
+        from torua_spark.functions.bpe import bpe_token_hex_array
+
+        return bpe_token_hex_array("text")
+    raise ValueError(
+        f"token_mode must be 'ws' or 'bpe', got {token_mode!r}"
+    )
+
+
+def text_stats(documents: DataFrame, token_mode: str = "ws") -> DataFrame:
+    """Per-language corpus stats: doc count, avg chars, avg token
+    count (declared `text_stats`; ``token_mode='bpe'`` re-denominates
+    avg_tokens in real tokenizer tokens — whitespace runs 25-40%
+    under on this corpus)."""
     return (
-        documents.select("lang", "n_chars", F.size(tokens("text")).alias("n_tokens"))
+        documents.select("lang", "n_chars",
+                         F.size(_token_array(token_mode)).alias("n_tokens"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -164,7 +186,8 @@ def vocabulary_report(documents: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
-def repetition_scores(documents: DataFrame) -> DataFrame:
+def repetition_scores(documents: DataFrame,
+                      token_mode: str = "ws") -> DataFrame:
     """Gopher-style within-document repetition rules (Rae et al. 2021
     §A1.1, the published heuristics — the line-based variants degenerate
     on this single-line corpus, so the n-gram family carries the
@@ -175,6 +198,13 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     - ``dup_trigram_frac``: occurrences of 3-grams that appear more
       than once / total 3-gram occurrences (Gopher's duplicate
       n-gram-character rule reduced to token occurrences)
+
+    ``token_mode='bpe'`` (r12, VERDICT r11 #8): grams over the BPE
+    token-id stream instead of whitespace words — the denominator a
+    tokenizer-budgeted pipeline filters in (a doc that repeats a
+    phrase repeats its token n-grams identically; subword grams also
+    catch repetition inside space-free runs whitespace grams cannot
+    see).
 
     Plan shape: ONE tokenize+posexplode pass feeds both gram sizes via
     lead windows partitioned by doc_id (no second scan); each rule is
@@ -188,7 +218,7 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("doc_id").orderBy("pos")
     tok = documents.repartition(parallelism, "doc_id").select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+        "doc_id", F.posexplode(_token_array(token_mode)).alias("pos", "w")
     )
     grams = (
         tok.withColumn("w1", F.lead("w", 1).over(w))
@@ -251,7 +281,8 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
+def feature_hash_embed(documents: DataFrame, dim: int = 64,
+                       token_mode: str = "ws") -> DataFrame:
     """Hashing-trick featurization (Weinberger et al. 2009 — the
     model-free embedding a pipeline can compute at ingest): token t
     maps to bucket md5_32(t) % dim with sign from the hash's next bit;
@@ -264,8 +295,14 @@ def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
     Plan: one tokenize+explode pass, one (doc, bucket) partial+final
     sum, the norm via a window over the doc's ≤dim bucket rows. No
     vocabulary state anywhere — the whole point of the hashing trick
-    at 100 TB."""
-    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    at 100 TB.
+
+    ``token_mode='bpe'``: hash the BPE token-id stream instead of
+    whitespace words — the feature space a tokenizer-aligned quality
+    model trains in (same plan shape; the hashed unit changes)."""
+    tok = documents.select(
+        "doc_id", F.explode(_token_array(token_mode)).alias("t")
+    )
     return hashed_sparse(tok, ["doc_id"], dim)
 
 
@@ -302,6 +339,7 @@ def linear_quality_score(
     bias: float = 0.0,
     dim: int = 64,
     threshold: float = 0.5,
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Model-free quality-classifier INFERENCE (the fastText-style
     linear gate between the Gopher heuristics and a perplexity proxy —
@@ -332,8 +370,9 @@ def linear_quality_score(
     Returns (doc_id, logit, quality, keep) — scalars only (driver
     canon); logit/quality are round4'd, ``keep`` is quality >=
     threshold on the rounded value so both engines compare identical
-    numbers."""
-    feats = feature_hash_embed(documents, dim)
+    numbers. ``token_mode='bpe'`` scores over BPE-token features
+    (pass weights trained in that feature space)."""
+    feats = feature_hash_embed(documents, dim, token_mode)
     pairs: list = []
     for b in sorted(weights):
         pairs.extend((F.lit(int(b)), F.lit(float(weights[b]))))

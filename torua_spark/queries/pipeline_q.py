@@ -592,19 +592,9 @@ def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torua_spark.sources.catalog import spread_small_scan
 
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    enc = bpe.apply_merges(bpe.wrapped_hex("text"))
-    toks = F.split(
-        F.translate(F.replace(enc, F.lit("|"), F.lit("")), "()", " ,"),
-        ",",
-    )
     return (
         docs.select(
-            F.explode(
-                F.filter(
-                    F.transform(toks, lambda h: F.trim(h)),
-                    lambda h: h != F.lit(""),
-                )
-            ).alias("token_hex")
+            F.explode(bpe.bpe_token_hex_array("text")).alias("token_hex")
         )
         .groupBy("token_hex")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -2647,3 +2647,66 @@ def _audio_fp_oracle_sql() -> str:
 
 QUERIES["dedup_audio_fingerprint"] = _q_audio_fingerprint
 ORACLE["dedup_audio_fingerprint"] = _audio_fp_oracle_sql()
+
+
+# --- BPE-denominated stats family (r12, VERDICT r11 #8 stretch) -------------
+# The quality pipeline's remaining whitespace denominators get a
+# token_mode='bpe' flip; this extra driver-proves the heaviest one —
+# Gopher repetition rules over the BPE token-id stream — under the
+# unrolled-chain oracle (the same gram CTEs as text_repetition_scores
+# with w = the chain-encoded hex token list).
+
+
+def _q_text_repetition_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(_docs(spark, sf_dir))
+    return ta.repetition_scores(docs, token_mode="bpe")
+
+
+def _text_repetition_bpe_oracle() -> str:
+    from torua_spark.functions import bpe
+
+    enc = bpe.oracle_encoded_subquery("documents")
+    toks = (
+        "list_filter(list_transform(string_split("
+        "translate(replace(_s, '|', ''), '()', ' ,'), ','), "
+        "x -> trim(x)), x -> x != '')"
+    )
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1]) AS g2,
+                   list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+            FROM (SELECT doc_id, {toks} AS w FROM {enc} e)
+        ),
+        b AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+        ),
+        bagg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                   {round4_sql('max(c)::DOUBLE / sum(c)')} AS top_bigram_frac
+            FROM b GROUP BY doc_id
+        ),
+        t AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2
+        ),
+        tagg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_trigrams,
+                   {round4_sql(
+                       'coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE / sum(c)'
+                   )} AS dup_trigram_frac
+            FROM t GROUP BY doc_id
+        )
+        SELECT d.doc_id, n_bigrams, top_bigram_frac, n_trigrams, dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
+    """
+
+
+QUERIES["text_repetition_bpe"] = _q_text_repetition_bpe
+ORACLE["text_repetition_bpe"] = _text_repetition_bpe_oracle()
