@@ -87,8 +87,9 @@ def main() -> None:
     # timed here and reported as cold_first_run on the diagnostics
     # line, same key as before.
     memoized = [
-        "streaming_knn", "streaming_image_dedup", "vector_index_append",
-        "dedup_incremental_substring", "streaming_lake_cdc",
+        "streaming_knn", "streaming_image_dedup", "streaming_audio_dedup",
+        "vector_index_append", "dedup_incremental_substring",
+        "streaming_lake_cdc",
     ]
     cold_first: dict[str, float] = {}
     for name in memoized:

@@ -397,3 +397,26 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_audio_dedup_equals_batch(spark, sf_dir):
+    """r12 audio streaming twin: every doc streams exactly once
+    against a persisted index of the full media relation and each
+    pair is emitted when its smaller id streams, so the drained union
+    equals the batch dedup_audio_fingerprint pass row-for-row (the
+    streaming_image_dedup / streaming_knn protocol on the audio
+    fingerprint tier)."""
+    from torua_spark.queries import rag_q
+    from torua_spark.streaming.windows import streaming_audio_dedup
+
+    streamed = sorted(
+        map(tuple, streaming_audio_dedup(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            rag_q.QUERIES["dedup_audio_fingerprint"](spark, sf_dir).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(batch) > 0

@@ -362,7 +362,17 @@ _DECLARED = [
     # its arithmetic oracle. In for streaming_index_dedup
     # (driver-green r7-r9, the same index-probed-stream family,
     # pytest-oracled forever).
-    "streaming_image_dedup",
+    # Round-12 NEW streaming twin (landing-round proof): audio-content
+    # dedup as an index-probed stream — each micro-batch fingerprints
+    # its media rows (incl. the planted real-tier WAVs) and probes the
+    # persisted corpus fingerprint index via the shared banded join;
+    # the drained union equals the batch dedup_audio_fingerprint pass,
+    # reusing its arithmetic oracle. In for streaming_image_dedup
+    # (driver-green r10-r12; the index-probed-stream family keeps
+    # streaming_knn + this entry in-window, the image family keeps
+    # dedup_image_phash_scaled + dedup_image_phash_triples, and the
+    # image stream stays pytest-oracled forever).
+    "streaming_audio_dedup",
     # Round-11 rotation (VERDICT r10 #1, second half): the Manku
     # pairs32 corpus-scale image-dedup blocking scheme (6 rotated
     # 32-bit pair tables, pigeonhole-exact at Hamming radius <= 2,

@@ -345,3 +345,15 @@ QUERIES["streaming_image_dedup"] = streaming_image_dedup
 # the streaming shape reuses its arithmetic (planted-PGM + fake-tier)
 # oracle, the streaming_knn precedent.
 ORACLE["streaming_image_dedup"] = _rag_q.ORACLE["dedup_image_phash"]
+
+
+from torua_spark.streaming.windows import streaming_audio_dedup  # noqa: E402
+
+QUERIES["streaming_audio_dedup"] = streaming_audio_dedup
+
+# Same drained-union-equals-batch argument as streaming_image_dedup:
+# every doc streams once against an index of the full media relation,
+# each pair emitted when its smaller id streams, so the stream equals
+# the batch dedup_audio_fingerprint pass and reuses its arithmetic
+# (planted-WAV + md5 fake tier) oracle.
+ORACLE["streaming_audio_dedup"] = _rag_q.ORACLE["dedup_audio_fingerprint"]

@@ -664,3 +664,72 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return local_df(spark, [], "doc_a long, doc_b long, dist int")
     return out
+
+
+# Session-scoped persisted audio-fingerprint index, same memo contract
+# as _STREAM_IMG_INDEX (pure function of the corpus, built once).
+_STREAM_AUD_INDEX: dict[tuple[str, str], str] = {}
+
+
+def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AUDIO-content near-dup against a persisted
+    fingerprint index (r12 — the audio twin of
+    `streaming_image_dedup`, same probe protocol over the same
+    band-generic join): the corpus media relation (payloads + the
+    planted real-tier WAVs of the batch entry) is fingerprinted ONCE
+    into an index; documents arrive as a file stream, each
+    micro-batch fingerprints its own media rows
+    (`multimodal.audio_fingerprint` — the Haitsma-Kalker-style
+    energy-gradient tier) and probes the index, emitting a pair
+    exactly once — when its smaller id streams. The drained union
+    equals the batch `dedup_audio_fingerprint` pass row-for-row, so
+    it reuses that entry's arithmetic (planted-WAV + fake-tier)
+    oracle — the real signal decode, blocking, and verify all
+    driver-proven through the streaming shape."""
+    import tempfile
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import audio_media_with_plants
+
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_STREAM_AUD_INDEX, app)
+    key = (app, sf_dir)
+    path = _STREAM_AUD_INDEX.get(key)
+    if path is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = tempfile.mkdtemp(prefix="torua_stream_aud_")
+        path = f"{base}/hashes"
+        mm.audio_fingerprint(audio_media_with_plants(docs)).write.parquet(
+            path
+        )
+        _STREAM_AUD_INDEX[key] = path
+    index = spark.read.parquet(path)
+
+    stream = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hits: list[DataFrame] = []
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        bh = mm.audio_fingerprint(audio_media_with_plants(batch_df))
+        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        hits.append(pairs.localCheckpoint(eager=True))
+
+    q = stream.writeStream.foreachBatch(_probe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(spark, [], "doc_a long, doc_b long, dist int")
+    return out
