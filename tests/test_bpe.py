@@ -587,3 +587,99 @@ def test_token_mode_bpe_repetition_oracle_parity(spark, sf_dir):
         rag_q.ORACLE["text_repetition_bpe"],
         sf_dir,
     )
+
+
+# --- long-pre-token heap encoder (r12 100TB robustness) ----------------------
+
+
+def test_heap_encoder_equals_rescan_on_adversarial_runs():
+    """The O(L log L) heap encoder (`_encode_pretoken_long`, used past
+    _LONG_PRETOKEN bytes) is EXACT vs the rescan reference on the
+    inputs where fusion order matters: homogeneous runs ('aaaa...'),
+    alternations, and real-word repeats — under both the v1 and the
+    32k production table."""
+    for merges in (bpe.load_merges(), bpe.load_merges_large()):
+        ranks = bpe._rank_table(merges)
+        cases = [
+            b"a" * 501,
+            b"ab" * 300,
+            b"aab" * 211,
+            b" the" * 200,
+            b"international" * 40,
+            bytes(range(256)) * 3,
+            b"e" * 257 + b"x",
+        ]
+        for pre in cases:
+            got_heap = bpe._encode_pretoken_long(pre, ranks)
+            # rescan reference (the dispatch-free loop, inlined):
+            toks = [pre[i:i + 1] for i in range(len(pre))]
+            while len(toks) > 1:
+                best_rank, best_pair = None, None
+                for pair in zip(toks, toks[1:]):
+                    r = ranks.get(pair)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, pair
+                if best_pair is None:
+                    break
+                p, q = best_pair
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == p
+                            and toks[i + 1] == q):
+                        out.append(p + q)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            assert got_heap == len(toks), (pre[:20], len(pre))
+
+
+def test_heap_encoder_property_random_bytes():
+    """Hypothesis sweep: heap == rescan on random byte strings under
+    the v1 table (short strings exercise the stale-entry and
+    same-pair-overlap paths densely)."""
+    from hypothesis import given, settings, strategies as st
+
+    ranks = bpe._rank_table(bpe.load_merges())
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=48))
+    def check(pre):
+        toks = [pre[i:i + 1] for i in range(len(pre))]
+        while len(toks) > 1:
+            best_rank, best_pair = None, None
+            for pair in zip(toks, toks[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, pair
+            if best_pair is None:
+                break
+            p, q = best_pair
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == p and toks[i + 1] == q:
+                    out.append(p + q)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        assert bpe._encode_pretoken_long(pre, ranks) == len(toks)
+
+    check()
+
+
+def test_long_pretoken_dispatch_and_wallclock():
+    """A space-free megabyte blob (the 100 TB hazard case: base64 /
+    minified text) encodes in well under a second via the heap path —
+    the rescan loop's O(L^2) would take minutes."""
+    import time
+
+    ranks = bpe._rank_table(bpe.load_merges_large())
+    blob = (b"QWJjZGVmZ2hpamtsbW5vcHFyc3R1dnd4eXo" * 30000)[:1_000_000]
+    t0 = time.perf_counter()
+    n = bpe._encode_pretoken(blob, ranks)
+    dt = time.perf_counter() - t0
+    assert 0 < n <= len(blob)
+    assert dt < 10.0, f"long-pretoken encode took {dt:.1f}s"

@@ -281,9 +281,21 @@ def _rank_table(merges: list[tuple[str, str]]) -> dict:
             for i, (p, q) in enumerate(merges)}
 
 
+# Above this pre-token length the simple rescan loop's O(L^2) bites
+# (a 10 MB space-free blob — base64, minified JS, DNA text — would
+# stall a task at 100 TB); the heap encoder below is O(L log L) and
+# EXACT (same min-rank, leftmost-first-within-a-pair semantics,
+# equality pinned by a hypothesis property test). The rescan loop
+# stays for short pre-tokens where it's faster and is the readable
+# reference implementation.
+_LONG_PRETOKEN = 256
+
+
 def _encode_pretoken(pre: bytes, ranks: dict) -> int:
     """Iterative lowest-rank-first fusion (the GPT-2 encoder loop) —
     returns the token COUNT for one pre-token."""
+    if len(pre) > _LONG_PRETOKEN:
+        return _encode_pretoken_long(pre, ranks)
     toks = [pre[i:i + 1] for i in range(len(pre))]
     while len(toks) > 1:
         best_rank, best_pair = None, None
@@ -304,6 +316,64 @@ def _encode_pretoken(pre: bytes, ranks: dict) -> int:
                 i += 1
         toks = out
     return len(toks)
+
+
+def _encode_pretoken_long(pre: bytes, ranks: dict) -> int:
+    """The O(L log L) twin of `_encode_pretoken` for LONG pre-tokens:
+    tokens live in a doubly-linked list (index arrays), candidate
+    fusions in a lazy min-heap keyed (rank, position) — so the
+    lowest-rank pair present always fuses next, and occurrences of
+    the SAME pair fuse leftmost-first, exactly the rescan loop's
+    one-pass non-overlapping semantics (popping (r, pos) invalidates
+    the overlapping occurrence at pos+1 before it can fire, just as
+    the scan consumes it). Stale entries are detected by re-checking
+    the live pair at pop time. Equality with the rescan loop is
+    pinned by a hypothesis property test over adversarial inputs
+    (runs like 'aaaa' where fusion order changes the TOKENS if done
+    wrong)."""
+    import heapq
+
+    n = len(pre)
+    if n == 0:
+        return 0
+    toks: list[bytes | None] = [pre[i:i + 1] for i in range(n)]
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    heap: list[tuple[int, int]] = []
+    for i in range(n - 1):
+        r = ranks.get((toks[i], toks[i + 1]))
+        if r is not None:
+            heap.append((r, i))
+    heapq.heapify(heap)
+    count = n
+    while heap:
+        r, i = heapq.heappop(heap)
+        t = toks[i]
+        if t is None:
+            continue  # left token consumed — stale entry
+        j = nxt[i]
+        if j == -1 or toks[j] is None:
+            continue
+        if ranks.get((t, toks[j])) != r:
+            continue  # pair changed since push — stale entry
+        # fuse j into i
+        toks[i] = t + toks[j]
+        toks[j] = None
+        nxt[i] = nxt[j]
+        if nxt[j] != -1:
+            prv[nxt[j]] = i
+        count -= 1
+        p = prv[i]
+        if p != -1 and toks[p] is not None:
+            nr = ranks.get((toks[p], toks[i]))
+            if nr is not None:
+                heapq.heappush(heap, (nr, p))
+        k = nxt[i]
+        if k != -1 and toks[k] is not None:
+            nr = ranks.get((toks[i], toks[k]))
+            if nr is not None:
+                heapq.heappush(heap, (nr, i))
+    return count
 
 
 def bpe_count_kernel(documents: DataFrame, id_col: str = "doc_id",
