@@ -467,7 +467,17 @@ def image_neardup_pairs(hashed: DataFrame,
     pure JVM bit arithmetic (bit_count of four int XORs), no Python in
     the hot path. True duplicate FLOODS (thousands of byte-identical
     images) collide in every band by construction — run exact dedup
-    (digest groupBy) first at 100 TB, as with every banded scheme."""
+    (digest groupBy) first at 100 TB, as with every banded scheme.
+
+    The hashed relation is PERSISTED before the self-join (r12):
+    Spark does not reuse exchanges under Python stages (MapInPandas
+    plans don't canonicalize equal — verified on the executed plan),
+    so without it the Arrow decode+hash pass — the dominant cost on a
+    real media corpus — executes once per join SIDE. The persisted
+    relation is ~40 B/row (id + four ints + flag), ~40 GB cluster-wide
+    at 10^9 images, strictly cheaper than a second full decode pass;
+    callers that already persisted their relation see a no-op."""
+    hashed = hashed.persist()
     return image_neardup_join(hashed, hashed, max_hamming, scheme)
 
 
@@ -905,5 +915,9 @@ def audio_neardup_pairs(hashed: DataFrame,
     ~10^7 clips, pairs32 exact at radius <= 2 with n^2/2^32
     candidates for the corpus-scale bulk, triples11 exact at radius
     <= 3 for the tail. Run exact (digest) dedup first — byte-identical
-    clip floods collide in every band by construction."""
-    return image_neardup_join(hashed, hashed, max_hamming, scheme)
+    clip floods collide in every band by construction. Delegating
+    through ``image_neardup_pairs`` also inherits its r12 persist of
+    the hashed relation (the Arrow fingerprint pass would otherwise
+    run once per self-join side — Python stages defeat exchange
+    reuse)."""
+    return image_neardup_pairs(hashed, max_hamming, scheme)
