@@ -953,3 +953,32 @@ class TestAudioFingerprint:
             mm.audio_neardup_pairs(hashed, max_hamming=3, scheme="pairs32")
         with _pytest.raises(ValueError, match="triples11"):
             mm.audio_neardup_pairs(hashed, max_hamming=4, scheme="triples11")
+
+
+def test_neardup_self_join_hashes_each_payload_once(spark):
+    """ONE-PASS PIN (r12): the fingerprint self-join persists the
+    hashed relation, so the Arrow decode+hash pass sees each payload
+    exactly once — Python stages defeat Spark's exchange reuse, and
+    without the persist both join sides recomputed the pass (2x the
+    dominant cost on a real media corpus). An accumulator inside a
+    mapInPandas wrapper upstream of the hash counts delivered rows."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.local import local_df
+
+    rows = [(i, b"payload-%d" % (i % 7)) for i in range(40)]
+    media = local_df(spark, rows, "doc_id long, payload binary")
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = media.mapInPandas(counting, media.schema)
+    mm.audio_neardup_pairs(
+        mm.audio_fingerprint(instrumented), max_hamming=0
+    ).count()
+    spark.catalog.clearCache()
+    assert acc.value == len(rows), (
+        f"media scanned {acc.value / len(rows):.1f}x, expected exactly 1x"
+    )
