@@ -91,6 +91,13 @@ def main() -> None:
         "vector_index_append", "dedup_incremental_substring",
         "streaming_lake_cdc",
     ]
+    # BENCH_RUNS=1 is the A/B cold-plan mode: skip the memoized
+    # warm-up too (ADVICE r12) so those entries are measured genuinely
+    # cold there — with the warm-up unconditionally executed, the
+    # "cold" A/B draw silently measured warm serving for these six.
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    if runs == 1:
+        memoized = []
     cold_first: dict[str, float] = {}
     for name in memoized:
         if name not in qs:
@@ -112,8 +119,8 @@ def main() -> None:
     # local, same code); median-of-3 is robust to one bad run in
     # EITHER direction, so cross-round deltas are code signal. The
     # min stays in the raw line for steady-state plan-cost reading.
-    # BENCH_RUNS=1 restores cold-plan timing for A/B work.
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # BENCH_RUNS=1 restores cold-plan timing for A/B work (incl. the
+    # memoized one-time builds — their warm-up is skipped above).
     # Highest-variance entries get extra runs (VERDICT r11 #1b): the
     # streaming entries re-drive trigger orchestration + checkpoint
     # replay every run, the single most contention-sensitive shape in
@@ -126,11 +133,18 @@ def main() -> None:
         "streaming_kafka_events": 5, "streaming_attribution_join": 5,
     }
 
+    # Ambient-load instrumentation (VERDICT r12 #4): breach
+    # adjudication has twice rested on after-the-fact load-avg prose;
+    # sample the 1-min load before/after the timed section and before
+    # each query so contention claims cite data on the bench line.
     raw: dict[str, list[float]] = {}
+    load_by_query: dict[str, float] = {}
     failed: set[str] = set()
+    load_pre = round(os.getloadavg()[0], 2)
     t_all = time.perf_counter()
     for name in sorted(qs):
         raw[name] = []
+        load_by_query[name] = round(os.getloadavg()[0], 2)
         n_runs = runs if runs == 1 else max(runs, extra_runs.get(name, runs))
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -179,6 +193,7 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t > 0), 4)
     wall = round(time.perf_counter() - t_all, 4)
+    load_post = round(os.getloadavg()[0], 2)
 
     # Shut Spark down COMPLETELY before emitting the JSON so no JVM
     # shutdown WARN (e.g. StateStore maintenance threads left by the
@@ -218,6 +233,9 @@ def main() -> None:
             ),
             "cold_first_run": cold_first,
             "extra_runs": extra_runs if runs != 1 else {},
+            # 1-min load sampled just before each query's first run:
+            # attributes a per-entry inflation to ambient contention.
+            "load_1m_by_query": load_by_query,
         }
     )
     line = json.dumps(
@@ -230,6 +248,12 @@ def main() -> None:
             "runs_per_query": runs,
             "statistic": "median",
             "harness_wall_sec": wall,
+            # Ambient 1-min load at the start/end of the timed section
+            # (VERDICT r12 #4): a draw with load_1m_pre >> n_cpus-idle
+            # baseline is contended, and its inflation is machine
+            # noise, not plan cost.
+            "load_1m_pre": load_pre,
+            "load_1m_post": load_post,
         }
     )
     sys.stdout.flush()

@@ -270,6 +270,61 @@ def test_bpe_train_registry_entry_schema(spark, sf_dir):
     assert [r["rank"] for r in rows] == list(range(len(MERGES)))
 
 
+def test_bpe_train_golden_oracle_full_hash_parity(spark, sf_dir):
+    """r13 (VERDICT r12 #1): text_bpe_train's driver row is now a full
+    rows+schema+hash check via the golden-literal `VALUES` oracle. At
+    this test's sf0.001 the golden IS the frozen v1 fixture; the
+    driver-gate (sf0.01) static string and the sf0.1/sf1 renderer
+    outputs are pinned structurally below and swept live by
+    scripts/verify_driver_contract.py."""
+    from torua_spark.resources.bpe_merges_v1 import MERGES
+
+    compare(
+        pipeline_q.QUERIES["text_bpe_train"](spark, sf_dir),
+        pipeline_q.bpe_train_golden_oracle(MERGES),
+        sf_dir,
+    )
+
+
+def test_bpe_train_golden_oracle_renderer_contract():
+    """The static ORACLE string renders the sf0.01 (driver-gate,
+    500-embedding) golden; ORACLE_BY_N re-renders per SF; an unknown
+    corpus size is LOUD (a silent wrong-golden fallback would disguise
+    a real training drift as an unexplained hash mismatch); and the
+    registry no longer lists any rows-only entry."""
+    from torua_spark.queries import _ROWS_ONLY, all_oracle_sql
+    from torua_spark.resources.bpe_train_goldens import (
+        BY_EMBEDDINGS_N,
+        GOLDENS,
+    )
+
+    assert _ROWS_ONLY == set()
+    static = all_oracle_sql()["text_bpe_train"]
+    assert static == pipeline_q._bpe_train_oracle_for_n(500)
+    assert BY_EMBEDDINGS_N[500] == "sf0.01"
+    assert static == pipeline_q.bpe_train_golden_oracle(GOLDENS["sf0.01"])
+    for n, tag in BY_EMBEDDINGS_N.items():
+        assert pipeline_q.ORACLE_BY_N["text_bpe_train"](n) == (
+            pipeline_q.bpe_train_golden_oracle(GOLDENS[tag])
+        )
+    with pytest.raises(KeyError, match="make_bpe_train_goldens"):
+        pipeline_q._bpe_train_oracle_for_n(12345)
+
+
+def test_bpe_train_golden_matches_spark_at_driver_gate(spark):
+    """End-to-end at the DRIVER'S OWN SF (sf0.01): the Spark
+    distributed trainer hash-matches the committed offline-generator
+    golden — the exact comparison the driver will run. sf0.01 and
+    sf0.001 share a row count (500) but not contents, so this is a
+    distinct corpus from the provenance pin above."""
+    sf01 = "/root/testdata/sf0.01"
+    compare(
+        pipeline_q.QUERIES["text_bpe_train"](spark, sf01),
+        pipeline_q.ORACLE["text_bpe_train"],
+        sf01,
+    )
+
+
 def test_pretoken_counts_sentinel_equals_lookahead(spark):
     """The sentinel split (dialect-portable: literal replace + literal
     split) equals the Java-regex lookahead split it replaces,
@@ -683,3 +738,113 @@ def test_long_pretoken_dispatch_and_wallclock():
     dt = time.perf_counter() - t0
     assert 0 < n <= len(blob)
     assert dt < 10.0, f"long-pretoken encode took {dt:.1f}s"
+
+
+def _cjk_blob(n_chars: int, seed: bytes = b"cjk") -> str:
+    """Deterministic CJK text (Unicode 4E00-9FFF, 3 utf-8 bytes per
+    char, NO spaces — the whole blob is one pre-token)."""
+    import hashlib
+
+    out = []
+    h = hashlib.md5(seed).hexdigest()
+    while len(out) < n_chars:
+        h = hashlib.md5(h.encode()).hexdigest()
+        for i in range(0, 32, 4):
+            out.append(chr(0x4E00 + (int(h[i:i + 4], 16) % 0x5200)))
+    return "".join(out[:n_chars])
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _cjk_merge_table() -> tuple:
+    """A merge table TRAINED on the CJK distribution (the 32k
+    English-trained fixture applies zero merges to CJK bytes, which
+    would make the exactness check vacuous): 96 rules over chunked
+    blobs — enough for a 1.3-1.6x bytes/token fusion rate, so the
+    heap genuinely cascades."""
+    from collections import Counter
+
+    from torua_spark.functions import bpe
+
+    words = Counter()
+    for i in range(100):
+        hx = _cjk_blob(48, seed=b"train-%d" % i).encode("utf-8").hex().upper()
+        words["".join(f"({hx[j:j + 2]})" for j in range(0, len(hx), 2))] += 1
+    return tuple(bpe.train_from_counts(words, 96))
+
+
+def test_cjk_nospace_long_pretoken_kernel_exact(spark):
+    """r13 stretch (VERDICT r12 #8): CJK scripts have no spaces, so a
+    whole document is ONE pre-token — exactly the no-space-blob shape
+    the r12 heap encoder targets, now on multi-byte UTF-8. Pin: the
+    kernel under a CJK-trained table (fusions genuinely fire — see
+    the fused-ratio assert) equals an O(L^2) reference rescan (the
+    readable loop, inlined here without the length delegation) on
+    2,000-char / 6,000-byte blobs — 23x the heap threshold — so the
+    O(L log L) path is EXACT on CJK, and the Arrow plumbing
+    round-trips the multi-byte text unchanged."""
+    from torua_spark.functions import bpe
+    from torua_spark.sources.local import local_df
+
+    BIG = _cjk_merge_table()
+    texts = [(i, _cjk_blob(2000, seed=b"cjk-%d" % i)) for i in range(3)]
+    df = local_df(spark, texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_count_kernel(df, merges=list(BIG)).collect()
+    }
+
+    ranks = bpe._rank_table(list(BIG))
+
+    def rescan(pre: bytes) -> int:  # _encode_pretoken sans delegation
+        toks = [pre[i:i + 1] for i in range(len(pre))]
+        while len(toks) > 1:
+            best_rank, best_pair = None, None
+            for pair in zip(toks, toks[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, pair
+            if best_pair is None:
+                break
+            p, q = best_pair
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == p and toks[i + 1] == q:
+                    out.append(p + q)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    for i, t in texts:
+        raw = t.encode("utf-8")
+        assert len(raw) > bpe._LONG_PRETOKEN  # heap path engaged
+        assert got[i] == rescan(raw), i
+        assert got[i] <= len(raw) - 300, "fusions did not fire"
+
+
+def test_cjk_heap_encoder_scales_linearithmically():
+    """The heap encoder's cost on CJK blobs grows ~O(L log L), not
+    O(L^2): 8x the length must cost well under 8^2 = 64x — the loud
+    bound is 16x, far above linearithmic noise but far below
+    quadratic. (The SCALE.md row records the measured ratios.)"""
+    import time
+
+    from torua_spark.functions import bpe
+
+    ranks = bpe._rank_table(list(_cjk_merge_table()))
+    small = _cjk_blob(2048).encode("utf-8")
+    big = _cjk_blob(16384).encode("utf-8")
+    # warm both paths once (dict/alloc effects), then time
+    bpe._encode_pretoken_long(small, ranks)
+    t0 = time.perf_counter()
+    bpe._encode_pretoken_long(small, ranks)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bpe._encode_pretoken_long(big, ranks)
+    t_big = time.perf_counter() - t0
+    assert t_big / t_small < 16, (t_small, t_big)

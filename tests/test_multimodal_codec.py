@@ -982,3 +982,285 @@ def test_neardup_self_join_hashes_each_payload_once(spark):
     assert acc.value == len(rows), (
         f"media scanned {acc.value / len(rows):.1f}x, expected exactly 1x"
     )
+
+
+def test_neardup_persist_released_no_net_cache_growth(spark):
+    """CACHE LIFECYCLE PIN (r13, ADVICE r12): image_neardup_pairs
+    persists the hashed relation unconditionally; without a release
+    path a long-lived session looping over DIFFERENT inputs
+    accumulates one cached relation per input. The persist is attached
+    as _torua_caches and dedup.release_caches drops it — a two-pass
+    loop over distinct inputs ends with zero net persisted-RDD
+    growth."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.operators.dedup import release_caches
+    from torua_spark.sources.local import local_df
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    for salt in (b"x", b"y"):  # two DISTINCT inputs: no plan-dedup
+        rows = [(i, salt + b"-%d" % (i % 5)) for i in range(20)]
+        media = local_df(spark, rows, "doc_id long, payload binary")
+        out = mm.image_neardup_pairs(mm.image_dhash(media), max_hamming=0)
+        out.count()
+        assert jsc.getPersistentRDDs().size() > base  # persist is live
+        release_caches(out)
+    assert jsc.getPersistentRDDs().size() == base
+
+
+class TestAudioSpectral:
+    """r13 SPECTRAL audio tier (VERDICT r12 #3): silence-trim +
+    per-frame FFT band energies + Haitsma-Kalker double-difference
+    bits over the shared band layout."""
+
+    def _wav8(self, samples):
+        from torua_spark.operators.codecs import encode_wav
+
+        return encode_wav(1, 8000, 8, bytes(samples))
+
+    def _chain_amps(self, seed=b"seed"):
+        import hashlib
+
+        import numpy as np
+
+        h = hashlib.md5(seed).hexdigest()
+        hx = h
+        while len(hx) < 2 * 204 + 2:
+            h = hashlib.md5(h.encode()).hexdigest()
+            hx += h
+        px = [b if b != 128 else 129 for b in bytes.fromhex(hx)[:204]]
+        return px, np.array([p - 128 for p in px], dtype=np.int64)
+
+    def test_pad_and_trim_invariance_vs_time_domain_miss(self):
+        """THE MOTIVATING TEST: leading/trailing silence (the variant
+        real re-encodes produce) leaves the spectral fingerprint
+        bit-identical (dist 0) while the r12 time-domain tier misses
+        the same variant by a Hamming distance far past any usable
+        radius — the documented gap this tier closes."""
+        import numpy as np
+
+        from torua_spark.operators import multimodal as mm
+
+        _, amps = self._chain_amps()
+        padded = np.concatenate([
+            np.zeros(24, dtype=np.int64), amps, np.zeros(12, dtype=np.int64)
+        ])
+        assert (mm._audio_spectral_bands_from_amps(amps)
+                == mm._audio_spectral_bands_from_amps(padded))
+        t0 = mm._audio_fp_bands_from_amps(amps)
+        t1 = mm._audio_fp_bands_from_amps(padded)
+        ham = sum(bin(a ^ b).count("1") for a, b in zip(t0, t1))
+        assert ham > 3, f"time tier unexpectedly collides (ham={ham})"
+
+    def test_gain_invariance(self):
+        """Energies scale by c^2 > 0 under gain, preserving every
+        double-difference comparison — same invariance class the time
+        tier pins, now through the FFT path."""
+        from torua_spark.operators import multimodal as mm
+
+        _, amps = self._chain_amps(b"gain")
+        assert (mm._audio_spectral_bands_from_amps(amps)
+                == mm._audio_spectral_bands_from_amps(amps * 3))
+
+    def test_degenerate_signals_are_all_zero_bands(self):
+        """Empty / all-silence / too-short signals degrade to the
+        all-zero fingerprint instead of raising (strict > keeps every
+        bit 0 when all energies are 0)."""
+        import numpy as np
+
+        from torua_spark.operators import multimodal as mm
+
+        for sig in ([], [0] * 50, [5, -3]):
+            assert mm._audio_spectral_bands_from_amps(
+                np.array(sig, dtype=np.int64)
+            ) == [0, 0, 0, 0]
+
+    def test_band_bins_closed_form(self):
+        """The floor bin-split at the planted frame size (L=12, 7 rfft
+        bins) is {1},{2},{3},{4},{5,6} — the exact bins the DuckDB
+        oracle unrolls; DC (bin 0) excluded everywhere."""
+        from torua_spark.operators import multimodal as mm
+
+        assert mm._spec_band_bins(7) == [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 7)
+        ]
+
+    def test_operator_end_to_end_real_and_fake_tiers(self, spark):
+        """Full operator pass: planted WAVs take the real tier, text
+        payloads the md5 fake tier; the padded variant pairs with its
+        original at dist 0 through the banded join."""
+        import hashlib
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        px, _ = self._chain_amps(b"e2e")
+        orig = self._wav8(px)
+        padded = self._wav8([128] * 24 + px + [128] * 12)
+        media = local_df(
+            spark,
+            [(1, orig), (2, padded), (3, b"not audio")],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in
+                mm.audio_spectral_fingerprint(media).collect()}
+        assert rows[1]["is_real"] and rows[2]["is_real"]
+        assert not rows[3]["is_real"]
+        d = hashlib.md5(b"not audio").hexdigest()
+        assert rows[3]["b0"] == int(d[0:4], 16)
+        pairs = mm.audio_spectral_neardup_pairs(
+            mm.audio_spectral_fingerprint(media), max_hamming=3
+        ).collect()
+        assert [(p["doc_a"], p["doc_b"], p["dist"])
+                for p in pairs] == [(1, 2, 0)]
+
+    def test_registry_oracle_parity(self, spark, sf_dir):
+        """The declared entry hash-matches its arithmetic (naive
+        12-point DFT in SQL) oracle at sf0.001 — the same comparison
+        the driver runs at sf0.01."""
+        from tests.oracle import compare
+        from torua_spark.queries import rag_q
+
+        compare(
+            rag_q.QUERIES["dedup_audio_spectral"](spark, sf_dir),
+            rag_q.ORACLE["dedup_audio_spectral"],
+            sf_dir,
+        )
+
+
+class TestVideoFingerprint:
+    """r13 VIDEO tier (VERDICT r12 #6): TVID container decode,
+    per-frame dHash, banded clip join with min-matching-frames."""
+
+    def _clip(self, seed=b"clip", n=4, perturb=False):
+        import hashlib
+
+        h = hashlib.md5(seed).hexdigest()
+        hx = h
+        while len(hx) < 2 * 72 * n:
+            h = hashlib.md5(h.encode()).hexdigest()
+            hx += h
+        raw = bytes.fromhex(hx)[: 72 * n]
+        frames = [bytearray(raw[72 * f: 72 * f + 72]) for f in range(n)]
+        if perturb:
+            frames[0][0] = frames[0][1]
+        from torua_spark.operators.codecs import encode_tvid
+
+        return encode_tvid(9, 8, [bytes(f) for f in frames])
+
+    def test_tvid_codec_roundtrip_and_rejection(self):
+        from torua_spark.operators.codecs import (
+            decode_tvid_header,
+            encode_tvid,
+            iter_tvid_frames,
+        )
+
+        b = encode_tvid(9, 8, [bytes(range(72)), bytes(range(72, 144))])
+        assert decode_tvid_header(b) == (2, 9, 8)
+        assert [f for _, f in iter_tvid_frames(b)] == [
+            bytes(range(72)), bytes(range(72, 144))
+        ]
+        assert decode_tvid_header(b"not video") is None
+        assert decode_tvid_header(b[:-1]) is None  # truncated data
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="expected 72"):
+            encode_tvid(9, 8, [b"short"])
+
+    def test_frame_hashes_real_and_fake_tiers(self, spark):
+        """TVID clips hash one row per FRAME via the shared dHash
+        engine; non-video payloads take one md5 pseudo-frame."""
+        import hashlib
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        media = local_df(
+            spark,
+            [(1, self._clip()), (2, b"not video")],
+            "doc_id long, payload binary",
+        )
+        rows = mm.video_frame_hashes(media).collect()
+        real = sorted(
+            (r["frame_idx"] for r in rows if r["doc_id"] == 1)
+        )
+        assert real == [0, 1, 2, 3]
+        assert all(r["is_real"] for r in rows if r["doc_id"] == 1)
+        fake = [r for r in rows if r["doc_id"] == 2]
+        d = hashlib.md5(b"not video").hexdigest()
+        assert len(fake) == 1 and not fake[0]["is_real"]
+        assert fake[0]["b0"] == int(d[0:4], 16)
+
+    def test_clip_neardup_counts_matching_frames(self, spark):
+        """A one-pixel-perturbed variant matches its original on all
+        4 frame pairs (3 identical + 1 within dHash bit 0); an
+        unrelated clip matches on none; the min_matching_frames gate
+        drops sub-threshold pairs."""
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        media = local_df(
+            spark,
+            [(1, self._clip(b"a")), (2, self._clip(b"a", perturb=True)),
+             (3, self._clip(b"unrelated"))],
+            "doc_id long, payload binary",
+        )
+        out = mm.video_neardup_pairs(
+            mm.video_frame_hashes(media),
+            max_hamming=3, min_matching_frames=2,
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["n_matching_frames"])
+                for r in out] == [(1, 2, 4)]
+
+    def test_min_matching_frames_gate(self, spark):
+        """min_matching_frames=1 admits single-frame matches (e.g.
+        identical fake-tier payloads); the declared entry's gate of 2
+        excludes them — the clip-level semantics."""
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        media = local_df(
+            spark,
+            [(1, b"same text"), (2, b"same text")],
+            "doc_id long, payload binary",
+        )
+        frames = mm.video_frame_hashes(media)
+        loose = mm.video_neardup_pairs(
+            frames, max_hamming=3, min_matching_frames=1
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["n_matching_frames"])
+                for r in loose] == [(1, 2, 1)]
+        strict = mm.video_neardup_pairs(
+            frames, max_hamming=3, min_matching_frames=2
+        ).collect()
+        assert strict == []
+
+    def test_frame_idx_guard_is_loud(self, spark):
+        """A frame_idx outside the 16-bit packing raises instead of
+        silently corrupting the synthetic frame id."""
+        import pytest as _pytest
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.sources.local import local_df
+
+        bad = local_df(
+            spark,
+            [(1, 70000, 1, 2, 3, 4, True)],
+            "doc_id long, frame_idx int, b0 int, b1 int, b2 int, "
+            "b3 int, is_real boolean",
+        )
+        with _pytest.raises(Exception, match="synthetic frame id"):
+            mm.video_neardup_pairs(bad).count()
+
+    def test_registry_oracle_parity(self, spark, sf_dir):
+        """The declared entry hash-matches its arithmetic oracle at
+        sf0.001 — the same comparison the driver runs at sf0.01."""
+        from tests.oracle import compare
+        from torua_spark.queries import rag_q
+
+        compare(
+            rag_q.QUERIES["dedup_video_fingerprint"](spark, sf_dir),
+            rag_q.ORACLE["dedup_video_fingerprint"],
+            sf_dir,
+        )

@@ -294,3 +294,56 @@ def encode_wav(n_channels: int, sample_rate: int, bits: int,
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(frames)) + frames
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- TVID: deterministic raw-frame video container (r13, VERDICT r12
+# #6 — the video modality's fixture-grade codec). Same design point as
+# encode_wav/encode_pgm: a minimal, fully-specified binary layout the
+# planted-fixture tests and the DuckDB oracle can re-derive
+# byte-for-byte, standing in for a real container (mp4/webm) whose
+# decoder isn't in this environment. Layout, all little-endian:
+#   b"TVID" | u16 n_frames | u16 width | u16 height |
+#   n_frames * (width*height) bytes of row-major 8-bit grayscale
+# A production deployment swaps decode_tvid for an ffmpeg/pyav frame
+# sampler inside the same Arrow worker; every downstream operator
+# (per-frame dHash, banded clip join) is container-agnostic.
+
+_TVID_MAGIC = b"TVID"
+_TVID_HDR = 10  # magic + 3 * u16
+
+
+def decode_tvid_header(b: bytes):
+    """(n_frames, width, height) or None if not a TVID payload (or
+    truncated — a short data section is rejected, not zero-padded)."""
+    if len(b) < _TVID_HDR or b[:4] != _TVID_MAGIC:
+        return None
+    n, w, h = struct.unpack("<HHH", b[4:_TVID_HDR])
+    if w == 0 or h == 0 or len(b) < _TVID_HDR + n * w * h:
+        return None
+    return n, w, h
+
+
+def iter_tvid_frames(b: bytes):
+    """Yield (frame_idx, grayscale_bytes) per frame; [] if not TVID."""
+    hdr = decode_tvid_header(b)
+    if hdr is None:
+        return
+    n, w, h = hdr
+    sz = w * h
+    for i in range(n):
+        off = _TVID_HDR + i * sz
+        yield i, b[off: off + sz]
+
+
+def encode_tvid(w: int, h: int, frames: list[bytes]) -> bytes:
+    """Fixture-side writer (the encode_wav twin)."""
+    for f in frames:
+        if len(f) != w * h:
+            raise ValueError(
+                f"encode_tvid: frame has {len(f)} bytes, expected {w * h}"
+            )
+    return (
+        _TVID_MAGIC
+        + struct.pack("<HHH", len(frames), w, h)
+        + b"".join(frames)
+    )

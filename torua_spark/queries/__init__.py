@@ -202,7 +202,18 @@ _DECLARED = [
     # dedup_image_phash_scaled + streaming_image_dedup +
     # dedup_image_phash_triples, and the cross-modal union gate stays
     # pytest-oracled forever).
-    "dedup_audio_fingerprint",
+    # Round-13 NEW operator (landing-round proof, VERDICT r12 #3): the
+    # SPECTRAL audio tier — exact-zero silence trim + per-frame FFT
+    # band energies + Haitsma-Kalker frequency-then-time
+    # double-difference sign bits, the shift/pad-robust form (the
+    # planted silence-padded variant collides at dist 0 where the
+    # time-domain tier misses it by Hamming 32 — the motivating test).
+    # Oracle re-derives the planted fingerprints with a naive 12-point
+    # DFT in SQL. In for dedup_audio_fingerprint (driver-green r12;
+    # the audio family keeps streaming_audio_dedup + this entry
+    # in-window, and the time-domain tier stays pytest-oracled
+    # forever).
+    "dedup_audio_spectral",
     # Round-11 NEW operator (landing-round proof, VERDICT r10 #3):
     # byte-level BPE tokenization under the frozen v1 merge table —
     # the whole tokenizer a JVM expression chain (hex render + one
@@ -260,7 +271,18 @@ _DECLARED = [
     "graph_shortest_path",
     "graph_weighted_shortest_path",
     "graph_k_core",
-    "graph_exists_filter",
+    # Round-13 NEW operator (landing-round proof, VERDICT r12 #6):
+    # VIDEO content dedup — per-frame dHash over the deterministic
+    # TVID frame container (codecs.py; stands in for mp4/webm, the
+    # decode swaps to an ffmpeg frame sampler in production), the
+    # SAME banded Hamming join over frame hashes, min-matching-frames
+    # clip verify. Planted 4-frame clips + one-pixel-variant prove the
+    # real decode path; oracle re-derives every planted frame hash
+    # arithmetically and mirrors the frame-pair count. In for
+    # graph_exists_filter (driver-green r7-r12; B1 keeps EIGHT other
+    # in-window witnesses, and the EXISTS form stays pytest-oracled
+    # forever).
+    "dedup_video_fingerprint",
     "graph_comma_conjunction",
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).
@@ -307,14 +329,16 @@ _DECLARED = [
     # whitespace mode stays pytest-oracled forever).
     # Round-12 rotation (VERDICT r11 #3): distributed BPE TRAINING
     # end-to-end — the (rank, p, q) merge relation from
-    # bpe_train(documents, 96). Rows-only by nature (iterative
-    # data-dependent argmax, the documented non-SQL-expressible
-    # category): the driver records its rows+schema check; value
-    # correctness rides the fixture-provenance pytest pin (training
-    # the sf0.001 corpus reproduces the committed v1 table
-    # bit-for-bit) plus shared-definition parity with the offline
-    # generator. In for text_bpe_pretoken_counts (driver-green r11 —
-    # and this entry RUNS pretoken_counts as its corpus-sized half,
+    # bpe_train(documents, 96). r13 (VERDICT r12 #1): now carries a
+    # GOLDEN-LITERAL oracle — training is deterministic, so the
+    # committed offline-generator output is a full rows+schema+hash
+    # check (per-SF goldens via ORACLE_BY_N; fixture-pinned, not
+    # independently computed — see q_text_bpe_train's docstring).
+    # Value correctness additionally rides the fixture-provenance
+    # pytest pin (training the sf0.001 corpus reproduces the committed
+    # v1 table bit-for-bit). In for text_bpe_pretoken_counts
+    # (driver-green r11 —
+    # this entry RUNS pretoken_counts as its corpus-sized half,
     # so the relation keeps executing in-window; the hash-exact
     # sentinel-split proof stays pytest-oracled forever).
     "text_bpe_train",
@@ -329,13 +353,16 @@ _DECLARED = [
     # pattern-compiler family as the six other in-window graph
     # witnesses, pytest-oracled forever).
     # Round-12 rotation (VERDICT r11 #3): text_stats re-denominated
-    # in BPE tokens — per-source doc count + total/avg BPE token mass,
-    # the stats a training-mix decision actually consumes now that
-    # counting is a projection. In for semantic_dedup_hierarchical
-    # (driver-green r11; B7 keeps vector_index_append,
-    # vector_neardup_pairs, and streaming_knn in-window, and the
-    # two-level Lloyd stays pytest-oracled forever).
-    "text_stats_bpe",
+    # in BPE tokens. Round-13 rotation (VERDICT r12 #2, zero-backlog
+    # discipline): the one driver-unproven r12 extra rotates IN —
+    # Gopher repetition rules over the BPE token-id stream
+    # (token_mode='bpe' on repetition_scores, the heaviest member of
+    # the r12 stats-family re-denomination), under the unrolled-chain
+    # oracle. In for text_stats_bpe (driver-green r12; the BPE-stats
+    # family keeps text_bpe_kernel + text_bpe_vocab + text_bpe_train +
+    # pack_sequences_bpe_kernel in-window, and the per-source stats
+    # stay pytest-oracled forever).
+    "text_repetition_bpe",
     # --- streaming (B9 streaming half) + multimodal (B8)
     "streaming_profile_drift",
     "streaming_health_state",
@@ -404,14 +431,15 @@ _DECLARED = [
 ]
 
 # Declared entries with NO DuckDB oracle: the driver falls back to its
-# documented rows-only check. Was EMPTY rounds 5-11 (VERDICT r4 #2:
-# the two learned-ANN paths carry full loop-unrolled DuckDB oracles).
-# r12 declares text_bpe_train — iterative data-dependent argmax (each
-# rule's selection depends on the relation the previous rule rewrote),
-# the documented non-SQL-expressible category; its value correctness
-# is pinned by the fixture-provenance pytest (bit-for-bit reproduction
-# of the committed v1 table) while the driver records rows+schema.
-_ROWS_ONLY: set[str] = {"text_bpe_train"}
+# documented rows-only check. EMPTY again as of r13 (was empty rounds
+# 5-11): text_bpe_train — the one r12 rows-only entry (iterative
+# data-dependent argmax, not closed-form-SQL-expressible) — now
+# carries a GOLDEN-LITERAL oracle: training is deterministic, so the
+# committed output of the offline generator
+# (scripts/make_bpe_train_goldens.py, per-SF via ORACLE_BY_N) is a
+# full rows+schema+hash check. Fixture-pinned, documented in the
+# entry's docstring.
+_ROWS_ONLY: set[str] = set()
 
 
 def _load(name: str):

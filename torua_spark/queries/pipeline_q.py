@@ -545,11 +545,16 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     `apply_merges`/`bpe_count_kernel` consume, and exactly what the
     frozen v1 fixture is (pinned: training on the sf0.001 corpus
     reproduces resources/bpe_merges_v1.py bit-for-bit,
-    tests/test_bpe.py). No SQL oracle: the merge loop is iterative
-    and data-dependent (each rule's argmax depends on the table the
-    previous rule rewrote), the documented non-SQL-expressible
-    category — correctness rides the fixture-provenance pin plus
-    shared-definition parity with the offline generator."""
+    tests/test_bpe.py). The merge loop is iterative and data-dependent
+    (each rule's argmax depends on the table the previous rule
+    rewrote), so no closed-form SQL can re-derive it — but training is
+    fully deterministic, so the oracle is a GOLDEN-LITERAL `VALUES`
+    relation: the committed output of the OFFLINE generator (pure
+    Python counting + the one shared merge loop,
+    scripts/make_bpe_train_goldens.py) on the same corpus.
+    Fixture-pinned, not independently computed — a drift in the
+    engine's distributed counting or loop plumbing turns the driver
+    row red instead of regenerating itself into the oracle."""
     from torua_spark.functions import bpe
     from torua_spark.sources.local import local_df
 
@@ -572,9 +577,47 @@ def _pretoken_counts_oracle() -> str:
     )
 
 
+def bpe_train_golden_oracle(merges) -> str:
+    """Render a frozen merge table as the `VALUES`-literal oracle
+    relation for text_bpe_train (rank int, p string, q string — the
+    exact registry schema). Tokens are uppercase-hex strings, so no
+    quoting hazards."""
+    rows = ", ".join(
+        f"({i}, '{p}', '{q}')" for i, (p, q) in enumerate(merges)
+    )
+    return (
+        "SELECT CAST(rank AS INT) AS rank, p, q "
+        f"FROM (VALUES {rows}) AS t(rank, p, q)"
+    )
+
+
+def _bpe_train_oracle_for_n(n_rows: int) -> str:
+    """Golden lookup keyed by the embeddings-table row count (the key
+    the verify harness passes to ORACLE_BY_N renderers). Loud on an
+    unknown SF: silently falling back to the wrong golden would turn
+    a real training drift into an unexplained hash mismatch."""
+    from torua_spark.resources.bpe_train_goldens import (
+        BY_EMBEDDINGS_N,
+        GOLDENS,
+    )
+
+    tag = BY_EMBEDDINGS_N.get(n_rows)
+    if tag is None:
+        raise KeyError(
+            f"no committed text_bpe_train golden for a corpus with "
+            f"{n_rows} embeddings — run scripts/make_bpe_train_goldens.py "
+            f"for the new SF and commit the output"
+        )
+    return bpe_train_golden_oracle(GOLDENS[tag])
+
+
 QUERIES["text_bpe_pretoken_counts"] = q_text_bpe_pretoken_counts
 ORACLE["text_bpe_pretoken_counts"] = _pretoken_counts_oracle()
 QUERIES["text_bpe_train"] = q_text_bpe_train
+# The static string renders the sf0.01 (driver-gate, 500-embedding)
+# golden; sf0.1/sf1 sweeps re-render through ORACLE_BY_N.
+ORACLE["text_bpe_train"] = _bpe_train_oracle_for_n(500)
+ORACLE_BY_N = {"text_bpe_train": _bpe_train_oracle_for_n}
 
 
 def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2007,13 +2007,29 @@ _IMG_ORIG_OFFSET = 10_000_000
 _IMG_VAR_OFFSET = 20_000_000
 
 
-def _md5_chain5(t):
-    """160 hex chars (80 bytes) of chained md5s — the planted image's
-    pixel source, computable identically in Spark and DuckDB."""
+def _md5_chain(t, depth: int):
+    """depth*32 hex chars (depth*16 bytes) of chained md5s — planted
+    fixtures' sample source, computable identically in Spark and
+    DuckDB (both hash the utf-8 of the previous HEX string)."""
     ms = [F.md5(F.encode(t, "UTF-8"))]
-    for _ in range(4):
+    for _ in range(depth - 1):
         ms.append(F.md5(F.encode(ms[-1], "UTF-8")))
     return F.concat(*ms)
+
+
+def _md5_chain5(t):
+    """160 hex chars (80 bytes) — the planted image's pixel source."""
+    return _md5_chain(t, 5)
+
+
+def _md5_chain_sql(depth: int) -> str:
+    """The DuckDB twin of ``_md5_chain``."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(depth - 1):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    return " || ".join(parts)
 
 
 def _render_pgm_gen(perturb: bool, offset: int):
@@ -2647,6 +2663,440 @@ def _audio_fp_oracle_sql() -> str:
 
 QUERIES["dedup_audio_fingerprint"] = _q_audio_fingerprint
 ORACLE["dedup_audio_fingerprint"] = _audio_fp_oracle_sql()
+
+
+# --- SPECTRAL audio dedup (r13, VERDICT r12 #3) ------------------------------
+# The shift/pad-robust tier: exact-zero silence trim + per-frame FFT
+# band energies + the Haitsma-Kalker double-difference sign bits
+# (multimodal.audio_spectral_fingerprint). Driver proof follows the
+# planted-fixture recipe: every 20th doc plants a deterministic
+# 204-sample 8-bit mono WAV (17 frames x 12 samples; samples = a
+# 13-deep md5 chain of its text with byte 128 remapped to 129 so NO
+# amplitude is exactly zero — the trim is then the identity on the
+# original and removes exactly the planted silence on the variant)
+# plus a variant with 24 leading + 12 trailing silence samples — the
+# re-encode shape the time-domain tier MISSES (Hamming 32 on the same
+# fixture, pinned in tests) and this tier collides at dist 0. The
+# oracle re-derives the planted fingerprints ARITHMETICALLY: a naive
+# 12-point DFT per frame in SQL (cos/sin sums — the frame is one
+# closed-form slice of the md5 chain), band energies via the same
+# floor bin-split, the same double-difference bits, the same 4x16
+# packing, the same banded Hamming verify.
+
+_SPEC_PLANT_EVERY = 20
+_SPEC_ORIG_OFFSET = 30_000_000
+_SPEC_VAR_OFFSET = 40_000_000
+_SPEC_N = 204  # 17 frames x 12 samples
+_SPEC_CHAIN_DEPTH = 13  # 13 md5s = 208 bytes >= 204
+_SPEC_LEAD = 24  # planted leading-silence samples (variant tier)
+_SPEC_TAIL = 12  # planted trailing-silence samples (variant tier)
+
+
+def _render_spec_wav_gen(pad: bool, offset: int):
+    """(doc_id, hx) Arrow batches -> (doc_id + offset, 204-sample
+    8-bit mono WAV; samples = the leading md5-chain bytes, 128
+    remapped to 129). The variant tier wraps the SAME signal in
+    24 leading + 12 trailing silence samples (byte 128 == amplitude
+    0) — the pad/trim re-encode perturbation."""
+    def gen(batches):
+        import pandas as pd
+
+        from torua_spark.operators.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                px = bytearray(
+                    b if b != 128 else 129
+                    for b in bytes.fromhex(h)[:_SPEC_N]
+                )
+                if pad:
+                    px = (
+                        bytearray([128] * _SPEC_LEAD)
+                        + px
+                        + bytearray([128] * _SPEC_TAIL)
+                    )
+                payloads.append(encode_wav(1, 8000, 8, bytes(px)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def audio_spectral_media_with_plants(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) media relation for the spectral-dedup entry:
+    corpus payloads (fake tier) plus, per 20th doc, a planted
+    204-sample WAV (real tier) and its silence-padded variant."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    guarded_id = F.when(
+        F.col("doc_id") < _SPEC_ORIG_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("audio_spectral_media_with_plants: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant offset {_SPEC_ORIG_OFFSET}; planted "
+                    f"rows would collide with real ids — raise the "
+                    f"offsets for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
+    seeds = docs.filter(F.col("doc_id") % _SPEC_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain(
+            F.coalesce(F.col("text"), F.lit("")), _SPEC_CHAIN_DEPTH
+        ).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    orig = seeds.mapInPandas(
+        _render_spec_wav_gen(False, _SPEC_ORIG_OFFSET), out_schema
+    )
+    variant = seeds.mapInPandas(
+        _render_spec_wav_gen(True, _SPEC_VAR_OFFSET), out_schema
+    )
+    return media.unionByName(orig).unionByName(variant)
+
+
+def _q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 audio content dedup, SPECTRAL tier (r13): silence-trim +
+    per-frame FFT band energies + Haitsma-Kalker double-difference
+    bits + the shared banded Hamming join — collides the
+    leading-silence / trim / gain variants real re-encodes produce,
+    which the r12 time-domain tier misses. Reference hook:
+    README.md:209-212 multi-modal relationships; closes VERDICT r12
+    missing #1."""
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.audio_spectral_fingerprint(
+        audio_spectral_media_with_plants(_docs(spark, sf_dir))
+    )
+    return mm.audio_spectral_neardup_pairs(hashed, max_hamming=3)
+
+
+def _spec_energy_sql(f_var: str = "f") -> str:
+    """The 5 band energies of planted frame ``f`` as a SQL list —
+    a naive 12-point DFT unrolled per non-DC bin (1..6), band bins
+    {1},{2},{3},{4},{5,6} (multimodal._spec_band_bins at L=12),
+    energy normalized by L^2 = 144. ``s`` is the 204-int amplitude
+    list in scope."""
+    def bin_e(k: int) -> str:
+        cx = (
+            f"list_sum(list_transform(range(0, 12), t -> "
+            f"s[12 * {f_var} + t + 1] * cos(2 * pi() * {k} * t / 12.0)))"
+        )
+        sx = (
+            f"list_sum(list_transform(range(0, 12), t -> "
+            f"s[12 * {f_var} + t + 1] * sin(2 * pi() * {k} * t / 12.0)))"
+        )
+        return f"(pow({cx}, 2) + pow({sx}, 2))"
+
+    bands = [[1], [2], [3], [4], [5, 6]]
+    return (
+        "["
+        + ", ".join(
+            "(" + " + ".join(bin_e(k) for k in ks) + ") / 144.0"
+            for ks in bands
+        )
+        + "]"
+    )
+
+
+def _audio_spectral_oracle_sql() -> str:
+    """Mirrors the query tier-for-tier: fake bands from md5(text) hex;
+    planted bands re-derived ARITHMETICALLY (naive DFT in SQL — see
+    _spec_energy_sql). The VARIANT's fingerprint is the original's BY
+    CONSTRUCTION: its only difference is 24+12 exact-silence samples,
+    the byte-128->129 remap guarantees no interior amplitude is zero,
+    and the engine's first step trims exact-zero ends — so
+    trim(variant) == trim(original) sample-for-sample."""
+    hx = _md5_chain_sql(_SPEC_CHAIN_DEPTH)
+    remap = (
+        "list_transform(range(0, 204), i -> CASE "
+        "WHEN ('0x' || substr(hx, 1 + 2 * i, 2))::INT = 128 THEN 1 "
+        "ELSE ('0x' || substr(hx, 1 + 2 * i, 2))::INT - 128 END)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pamps AS (
+        SELECT doc_id, {remap} AS s
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_SPEC_PLANT_EVERY} = 0)
+    ),
+    penergy AS (
+        SELECT doc_id,
+               list_transform(range(0, 17), f -> {_spec_energy_sql()})
+                   AS e
+        FROM pamps
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE WHEN
+                   (e[i // 4 + 2][i % 4 + 1] - e[i // 4 + 2][i % 4 + 2])
+                 - (e[i // 4 + 1][i % 4 + 1] - e[i // 4 + 1][i % 4 + 2])
+                   > 0
+                   THEN 1 ELSE 0 END) AS bits
+        FROM penergy
+    ),
+    pone AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    pbands AS (
+        SELECT doc_id + {_SPEC_ORIG_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+        UNION ALL
+        SELECT doc_id + {_SPEC_VAR_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+    ),
+    allh AS (
+        SELECT * FROM fake UNION ALL SELECT * FROM pbands
+    ),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allh, (VALUES (0), (1), (2), (3)) AS parts(part)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS INT) AS dist
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """
+
+
+QUERIES["dedup_audio_spectral"] = _q_audio_spectral
+ORACLE["dedup_audio_spectral"] = _audio_spectral_oracle_sql()
+
+
+# --- VIDEO content dedup (r13, VERDICT r12 #6) -------------------------------
+# Clip = frame sequence; per-frame dHash via the image tier's engine;
+# clip near-dup = banded join over FRAME hashes + min-matching-frames
+# verify (multimodal.video_neardup_pairs). Driver proof: every 20th
+# doc plants a deterministic 4-frame 9x8 TVID clip (frame pixels = an
+# 18-deep md5 chain of its text, 72 bytes per frame) plus a variant
+# whose FIRST frame takes the image tier's one-pixel re-encode
+# perturbation (<=1 dHash bit) — frames 1-3 identical, so the pair
+# matches on >= 4 frame pairs, far past the min_matching_frames=2
+# gate. The oracle re-derives every planted frame hash with the image
+# entry's pixel-comparison arithmetic and mirrors the frame-pair
+# count exactly.
+
+_VID_PLANT_EVERY = 20
+_VID_ORIG_OFFSET = 50_000_000
+_VID_VAR_OFFSET = 60_000_000
+_VID_FRAMES = 4
+_VID_CHAIN_DEPTH = 18  # 18 md5s = 288 bytes = 4 frames x 72
+_VID_MIN_MATCH = 2
+
+
+def _render_tvid_gen(perturb: bool, offset: int):
+    """(doc_id, hx) Arrow batches -> (doc_id + offset, 4-frame 9x8
+    TVID clip; frame f = chain bytes [72f, 72f+72)). The variant tier
+    sets frame 0's pixel 0 := pixel 1 (flips at most dHash bit 0 of
+    that one frame)."""
+    def gen(batches):
+        import pandas as pd
+
+        from torua_spark.operators.codecs import encode_tvid
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                raw = bytes.fromhex(h)[: 72 * _VID_FRAMES]
+                frames = [
+                    bytearray(raw[72 * f: 72 * f + 72])
+                    for f in range(_VID_FRAMES)
+                ]
+                if perturb:
+                    frames[0][0] = frames[0][1]
+                payloads.append(
+                    encode_tvid(9, 8, [bytes(f) for f in frames])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def video_media_with_plants(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) media relation for the video-dedup entry:
+    corpus payloads (fake tier, one pseudo-frame each) plus, per 20th
+    doc, a planted 4-frame TVID clip and its one-pixel variant."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    guarded_id = F.when(
+        F.col("doc_id") < _VID_ORIG_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("video_media_with_plants: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant offset {_VID_ORIG_OFFSET}; planted "
+                    f"rows would collide with real ids — raise the "
+                    f"offsets for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
+    seeds = docs.filter(F.col("doc_id") % _VID_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain(
+            F.coalesce(F.col("text"), F.lit("")), _VID_CHAIN_DEPTH
+        ).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    orig = seeds.mapInPandas(
+        _render_tvid_gen(False, _VID_ORIG_OFFSET), out_schema
+    )
+    variant = seeds.mapInPandas(
+        _render_tvid_gen(True, _VID_VAR_OFFSET), out_schema
+    )
+    return media.unionByName(orig).unionByName(variant)
+
+
+def _q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 video content dedup (r13): per-frame dHash over the TVID
+    decode + the banded Hamming join on frame hashes + the
+    min-matching-frames clip verify. Reference hook: README.md:209-212
+    multi-modal relationships; completes the text/image/audio/video
+    media story (VERDICT r12 missing #2)."""
+    from torua_spark.operators import multimodal as mm
+
+    frames = mm.video_frame_hashes(
+        video_media_with_plants(_docs(spark, sf_dir))
+    )
+    return mm.video_neardup_pairs(
+        frames, max_hamming=3, min_matching_frames=_VID_MIN_MATCH
+    )
+
+
+def _video_fp_oracle_sql() -> str:
+    """Mirrors the query tier-for-tier: fake clips are one md5-band
+    pseudo-frame; planted frame hashes re-derived with the image
+    oracle's pixel-comparison arithmetic per 72-byte chain slice
+    (variant = frame 0 under the one-pixel perturbation, frames 1-3
+    shared); same banded blocking over (clip, frame), same synthetic
+    frame-id ordering, same count >= min_matching_frames gate."""
+    hx = _md5_chain_sql(_VID_CHAIN_DEPTH)
+    ham = ("bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
+           "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id AS clip, 0 AS fidx,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, {72 * _VID_FRAMES}),
+                   i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_VID_PLANT_EVERY} = 0)
+    ),
+    pframes AS (
+        SELECT doc_id + {_VID_ORIG_OFFSET} AS clip, f.fidx,
+               px[72 * f.fidx + 1: 72 * f.fidx + 72] AS fpx
+        FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
+        UNION ALL
+        SELECT doc_id + {_VID_VAR_OFFSET} AS clip, f.fidx,
+               CASE WHEN f.fidx = 0
+                    THEN list_concat([px[2]],
+                                     px[2:72])
+                    ELSE px[72 * f.fidx + 1: 72 * f.fidx + 72]
+               END AS fpx
+        FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
+    ),
+    pbits AS (
+        SELECT clip, fidx,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN fpx[(i // 8) * 9 + (i % 8) + 2]
+                      > fpx[(i // 8) * 9 + (i % 8) + 1]
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pframes
+    ),
+    pbands AS (
+        SELECT clip, fidx,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    allf AS (
+        SELECT * FROM fake UNION ALL SELECT * FROM pbands
+    ),
+    bands AS (
+        SELECT clip, fidx, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allf, (VALUES (0), (1), (2), (3)) AS parts(part)
+    ),
+    fp AS (
+        SELECT DISTINCT a.clip AS ca, a.fidx AS fa,
+                        b.clip AS cb, b.fidx AS fb
+        FROM bands a
+        JOIN bands b ON a.part = b.part AND a.key = b.key
+                    AND (a.clip * 65536 + a.fidx)
+                      < (b.clip * 65536 + b.fidx)
+        WHERE {ham} <= 3
+    )
+    SELECT ca AS doc_a, cb AS doc_b,
+           count(*)::BIGINT AS n_matching_frames
+    FROM fp WHERE ca != cb
+    GROUP BY 1, 2
+    HAVING count(*) >= {_VID_MIN_MATCH}
+    """
+
+
+QUERIES["dedup_video_fingerprint"] = _q_video_fingerprint
+ORACLE["dedup_video_fingerprint"] = _video_fp_oracle_sql()
 
 
 # --- BPE-denominated stats family (r12, VERDICT r11 #8 stretch) -------------

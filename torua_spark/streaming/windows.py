@@ -20,6 +20,23 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+def _mkdtemp_for_session(prefix: str) -> str:
+    """mkdtemp + atexit removal (r13, ADVICE r12): the memoized index
+    trees are keyed by (applicationId, sf_dir) and
+    evict_stale_app_entries removes trees of RESTARTED apps, but the
+    live app's trees previously outlived the process — a long-running
+    host accumulated one orphaned parquet tree per (app, sf) forever.
+    atexit is idempotent-safe here: eviction may already have removed
+    the tree (ignore_errors)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -529,8 +546,6 @@ _STREAM_KNN_INDEX: dict[tuple[str, str], str] = {}
 
 
 def _stream_knn_index(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
     from torua_spark.operators import similarity as sim
     from torua_spark.sources.io import evict_stale_app_entries
 
@@ -540,7 +555,7 @@ def _stream_knn_index(spark: SparkSession, sf_dir: str) -> str:
     path = _STREAM_KNN_INDEX.get(key)
     if path is None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        base = tempfile.mkdtemp(prefix="torua_stream_knn_")
+        base = _mkdtemp_for_session("torua_stream_knn_")
         path = f"{base}/ivf"
         sim.ivf_index_write(emb, path)
         _STREAM_KNN_INDEX[key] = path
@@ -619,8 +634,6 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row, so it reuses that entry's arithmetic oracle —
     blocking, tiering, and the planted-PGM real-decode path all
     driver-proven through the streaming shape."""
-    import tempfile
-
     from torua_spark.operators import multimodal as mm
     from torua_spark.queries.rag_q import image_media_with_plants
 
@@ -632,7 +645,7 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _STREAM_IMG_INDEX.get(key)
     if path is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        base = tempfile.mkdtemp(prefix="torua_stream_img_")
+        base = _mkdtemp_for_session("torua_stream_img_")
         path = f"{base}/hashes"
         mm.image_dhash(image_media_with_plants(docs)).write.parquet(path)
         _STREAM_IMG_INDEX[key] = path
@@ -686,8 +699,6 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it reuses that entry's arithmetic (planted-WAV + fake-tier)
     oracle — the real signal decode, blocking, and verify all
     driver-proven through the streaming shape."""
-    import tempfile
-
     from torua_spark.operators import multimodal as mm
     from torua_spark.queries.rag_q import audio_media_with_plants
 
@@ -699,7 +710,7 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _STREAM_AUD_INDEX.get(key)
     if path is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        base = tempfile.mkdtemp(prefix="torua_stream_aud_")
+        base = _mkdtemp_for_session("torua_stream_aud_")
         path = f"{base}/hashes"
         mm.audio_fingerprint(audio_media_with_plants(docs)).write.parquet(
             path
