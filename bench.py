@@ -88,8 +88,8 @@ def main() -> None:
     # line, same key as before.
     memoized = [
         "streaming_knn", "streaming_image_dedup", "streaming_audio_dedup",
-        "vector_index_append", "dedup_incremental_substring",
-        "streaming_lake_cdc",
+        "streaming_video_dedup", "vector_index_append",
+        "dedup_incremental_substring", "streaming_lake_cdc",
     ]
     # BENCH_RUNS=1 is the A/B cold-plan mode: skip the memoized
     # warm-up too (ADVICE r12) so those entries are measured genuinely

@@ -420,3 +420,28 @@ def test_streaming_audio_dedup_equals_batch(spark, sf_dir):
     )
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_video_dedup_equals_batch(spark, sf_dir):
+    """r13 video streaming twin: every doc (clip) streams exactly once
+    against a persisted frame-hash index of the full media relation;
+    the ordered join's left-side-smaller filter is exactly "emit when
+    the smaller CLIP streams" (clip id occupies the synthetic frame
+    id's high bits), and a pair's full frame-match count is available
+    in that one batch, so the min-matching-frames gate holds per
+    emission with no cross-batch state. The drained union equals the
+    batch dedup_video_fingerprint pass row-for-row."""
+    from torua_spark.queries import rag_q
+    from torua_spark.streaming.windows import streaming_video_dedup
+
+    streamed = sorted(
+        map(tuple, streaming_video_dedup(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            rag_q.QUERIES["dedup_video_fingerprint"](spark, sf_dir).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(batch) > 0

@@ -1144,7 +1144,22 @@ def video_neardup_pairs(frame_hashes: DataFrame,
     pairs are dropped; synthetic-id ordering (doc_a < doc_b) makes
     clip ordering automatic. One extra groupBy shuffle on the pair
     relation — which is candidate-sized, not corpus-sized."""
-    synth = frame_hashes.select(
+    fpairs = image_neardup_pairs(
+        video_frame_synth_ids(frame_hashes), max_hamming
+    )
+    out = clip_pairs_from_frame_pairs(fpairs, min_matching_frames)
+    out._torua_caches = getattr(fpairs, "_torua_caches", ())
+    return out
+
+
+def video_frame_synth_ids(frame_hashes: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, b0..b3) -> the synthetic-id relation the
+    banded join consumes (doc_id << 16 | frame_idx, loud guard).
+    Because the clip id occupies the high bits, synthetic-id ordering
+    EQUALS clip ordering for cross-clip pairs — the property both the
+    self-join dedup form and the streaming probe's
+    emit-when-smaller-clip-streams contract rest on."""
+    return frame_hashes.select(
         (
             F.col("doc_id") * F.lit(1 << _VIDEO_FRAME_ID_BITS)
             + F.when(
@@ -1161,9 +1176,14 @@ def video_neardup_pairs(frame_hashes: DataFrame,
         ).alias("doc_id"),
         "b0", "b1", "b2", "b3",
     )
-    fpairs = image_neardup_pairs(synth, max_hamming)
+
+
+def clip_pairs_from_frame_pairs(fpairs: DataFrame,
+                                min_matching_frames: int) -> DataFrame:
+    """Frame-pair relation (synthetic ids) -> clip-pair counts:
+    decompose, drop same-clip pairs, count, gate."""
     clip = lambda c: F.shiftright(F.col(c), _VIDEO_FRAME_ID_BITS)  # noqa: E731
-    out = (
+    return (
         fpairs.select(
             clip("doc_a").alias("doc_a"), clip("doc_b").alias("doc_b")
         )
@@ -1172,5 +1192,3 @@ def video_neardup_pairs(frame_hashes: DataFrame,
         .agg(F.count(F.lit(1)).cast("long").alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
-    out._torua_caches = getattr(fpairs, "_torua_caches", ())
-    return out

@@ -283,7 +283,18 @@ _DECLARED = [
     # in-window witnesses, and the EXISTS form stays pytest-oracled
     # forever).
     "dedup_video_fingerprint",
-    "graph_comma_conjunction",
+    # Round-13 NEW streaming twin (landing-round proof): video-content
+    # dedup as an index-probed stream — each micro-batch frame-hashes
+    # its media rows and probes the persisted frame-hash index; the
+    # ordered join's left-side-smaller filter IS "emit when the
+    # smaller clip streams" (clip id in the synthetic id's high bits),
+    # and a pair's full frame-match count lands in that one batch, so
+    # the min-matching-frames gate needs no cross-batch state. The
+    # drained union equals the batch dedup_video_fingerprint pass and
+    # reuses its arithmetic oracle. In for graph_comma_conjunction
+    # (driver-green r8-r12; B1 keeps SEVEN other in-window witnesses,
+    # and the comma-conjunction form stays pytest-oracled forever).
+    "streaming_video_dedup",
     # ORDER BY + LIMIT routed end-to-end through the pattern compiler
     # (round 6; rotated in for text_feature_hashing, r5-green).
     "graph_pattern_topk",

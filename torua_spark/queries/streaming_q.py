@@ -357,3 +357,18 @@ QUERIES["streaming_audio_dedup"] = streaming_audio_dedup
 # the batch dedup_audio_fingerprint pass and reuses its arithmetic
 # (planted-WAV + md5 fake tier) oracle.
 ORACLE["streaming_audio_dedup"] = _rag_q.ORACLE["dedup_audio_fingerprint"]
+
+
+from torua_spark.streaming.windows import streaming_video_dedup  # noqa: E402
+
+QUERIES["streaming_video_dedup"] = streaming_video_dedup
+
+# Drained-union-equals-batch (r13): every doc streams once against a
+# frame-hash index of the full media relation; the ordered join's
+# left-side-smaller filter is "emit when the smaller CLIP streams"
+# (clip id occupies the synthetic frame id's high bits), and the full
+# frame-match count for a pair is available in that one batch, so the
+# min-matching-frames gate is exact per emission. The stream equals
+# the batch dedup_video_fingerprint pass and reuses its arithmetic
+# (planted-TVID + md5 fake tier) oracle.
+ORACLE["streaming_video_dedup"] = _rag_q.ORACLE["dedup_video_fingerprint"]

@@ -744,3 +744,82 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return local_df(spark, [], "doc_a long, doc_b long, dist int")
     return out
+
+
+# Session-scoped persisted video frame-hash index, same memo contract
+# as _STREAM_AUD_INDEX (pure function of the corpus, built once).
+_STREAM_VID_INDEX: dict[tuple[str, str], str] = {}
+
+
+def streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VIDEO-content near-dup against a persisted frame-hash
+    index (r13 — completes batch+streaming duality for all four
+    modalities; the video twin of `streaming_audio_dedup`): the corpus
+    media relation (payloads + the planted TVID clips of the batch
+    entry) is frame-hashed ONCE into an index; documents arrive as a
+    file stream, each micro-batch frame-hashes its own media rows and
+    probes the index through the banded join at FRAME granularity,
+    then aggregates frame pairs to clip pairs with the
+    min-matching-frames gate.
+
+    Exactly-once emission: a clip's frames all arrive in its one
+    micro-batch, the index holds the full corpus, and the ordered
+    join keeps only pairs whose LEFT (streamed) synthetic id is
+    smaller — and because the clip id occupies the synthetic id's
+    high bits, that is precisely "emit when the smaller CLIP streams",
+    with the pair's FULL frame-match count available in that batch
+    (so the gate is exact per emission, no cross-batch state). The
+    drained union therefore equals the batch `dedup_video_fingerprint`
+    pass row-for-row and reuses its arithmetic oracle."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import (
+        _VID_MIN_MATCH,
+        video_media_with_plants,
+    )
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_STREAM_VID_INDEX, app)
+    key = (app, sf_dir)
+    path = _STREAM_VID_INDEX.get(key)
+    if path is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = _mkdtemp_for_session("torua_stream_vid_")
+        path = f"{base}/frame_hashes"
+        mm.video_frame_synth_ids(
+            mm.video_frame_hashes(video_media_with_plants(docs))
+        ).write.parquet(path)
+        _STREAM_VID_INDEX[key] = path
+    index = spark.read.parquet(path)
+
+    stream = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hits: list[DataFrame] = []
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        bh = mm.video_frame_synth_ids(
+            mm.video_frame_hashes(video_media_with_plants(batch_df))
+        )
+        fpairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        clips = mm.clip_pairs_from_frame_pairs(fpairs, _VID_MIN_MATCH)
+        hits.append(clips.localCheckpoint(eager=True))
+
+    q = stream.writeStream.foreachBatch(_probe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(
+            spark, [], "doc_a long, doc_b long, n_matching_frames long"
+        )
+    return out
