@@ -1308,3 +1308,287 @@ def test_spectral_fingerprint_matches_python_reference_16bit(spark):
     ]
     want = [sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)]
     assert [row["b0"], row["b1"], row["b2"], row["b3"]] == want
+
+
+class TestSpectralProperties:
+    """Hypothesis pins for the spectral tier's invariance claims —
+    the structural properties the banded scheme's recall story rests
+    on, over adversarial signals (not just the planted fixtures)."""
+
+    def test_pad_and_gain_invariance_property(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from torua_spark.operators import multimodal as mm
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            sig=st.lists(
+                st.integers(min_value=-3000, max_value=3000),
+                min_size=0, max_size=400,
+            ),
+            lead=st.integers(min_value=0, max_value=50),
+            tail=st.integers(min_value=0, max_value=50),
+            gain=st.sampled_from([2, 3, 5]),
+        )
+        def run(sig, lead, tail, gain):
+            a = np.array(sig, dtype=np.int64)
+            base = mm._audio_spectral_bands_from_amps(a)
+            padded = np.concatenate([
+                np.zeros(lead, dtype=np.int64), a,
+                np.zeros(tail, dtype=np.int64),
+            ])
+            assert mm._audio_spectral_bands_from_amps(padded) == base
+            assert mm._audio_spectral_bands_from_amps(a * gain) == base
+
+        run()
+
+
+def test_video_synth_id_roundtrip_property(spark):
+    """The synthetic frame id (clip << 16 | frame) decomposes back to
+    exactly the (clip, frame) pairs that went in, across the frame_idx
+    boundary values the guard admits."""
+    from pyspark.sql import functions as F
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.local import local_df
+
+    rows = [
+        (c, f, 1, 2, 3, 4, True)
+        for c in (0, 1, 7, 49_999, 60_000_000)
+        for f in (0, 1, 65535)
+    ]
+    df = local_df(
+        spark, rows,
+        "doc_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int, "
+        "is_real boolean",
+    )
+    synth = mm.video_frame_synth_ids(df)
+    back = synth.select(
+        F.shiftright("doc_id", 16).alias("clip"),
+        (F.col("doc_id") - F.shiftleft(F.shiftright("doc_id", 16), 16))
+        .cast("int").alias("frame"),
+    )
+    got = sorted((r["clip"], r["frame"]) for r in back.collect())
+    assert got == sorted((c, f) for c, f, *_ in rows)
+
+
+class TestGifPixelCodec:
+    """r13 GIF pixel decode (the video tier's REAL public container):
+    full variable-width LZW per the GIF89a spec, interlace, palette
+    gray conversion, and the minimal fixture writer."""
+
+    def test_roundtrip_own_encoder(self):
+        import hashlib
+
+        from torua_spark.operators.codecs import (
+            decode_gif_frames,
+            encode_gif,
+        )
+
+        frames = [
+            bytes((hashlib.md5(b"f%d" % i).digest() * 5)[:72])
+            for i in range(3)
+        ]
+        dec = decode_gif_frames(encode_gif(9, 8, frames))
+        assert [(i, 9, 8) for i in range(3)] == [d[:3] for d in dec]
+        assert [d[3] for d in dec] == frames  # gray palette: index==gray
+
+    def test_decode_survives_real_lzw_compression(self):
+        """The decoder's table-growth and width-change paths, which
+        the fixture writer's fixed-width stream never exercises: a
+        REAL GIF-LZW compressor (implemented here per the spec) over
+        compressible and random data round-trips through the
+        decoder."""
+        import hashlib
+        import struct
+
+        from torua_spark.operators.codecs import decode_gif_frames
+
+        def lzw_compress(mcs, data):
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            codes = []
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            nxt = end + 1
+            codes.append(clear)
+            w = b""
+            for ch in data:
+                wc = w + bytes([ch])
+                if wc in table:
+                    w = wc
+                else:
+                    codes.append(table[w])
+                    table[wc] = nxt
+                    nxt += 1
+                    if nxt >= 4096:
+                        codes.append(clear)
+                        table = {bytes([i]): i for i in range(1 << mcs)}
+                        nxt = end + 1
+                    w = bytes([ch])
+            if w:
+                codes.append(table[w])
+            codes.append(end)
+            # variable-width LSB-first packing mirroring the decoder's
+            # width schedule (width bumps AFTER table size reaches
+            # 2^width; the encoder's nxt tracks the decoder's table)
+            out = bytearray()
+            acc = nbits = 0
+            width = mcs + 1
+            size = end + 1
+            first = True  # first code after a clear adds no entry
+            for c in codes:
+                acc |= c << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+                if c == clear:
+                    width, size, first = mcs + 1, end + 1, True
+                elif c != end:
+                    if first:
+                        first = False
+                    else:
+                        size += 1
+                        if size == (1 << width) and width < 12:
+                            width += 1
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        w, h = 40, 30
+        for seed, kind in ((b"compressible", "runs"), (b"rand", "rand")):
+            if kind == "runs":
+                px = bytes(
+                    (i // 37) % 256 for i in range(w * h)
+                )  # long runs -> deep LZW table
+            else:
+                px = bytes(
+                    (hashlib.md5(seed + bytes([k])).digest() * 80)[: w * h]
+                    [j] for k in range(1) for j in range(w * h)
+                )
+            payload = bytearray(b"GIF89a")
+            payload += struct.pack("<HH", w, h)
+            payload += bytes([0x87, 0, 0])
+            payload += bytes(v for i in range(256) for v in (i, i, i))
+            payload += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            payload += bytes([8])
+            data = lzw_compress(8, px)
+            for j in range(0, len(data), 255):
+                chunk = data[j: j + 255]
+                payload += bytes([len(chunk)]) + chunk
+            payload += b"\x00\x3B"
+            dec = decode_gif_frames(bytes(payload))
+            assert dec is not None and dec[0][3] == px, kind
+
+    def test_interlaced_frame_deinterlaces(self):
+        """An interlace-flagged frame (rows stored in the 4-pass
+        order) decodes back to natural row order."""
+        import struct
+
+        from torua_spark.operators.codecs import decode_gif_frames
+
+        w, h = 9, 8
+        natural = bytes(range(w * h))
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stored = b"".join(natural[r * w: (r + 1) * w] for r in order)
+        payload = bytearray(b"GIF89a")
+        payload += struct.pack("<HH", w, h)
+        payload += bytes([0x87, 0, 0])
+        payload += bytes(v for i in range(256) for v in (i, i, i))
+        payload += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+        payload += bytes([0x40])  # interlace flag
+        payload += bytes([8])
+        bits = bytearray()
+        acc = nbits = 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(256)
+        for k, p in enumerate(stored):
+            if k and k % 250 == 0:
+                emit(256)
+            emit(p)
+        emit(257)
+        if nbits:
+            bits.append(acc & 0xFF)
+        for j in range(0, len(bits), 255):
+            chunk = bits[j: j + 255]
+            payload += bytes([len(chunk)]) + chunk
+        payload += b"\x00\x3B"
+        dec = decode_gif_frames(bytes(payload))
+        assert dec is not None and dec[0][3] == natural
+
+    def test_rejects_malformed(self):
+        from torua_spark.operators.codecs import (
+            decode_gif_frames,
+            encode_gif,
+        )
+
+        g = encode_gif(9, 8, [bytes(72)])
+        assert decode_gif_frames(b"GIF89a") is None
+        assert decode_gif_frames(g[:-10]) is None  # truncated LZW
+        assert decode_gif_frames(b"not a gif") is None
+
+
+def test_video_cross_container_dedup_tvid_vs_gif(spark):
+    """r13 cross-CONTAINER collision: the SAME four frames encoded as
+    a TVID clip and as an animated GIF (byte-different payloads, real
+    LZW decode on the GIF side) produce identical per-frame dHashes
+    and therefore a full-strength clip pair — the capability a media
+    pipeline actually needs from a video tier (re-encodes are the
+    common duplicate class)."""
+    import hashlib
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.operators.codecs import encode_gif, encode_tvid
+    from torua_spark.sources.local import local_df
+
+    frames = [
+        bytes((hashlib.md5(b"xc%d" % f).digest() * 5)[:72])
+        for f in range(4)
+    ]
+    media = local_df(
+        spark,
+        [(1, encode_tvid(9, 8, frames)), (2, encode_gif(9, 8, frames))],
+        "doc_id long, payload binary",
+    )
+    out = mm.video_neardup_pairs(
+        mm.video_frame_hashes(media), max_hamming=0,
+        min_matching_frames=4,
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_matching_frames"])
+            for r in out] == [(1, 2, 4)]
+
+
+def test_gif_decoder_never_raises_on_adversarial_bytes():
+    """Robustness fuzz: decode_gif_frames on arbitrary byte soup —
+    including GIF-magic-prefixed garbage — returns None or valid
+    frames, never raises (a codec that throws inside an Arrow worker
+    fails the whole task; the tier contract is decode-or-fake)."""
+    from hypothesis import given, settings, strategies as st
+
+    from torua_spark.operators.codecs import decode_gif_frames
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        body=st.binary(min_size=0, max_size=300),
+        prefix=st.sampled_from([b"", b"GIF89a", b"GIF87a"]),
+    )
+    def run(body, prefix):
+        out = decode_gif_frames(prefix + body)
+        if out is not None:
+            for idx, w, h, gray in out:
+                assert len(gray) == w * h
+
+    run()

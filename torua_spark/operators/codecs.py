@@ -347,3 +347,197 @@ def encode_tvid(w: int, h: int, frames: list[bytes]) -> bytes:
         + struct.pack("<HHH", len(frames), w, h)
         + b"".join(frames)
     )
+
+
+# --- GIF pixel decode (r13): full LZW decode of GIF87a/89a image
+# data — the video tier's REAL public container (iter_gif_frames above
+# demuxes frame SPANS for sampling; this decodes the pixels of the
+# frames a sampler kept). Pure stdlib, per the codec tier's rules.
+# Implemented from the public GIF89a specification (CompuServe 1990):
+# variable-width LZW (initial width = min-code-size + 1, cap 12 bits,
+# LSB-first bit packing), clear/end codes, optional interlace
+# (four-pass row order), global/local color tables.
+#
+# Scope note (documented simplification): each frame is decoded as
+# ITS OWN image over its descriptor rect — no canvas composition /
+# disposal-method replay, no transparency handling. For content
+# fingerprinting that is the right denomination (a frame's drawn
+# content identifies it; composition is presentation state).
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytes | None:
+    """GIF-variant LZW: returns exactly n_pixels index bytes, or None
+    on a malformed stream."""
+    if not 2 <= mcs <= 11:
+        return None
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    # table: code -> bytes; rebuilt on clear
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return None
+
+
+def _gif_deinterlace(px: bytes, w: int, h: int) -> bytes:
+    """Undo the GIF 4-pass interlace row order."""
+    rows = [px[r * w: (r + 1) * w] for r in range(h)]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    out = [b""] * h
+    for src, dst in enumerate(order):
+        out[dst] = rows[src]
+    return b"".join(out)
+
+
+def decode_gif_frames(b: bytes):
+    """Full pixel decode: list of (frame_idx, width, height,
+    grayscale_bytes) per frame — palette RGB averaged to gray exactly
+    like the PPM path — or None if the payload is not a decodable
+    GIF. Frames are decoded over their own descriptor rect (see the
+    scope note above)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    i = 10
+    packed = b[i]
+    i += 3
+    global_tab = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        global_tab = b[i: i + 3 * n]
+        i += 3 * n
+    frames = []
+    try:
+        while i < len(b):
+            block = b[i]
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                i = _skip_sub_blocks(b, i + 2)
+            elif block == 0x2C:
+                _left, _top, w, h = struct.unpack("<HHHH", b[i + 1: i + 9])
+                lpacked = b[i + 9]
+                i += 10
+                tab = global_tab
+                if lpacked & 0x80:
+                    n = 2 ** ((lpacked & 0x07) + 1)
+                    tab = b[i: i + 3 * n]
+                    i += 3 * n
+                if tab is None or w == 0 or h == 0:
+                    return None
+                mcs = b[i]
+                i += 1
+                start = i
+                i = _skip_sub_blocks(b, i)
+                data = bytearray()
+                j = start
+                while j < i:
+                    n = b[j]
+                    j += 1
+                    data += b[j: j + n]
+                    j += n
+                px = _gif_lzw_decode(mcs, bytes(data), w * h)
+                if px is None:
+                    return None
+                if lpacked & 0x40:
+                    px = _gif_deinterlace(px, w, h)
+                n_colors = len(tab) // 3
+                gray = bytes(
+                    (tab[3 * min(p, n_colors - 1)]
+                     + tab[3 * min(p, n_colors - 1) + 1]
+                     + tab[3 * min(p, n_colors - 1) + 2]) // 3
+                    for p in px
+                )
+                frames.append((len(frames), int(w), int(h), gray))
+            else:
+                return None
+    except (ValueError, IndexError, struct.error):
+        return None
+    return frames or None
+
+
+def encode_gif(w: int, h: int, frames: list[bytes]) -> bytes:
+    """Minimal animated-GIF89a writer (the fixture-side twin of
+    ``decode_gif_frames``): 256-entry grayscale palette (palette[i] =
+    (i,i,i), so index bytes ARE gray bytes), one full-frame image per
+    input frame, LZW emitted as literal codes with a clear code every
+    250 literals (the standard fixed-width 9-bit 'uncompressed GIF'
+    encoding — decoder-table growth never reaches a width change)."""
+    for f in frames:
+        if len(f) != w * h:
+            raise ValueError(
+                f"encode_gif: frame has {len(f)} bytes, expected {w * h}"
+            )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
+    out += palette
+    for f in frames:
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])  # LZW minimum code size
+        # 9-bit codes LSB-first: CLEAR, then literals with periodic CLEAR
+        bits = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(256)  # clear
+        for k, p in enumerate(f):
+            if k and k % 250 == 0:
+                emit(256)
+            emit(p)
+        emit(257)  # end
+        if nbits:
+            bits.append(acc & 0xFF)
+        for j in range(0, len(bits), 255):
+            chunk = bits[j: j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

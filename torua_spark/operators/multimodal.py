@@ -1083,36 +1083,47 @@ _VIDEO_FRAME_ID_BITS = 16  # synthetic frame id = doc_id << 16 | frame_idx
 
 def _video_frame_hash_batch(batches: Iterable[pd.DataFrame]
                             ) -> Iterator[pd.DataFrame]:
-    """REAL tier: TVID payloads decode to per-frame grayscale and each
-    frame takes the shared dHash engine (_dhash_bands_from_gray —
-    resize_nearest to 9x8 handles any frame geometry). FAKE tier:
-    non-video payloads become ONE pseudo-frame (frame_idx 0) with the
-    documented md5 bands, keeping text-derived corpora deterministic
-    and oracle-reproducible."""
-    from torua_spark.operators.codecs import decode_tvid_header, iter_tvid_frames
+    """REAL tiers: TVID payloads decode to per-frame grayscale; GIF
+    payloads (r13 — a genuinely public container) take the full LZW
+    pixel decode (codecs.decode_gif_frames) with palette-gray
+    conversion. Either way each frame takes the shared dHash engine
+    (_dhash_bands_from_gray — resize_nearest to 9x8 handles any frame
+    geometry), so the SAME content in different containers collides:
+    cross-container dedup is the tier's point. FAKE tier: non-video
+    payloads become ONE pseudo-frame (frame_idx 0) with the documented
+    md5 bands, keeping text-derived corpora deterministic and
+    oracle-reproducible."""
+    from torua_spark.operators.codecs import (
+        decode_gif_frames,
+        decode_tvid_header,
+        iter_tvid_frames,
+    )
 
     for pdf in batches:
         rows = {"doc_id": [], "frame_idx": [], "b0": [], "b1": [],
                 "b2": [], "b3": [], "is_real": []}
+
+        def put(did, idx, bands, real):
+            rows["doc_id"].append(did)
+            rows["frame_idx"].append(idx)
+            rows["is_real"].append(real)
+            for j in range(DHASH_BANDS):
+                rows[f"b{j}"].append(bands[j])
+
         for did, p in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(p) if p is not None else b""
             hdr = decode_tvid_header(b)
             if hdr is not None:
                 _n, w, h = hdr
                 for idx, gray in iter_tvid_frames(b):
-                    bands = _dhash_bands_from_gray(gray, w, h)
-                    rows["doc_id"].append(did)
-                    rows["frame_idx"].append(idx)
-                    rows["is_real"].append(True)
-                    for j in range(DHASH_BANDS):
-                        rows[f"b{j}"].append(bands[j])
-            else:
-                bands = _md5_fake_bands(b)
-                rows["doc_id"].append(did)
-                rows["frame_idx"].append(0)
-                rows["is_real"].append(False)
-                for j in range(DHASH_BANDS):
-                    rows[f"b{j}"].append(bands[j])
+                    put(did, idx, _dhash_bands_from_gray(gray, w, h), True)
+                continue
+            gif = decode_gif_frames(b)
+            if gif is not None:
+                for idx, w, h, gray in gif:
+                    put(did, idx, _dhash_bands_from_gray(gray, w, h), True)
+                continue
+            put(did, 0, _md5_fake_bands(b), False)
         yield pd.DataFrame(rows)
 
 

@@ -2915,21 +2915,28 @@ ORACLE["dedup_audio_spectral"] = _audio_spectral_oracle_sql()
 _VID_PLANT_EVERY = 20
 _VID_ORIG_OFFSET = 50_000_000
 _VID_VAR_OFFSET = 60_000_000
+_VID_GIF_OFFSET = 70_000_000
 _VID_FRAMES = 4
 _VID_CHAIN_DEPTH = 18  # 18 md5s = 288 bytes = 4 frames x 72
 _VID_MIN_MATCH = 2
 
 
-def _render_tvid_gen(perturb: bool, offset: int):
+def _render_video_gen(perturb: bool, offset: int, container: str = "tvid"):
     """(doc_id, hx) Arrow batches -> (doc_id + offset, 4-frame 9x8
-    TVID clip; frame f = chain bytes [72f, 72f+72)). The variant tier
-    sets frame 0's pixel 0 := pixel 1 (flips at most dHash bit 0 of
-    that one frame)."""
+    clip; frame f = chain bytes [72f, 72f+72)). The variant tier sets
+    frame 0's pixel 0 := pixel 1 (flips at most dHash bit 0 of that
+    one frame). ``container`` selects TVID or GIF (r13: the SAME
+    frames re-encoded as an animated GIF — byte-different payload,
+    identical content — drive the cross-container collision proof
+    through the real LZW decode; the grayscale palette makes GIF
+    index bytes equal the gray bytes, so the planted dHashes are
+    container-independent by construction)."""
     def gen(batches):
         import pandas as pd
 
-        from torua_spark.operators.codecs import encode_tvid
+        from torua_spark.operators.codecs import encode_gif, encode_tvid
 
+        encode = encode_tvid if container == "tvid" else encode_gif
         for pdf in batches:
             payloads = []
             for h in pdf["hx"]:
@@ -2941,7 +2948,7 @@ def _render_tvid_gen(perturb: bool, offset: int):
                 if perturb:
                     frames[0][0] = frames[0][1]
                 payloads.append(
-                    encode_tvid(9, 8, [bytes(f) for f in frames])
+                    encode(9, 8, [bytes(f) for f in frames])
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
@@ -2953,7 +2960,9 @@ def _render_tvid_gen(perturb: bool, offset: int):
 def video_media_with_plants(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) media relation for the video-dedup entry:
     corpus payloads (fake tier, one pseudo-frame each) plus, per 20th
-    doc, a planted 4-frame TVID clip and its one-pixel variant."""
+    doc, a planted 4-frame TVID clip, its one-pixel variant, and
+    (r13) an animated-GIF RE-ENCODE of the same frames — the
+    cross-container duplicate the real LZW decode must collide."""
     from torua_spark.operators import multimodal as mm
     from torua_spark.sources.catalog import spread_small_scan
 
@@ -2983,12 +2992,16 @@ def video_media_with_plants(docs: DataFrame) -> DataFrame:
     )
     out_schema = "doc_id long, payload binary"
     orig = seeds.mapInPandas(
-        _render_tvid_gen(False, _VID_ORIG_OFFSET), out_schema
+        _render_video_gen(False, _VID_ORIG_OFFSET), out_schema
     )
     variant = seeds.mapInPandas(
-        _render_tvid_gen(True, _VID_VAR_OFFSET), out_schema
+        _render_video_gen(True, _VID_VAR_OFFSET), out_schema
     )
-    return media.unionByName(orig).unionByName(variant)
+    gif = seeds.mapInPandas(
+        _render_video_gen(False, _VID_GIF_OFFSET, container="gif"),
+        out_schema,
+    )
+    return media.unionByName(orig).unionByName(variant).unionByName(gif)
 
 
 def _q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3047,6 +3060,13 @@ def _video_fp_oracle_sql() -> str:
                                      px[2:72])
                     ELSE px[72 * f.fidx + 1: 72 * f.fidx + 72]
                END AS fpx
+        FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
+        UNION ALL
+        -- the GIF re-encode: byte-different container, SAME frames
+        -- (grayscale palette => index bytes == gray bytes), so its
+        -- dHashes are the original's by construction
+        SELECT doc_id + {_VID_GIF_OFFSET} AS clip, f.fidx,
+               px[72 * f.fidx + 1: 72 * f.fidx + 72] AS fpx
         FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
     ),
     pbits AS (
