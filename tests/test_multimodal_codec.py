@@ -1592,3 +1592,188 @@ def test_gif_decoder_never_raises_on_adversarial_bytes():
                 assert len(gray) == w * h
 
     run()
+
+
+class TestPngPixelCodec:
+    """r13 PNG pixel decode (the image tier's real public compressed
+    container): zlib inflate + all five scanline filters + the five
+    8-bit color types."""
+
+    def _encode_filtered(self, w, h, pixels, bpp, ctype, filters,
+                         palette=None):
+        """Independent test encoder: applies the REQUESTED filter per
+        row (exercising decode paths the fixture writer's filter-0
+        stream never touches)."""
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        stride = w * bpp
+        raw = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            line = pixels[r * stride: (r + 1) * stride]
+            f = filters[r % len(filters)]
+            enc = bytearray()
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    v = line[i]
+                elif f == 1:
+                    v = (line[i] - a) & 0xFF
+                elif f == 2:
+                    v = (line[i] - b_) & 0xFF
+                elif f == 3:
+                    v = (line[i] - (a + b_) // 2) & 0xFF
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pr = (a if pa <= pb and pa <= pc
+                          else (b_ if pb <= pc else c))
+                    v = (line[i] - pr) & 0xFF
+            # build the row
+                enc.append(v)
+            raw += bytes([f]) + enc
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette)
+        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += chunk(b"IEND", b"")
+        return out
+
+    def test_all_filters_gray(self):
+        import hashlib
+
+        from torua_spark.operators.codecs import decode_png
+
+        w, h = 9, 8
+        g = bytes((hashlib.md5(b"filters").digest() * 5)[: w * h])
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            p = self._encode_filtered(w, h, g, 1, 0, filters)
+            assert decode_png(p) == (w, h, g), filters
+
+    def test_color_types(self):
+        import hashlib
+
+        from torua_spark.operators.codecs import decode_png
+
+        w, h = 9, 8
+        g = bytes((hashlib.md5(b"ct").digest() * 5)[: w * h])
+        # RGB: each pixel (v, v, v) -> gray v
+        rgb = bytes(v for px in g for v in (px, px, px))
+        assert decode_png(
+            self._encode_filtered(w, h, rgb, 3, 2, [0, 4])
+        ) == (w, h, g)
+        # RGBA: alpha ignored
+        rgba = bytes(v for px in g for v in (px, px, px, 99))
+        assert decode_png(
+            self._encode_filtered(w, h, rgba, 4, 6, [2, 3])
+        ) == (w, h, g)
+        # gray+alpha
+        la = bytes(v for px in g for v in (px, 77))
+        assert decode_png(
+            self._encode_filtered(w, h, la, 2, 4, [1])
+        ) == (w, h, g)
+        # palette: entry i = (i, i, i)
+        pal = bytes(v for i in range(256) for v in (i, i, i))
+        assert decode_png(
+            self._encode_filtered(w, h, g, 1, 3, [0], palette=pal)
+        ) == (w, h, g)
+
+    def test_fixture_writer_roundtrip_and_rejection(self):
+        import hashlib
+
+        from torua_spark.operators.codecs import decode_png, encode_png
+
+        g = bytes((hashlib.md5(b"rt").digest() * 5)[:72])
+        assert decode_png(encode_png(9, 8, g)) == (9, 8, g)
+        assert decode_png(b"nope") is None
+        # 16-bit depth / interlace out of scope -> None, not raise
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        deep = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 16, 0, 0, 0, 0)))
+        assert decode_png(deep) is None
+
+    def test_never_raises_on_adversarial_bytes(self):
+        from hypothesis import given, settings, strategies as st
+
+        from torua_spark.operators.codecs import decode_png
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            body=st.binary(min_size=0, max_size=300),
+            prefix=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n"]),
+        )
+        def run(body, prefix):
+            out = decode_png(prefix + body)
+            if out is not None:
+                w, h, gray = out
+                assert len(gray) == w * h
+
+        run()
+
+
+def test_image_cross_format_dedup_pgm_png_gif(spark):
+    """r13 cross-FORMAT collision in the IMAGE tier: the same 9x8
+    pixels as binary PGM, PNG (zlib+unfilter real decode), and
+    single-frame GIF (LZW real decode) hash identically — every pair
+    at dist 0 through the banded join. The hash engine is
+    codec-independent by design; this pins it across the three real
+    decode paths."""
+    import hashlib
+
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.operators.codecs import (
+        encode_gif,
+        encode_pgm,
+        encode_png,
+    )
+    from torua_spark.sources.local import local_df
+
+    g = bytes((hashlib.md5(b"xfmt").digest() * 5)[:72])
+    media = local_df(
+        spark,
+        [(1, encode_pgm(9, 8, g)), (2, encode_png(9, 8, g)),
+         (3, encode_gif(9, 8, [g]))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.image_dhash(media).collect()}
+    assert all(rows[i]["is_real"] for i in (1, 2, 3))
+    assert len({(rows[i]["b0"], rows[i]["b1"], rows[i]["b2"],
+                 rows[i]["b3"]) for i in (1, 2, 3)}) == 1
+    pairs = mm.image_neardup_pairs(
+        mm.image_dhash(media), max_hamming=0
+    ).collect()
+    assert sorted((p["doc_a"], p["doc_b"], p["dist"]) for p in pairs) == [
+        (1, 2, 0), (1, 3, 0), (2, 3, 0)
+    ]
+
+
+def test_image_cross_format_registry_oracle_parity(spark, sf_dir):
+    """The declared dedup_image_cross_format entry hash-matches its
+    arithmetic oracle at sf0.001 — the driver's comparison."""
+    from tests.oracle import compare
+    from torua_spark.queries import rag_q
+
+    compare(
+        rag_q.QUERIES["dedup_image_cross_format"](spark, sf_dir),
+        rag_q.ORACLE["dedup_image_cross_format"],
+        sf_dir,
+    )

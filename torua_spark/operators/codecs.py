@@ -541,3 +541,146 @@ def encode_gif(w: int, h: int, frames: list[bytes]) -> bytes:
         out += b"\x00"
     out += b"\x3B"
     return bytes(out)
+
+
+# --- PNG pixel decode (r13): the image tier's second real PUBLIC
+# compressed container (after GIF for video). Pure stdlib — zlib IS
+# the PNG compression (RFC 1950/1951), the rest is the public PNG
+# spec (RFC 2083 / ISO 15948): chunked layout, per-scanline filter
+# bytes (None/Sub/Up/Average/Paeth), big-endian IHDR. Scope: 8-bit
+# depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+# 6 (RGBA), non-interlaced — the overwhelming majority of real PNGs;
+# everything else returns None and takes the metadata-only path.
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
+    """Undo per-scanline filters; bpp = bytes per pixel."""
+    stride = w * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        if pos + 1 + stride > len(raw):
+            return None
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def decode_png(b: bytes):
+    """(width, height, grayscale_bytes) for a decodable PNG — gray =
+    mean of RGB channels (the PPM/GIF convention; alpha ignored) — or
+    None. Full zlib inflate + scanline unfilter; see the scope note
+    above."""
+    import zlib
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        w, h = struct.unpack(">II", b[16:24])
+        depth, ctype, comp, filt, ilace = b[24:29]
+    except struct.error:
+        return None
+    if (depth != 8 or comp != 0 or filt != 0 or ilace != 0
+            or w == 0 or h == 0):
+        return None
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if bpp is None:
+        return None
+    idat = bytearray()
+    palette = None
+    i = 8
+    try:
+        while i + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[i: i + 4])
+            tag = b[i + 4: i + 8]
+            data = b[i + 8: i + 8 + ln]
+            if len(data) < ln:
+                return None
+            if tag == b"IDAT":
+                idat += data
+            elif tag == b"PLTE":
+                palette = data
+            elif tag == b"IEND":
+                break
+            i += 12 + ln  # len + tag + data + crc
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    px = _png_unfilter(raw, w, h, bpp)
+    if px is None:
+        return None
+    if ctype == 0:
+        gray = px
+    elif ctype == 4:
+        gray = px[0::2]
+    elif ctype == 2 or ctype == 6:
+        step = bpp
+        gray = bytes(
+            (px[j] + px[j + 1] + px[j + 2]) // 3
+            for j in range(0, len(px), step)
+        )
+    else:  # palette
+        if palette is None:
+            return None
+        n_colors = len(palette) // 3
+        gray = bytes(
+            (palette[3 * min(p, n_colors - 1)]
+             + palette[3 * min(p, n_colors - 1) + 1]
+             + palette[3 * min(p, n_colors - 1) + 2]) // 3
+            for p in px
+        )
+    return int(w), int(h), gray
+
+
+def encode_png(w: int, h: int, gray: bytes) -> bytes:
+    """Minimal grayscale-PNG writer (fixture-side twin of
+    ``decode_png``): color type 0, depth 8, filter 0 rows, one zlib
+    IDAT, CRC-correct chunks."""
+    import zlib
+
+    if len(gray) != w * h:
+        raise ValueError(
+            f"encode_png: {len(gray)} bytes, expected {w * h}"
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + gray[r * w: (r + 1) * w] for r in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

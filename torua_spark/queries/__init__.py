@@ -295,9 +295,18 @@ _DECLARED = [
     # (driver-green r8-r12; B1 keeps SEVEN other in-window witnesses,
     # and the comma-conjunction form stays pytest-oracled forever).
     "streaming_video_dedup",
-    # ORDER BY + LIMIT routed end-to-end through the pattern compiler
-    # (round 6; rotated in for text_feature_hashing, r5-green).
-    "graph_pattern_topk",
+    # Round-13 NEW operator (landing-round proof): image CROSS-FORMAT
+    # dedup — the same pixels planted as PGM, PNG (full zlib+unfilter
+    # decode), and single-frame GIF (full LZW decode) collide at dist
+    # 0 through three REAL decoders feeding the one codec-independent
+    # hash engine; re-encodes are the dominant duplicate class in a
+    # real image corpus. Own plant relation (offsets 80/90/100M) so
+    # the five oracles sharing image_media_with_plants stay untouched.
+    # In for graph_pattern_topk (driver-green r6-r12; B1 keeps
+    # graph_with_topk_rematch in-window, which routes the same ORDER
+    # BY + LIMIT machinery through a strictly larger clause chain —
+    # the topk form stays pytest-oracled forever).
+    "dedup_image_cross_format",
     # Round-7 feature proof: the edge-variable and WITH/HAVING clause
     # chains driver-proven the round they landed; recommend_items and
     # temporal_graph_evolution (driver-green r4-r6) rotate out,

@@ -3119,6 +3119,181 @@ QUERIES["dedup_video_fingerprint"] = _q_video_fingerprint
 ORACLE["dedup_video_fingerprint"] = _video_fp_oracle_sql()
 
 
+# --- image CROSS-FORMAT dedup (r13) ------------------------------------------
+# The image-tier twin of the video tier's cross-container proof: the
+# SAME 9x8 pixels planted as binary PGM, as PNG (full zlib+unfilter
+# decode), and as single-frame GIF (full LZW decode) must collide at
+# dist 0 — re-encodes are the dominant duplicate class in a real
+# image corpus, and the hash engine is codec-independent by design.
+# Own plant relation (offsets 80/90/100M) so the five oracles sharing
+# image_media_with_plants stay untouched.
+
+_XF_PLANT_EVERY = 20
+_XF_PGM_OFFSET = 80_000_000
+_XF_PNG_OFFSET = 90_000_000
+_XF_GIF_OFFSET = 100_000_000
+
+
+def _render_xf_gen(container: str, offset: int):
+    """(doc_id, hx) -> (doc_id + offset, the 72 chain bytes as a 9x8
+    image in the requested container)."""
+    def gen(batches):
+        import pandas as pd
+
+        from torua_spark.operators.codecs import (
+            encode_gif,
+            encode_pgm,
+            encode_png,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                g = bytes.fromhex(h)[:72]
+                if container == "pgm":
+                    payloads.append(encode_pgm(9, 8, g))
+                elif container == "png":
+                    payloads.append(encode_png(9, 8, g))
+                else:
+                    payloads.append(encode_gif(9, 8, [g]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def image_cross_format_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): corpus payloads (fake tier) plus, per 20th
+    doc, the same planted pixels in THREE containers."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    guarded_id = F.when(
+        F.col("doc_id") < _XF_PGM_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("image_cross_format_media: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant offset {_XF_PGM_OFFSET}; planted rows "
+                    f"would collide with real ids — raise the offsets "
+                    f"for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
+    seeds = docs.filter(F.col("doc_id") % _XF_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    out = media
+    for container, off in (("pgm", _XF_PGM_OFFSET),
+                           ("png", _XF_PNG_OFFSET),
+                           ("gif", _XF_GIF_OFFSET)):
+        out = out.unionByName(
+            seeds.mapInPandas(_render_xf_gen(container, off), out_schema)
+        )
+    return out
+
+
+def _q_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 image cross-format dedup (r13): the same pixels re-encoded
+    as PGM / PNG / GIF collide at dist 0 through three REAL decode
+    paths (raw, zlib+unfilter, LZW) feeding the one codec-independent
+    hash engine. max_hamming=0 — the exact-content re-encode class."""
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.image_dhash(
+        image_cross_format_media(_docs(spark, sf_dir))
+    )
+    return mm.image_neardup_pairs(hashed, max_hamming=0)
+
+
+def _image_cross_format_oracle_sql() -> str:
+    """Fake bands from md5(text); ONE planted dHash derivation (the
+    image oracle's pixel-comparison arithmetic) replicated at the
+    three container offsets — the containers are content-identical BY
+    CONSTRUCTION (PGM raw bytes; PNG gray type-0 with index==gray;
+    GIF grayscale palette with index==gray), which is exactly the
+    claim the Spark side must reproduce through three real decoders."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(4):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    hx = " || ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, 72),
+                   i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_XF_PLANT_EVERY} = 0)
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN px[(i // 8) * 9 + (i % 8) + 2]
+                      > px[(i // 8) * 9 + (i % 8) + 1]
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pix
+    ),
+    pone AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    pbands AS (
+        SELECT doc_id + {_XF_PGM_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
+        UNION ALL
+        SELECT doc_id + {_XF_PNG_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
+        UNION ALL
+        SELECT doc_id + {_XF_GIF_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
+    ),
+    allh AS (SELECT * FROM fake UNION ALL SELECT * FROM pbands),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allh, (VALUES (0), (1), (2), (3)) AS parts(part)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(0 AS INT) AS dist
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    WHERE a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+    """
+
+
+QUERIES["dedup_image_cross_format"] = _q_image_cross_format
+ORACLE["dedup_image_cross_format"] = _image_cross_format_oracle_sql()
+
+
 # --- BPE-denominated stats family (r12, VERDICT r11 #8 stretch) -------------
 # The quality pipeline's remaining whitespace denominators get a
 # token_mode='bpe' flip; this extra driver-proves the heaviest one —
