@@ -848,3 +848,14 @@ def test_cjk_heap_encoder_scales_linearithmically():
     bpe._encode_pretoken_long(big, ranks)
     t_big = time.perf_counter() - t0
     assert t_big / t_small < 16, (t_small, t_big)
+
+
+def test_rotated_out_text_stats_bpe_vs_oracle(spark, sf_dir):
+    """Rotation discipline (r13): text_stats_bpe left the driver
+    window for text_repetition_bpe; it keeps full pytest-vs-DuckDB
+    hash parity here."""
+    compare(
+        pipeline_q.QUERIES["text_stats_bpe"](spark, sf_dir),
+        pipeline_q.ORACLE["text_stats_bpe"],
+        sf_dir,
+    )

@@ -1614,3 +1614,18 @@ def test_edge_property_map_untyped_edge_message(spark):
     with pytest.raises(ValueError, match="alternating"):
         pg.query("MATCH (u:user)-[:RATED|KNOWS {stars: 5}]->(i:item) "
                  "RETURN u")
+
+
+def test_rotated_out_r13_graph_entries_vs_oracle(spark, sf_dir):
+    """Rotation discipline (r13): the three graph witnesses that left
+    the driver window this round keep their full pytest-vs-DuckDB
+    hash parity — graph_exists_filter (r7-r12 driver-green),
+    graph_comma_conjunction (r8-r12), graph_pattern_topk (r6-r12,
+    also covered by test_pattern_topk_and_optional_match_vs_oracle)."""
+    from tests.oracle import compare
+
+    for name in ("graph_exists_filter", "graph_comma_conjunction"):
+        compare(
+            graph_q.QUERIES[name](spark, sf_dir),
+            graph_q.ORACLE[name], sf_dir,
+        )
