@@ -1741,6 +1741,7 @@ def test_image_cross_format_dedup_pgm_png_gif(spark):
 
     from torua_spark.operators import multimodal as mm
     from torua_spark.operators.codecs import (
+        encode_bmp,
         encode_gif,
         encode_pgm,
         encode_png,
@@ -1751,18 +1752,18 @@ def test_image_cross_format_dedup_pgm_png_gif(spark):
     media = local_df(
         spark,
         [(1, encode_pgm(9, 8, g)), (2, encode_png(9, 8, g)),
-         (3, encode_gif(9, 8, [g]))],
+         (3, encode_gif(9, 8, [g])), (4, encode_bmp(9, 8, g))],
         "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r for r in mm.image_dhash(media).collect()}
-    assert all(rows[i]["is_real"] for i in (1, 2, 3))
+    assert all(rows[i]["is_real"] for i in (1, 2, 3, 4))
     assert len({(rows[i]["b0"], rows[i]["b1"], rows[i]["b2"],
-                 rows[i]["b3"]) for i in (1, 2, 3)}) == 1
+                 rows[i]["b3"]) for i in (1, 2, 3, 4)}) == 1
     pairs = mm.image_neardup_pairs(
         mm.image_dhash(media), max_hamming=0
     ).collect()
     assert sorted((p["doc_a"], p["doc_b"], p["dist"]) for p in pairs) == [
-        (1, 2, 0), (1, 3, 0), (2, 3, 0)
+        (1, 2, 0), (1, 3, 0), (1, 4, 0), (2, 3, 0), (2, 4, 0), (3, 4, 0)
     ]
 
 
@@ -1777,3 +1778,79 @@ def test_image_cross_format_registry_oracle_parity(spark, sf_dir):
         rag_q.ORACLE["dedup_image_cross_format"],
         sf_dir,
     )
+
+
+class TestBmpPixelCodec:
+    """r13 BMP pixel decode (the image tier's fourth real public
+    format): uncompressed BITMAPINFOHEADER, bottom-up + top-down rows,
+    stride padding, 8-bit palette and 24/32-bit BGR(A)."""
+
+    def test_writer_roundtrip(self):
+        import hashlib
+
+        from torua_spark.operators.codecs import decode_bmp, encode_bmp
+
+        g = bytes((hashlib.md5(b"b").digest() * 5)[:72])
+        assert decode_bmp(encode_bmp(9, 8, g)) == (9, 8, g)
+
+    def test_top_down_and_palette_and_bgra(self):
+        import hashlib
+        import struct
+
+        from torua_spark.operators.codecs import decode_bmp
+
+        w, h = 9, 8
+        g = bytes((hashlib.md5(b"td").digest() * 5)[: w * h])
+
+        def bmp(bpp, top_down, rows_bytes, palette=b""):
+            data_off = 14 + 40 + len(palette)
+            hdr = b"BM" + struct.pack(
+                "<IHHI", data_off + len(rows_bytes), 0, 0, data_off
+            )
+            hdr += struct.pack(
+                "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                0, len(rows_bytes), 0, 0, len(palette) // 4, 0
+            )
+            return hdr + palette + rows_bytes
+
+        # top-down 24-bit: rows in natural order
+        stride = (w * 3 + 3) & ~3
+        body = b"".join(
+            b"".join(bytes([v, v, v]) for v in g[r * w: (r + 1) * w])
+            + b"\x00" * (stride - w * 3)
+            for r in range(h)
+        )
+        assert decode_bmp(bmp(24, True, body)) == (w, h, g)
+        # 8-bit palette (entry i = BGRA i,i,i,0), bottom-up
+        pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+        stride8 = (w + 3) & ~3
+        body8 = b"".join(
+            g[r * w: (r + 1) * w] + b"\x00" * (stride8 - w)
+            for r in range(h - 1, -1, -1)
+        )
+        assert decode_bmp(bmp(8, False, body8, pal)) == (w, h, g)
+        # 32-bit BGRA bottom-up, alpha ignored
+        stride32 = w * 4
+        body32 = b"".join(
+            b"".join(bytes([v, v, v, 200]) for v in g[r * w: (r + 1) * w])
+            for r in range(h - 1, -1, -1)
+        )
+        assert decode_bmp(bmp(32, False, body32)) == (w, h, g)
+
+    def test_never_raises_on_adversarial_bytes(self):
+        from hypothesis import given, settings, strategies as st
+
+        from torua_spark.operators.codecs import decode_bmp
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            body=st.binary(min_size=0, max_size=300),
+            prefix=st.sampled_from([b"", b"BM"]),
+        )
+        def run(body, prefix):
+            out = decode_bmp(prefix + body)
+            if out is not None:
+                w, h, gray = out
+                assert len(gray) == w * h
+
+        run()

@@ -684,3 +684,89 @@ def encode_png(w: int, h: int, gray: bytes) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# --- BMP pixel decode (r13): the image tier's fourth real public
+# format — uncompressed Windows BMP (BITMAPINFOHEADER, the layout
+# every real encoder writes): bottom-up (or top-down when height is
+# negative) rows padded to 4 bytes, BGR byte order, 8-bit palette /
+# 24-bit BGR / 32-bit BGRA. Compressed (RLE/bitfields) variants
+# return None and take the metadata-only path.
+
+
+def decode_bmp(b: bytes):
+    """(width, height, grayscale_bytes) for a decodable uncompressed
+    BMP — gray = mean of RGB (the shared convention) — or None."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", b[10:14])
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+    except struct.error:
+        return None
+    if planes != 1 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        # palette: 4-byte BGRA entries right after the info header
+        (n_colors,) = struct.unpack("<I", b[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = b[pal_off: pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            return None
+        step = 1
+    elif bpp in (24, 32):
+        pal, n_colors, step = None, 0, bpp // 8
+    else:
+        return None
+    stride = (w * step + 3) & ~3  # rows padded to 4 bytes
+    if len(b) < data_off + stride * h:
+        return None
+    rows = []
+    for r in range(h):
+        src = r if top_down else (h - 1 - r)
+        line = b[data_off + src * stride: data_off + src * stride + w * step]
+        if pal is not None:
+            rows.append(bytes(
+                (pal[4 * min(p, n_colors - 1)]
+                 + pal[4 * min(p, n_colors - 1) + 1]
+                 + pal[4 * min(p, n_colors - 1) + 2]) // 3
+                for p in line
+            ))
+        else:  # BGR(A): average the first three channels
+            rows.append(bytes(
+                (line[j] + line[j + 1] + line[j + 2]) // 3
+                for j in range(0, w * step, step)
+            ))
+    return int(w), int(h), b"".join(rows)
+
+
+def encode_bmp(w: int, h: int, gray: bytes) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (fixture-side twin of
+    ``decode_bmp``): gray pixel v -> BGR (v, v, v), bottom-up rows,
+    4-byte padding."""
+    if len(gray) != w * h:
+        raise ValueError(
+            f"encode_bmp: {len(gray)} bytes, expected {w * h}"
+        )
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(
+        b"".join(bytes([v, v, v]) for v in gray[r * w: (r + 1) * w]) + pad
+        for r in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40
+    size = data_off + len(body)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
+    )

@@ -397,6 +397,7 @@ def _dhash_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from torua_spark.operators.codecs import (
+        decode_bmp,
         decode_gif_frames,
         decode_pgm,
         decode_png,
@@ -421,13 +422,19 @@ def _dhash_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             else:
                 pgm = decode_pgm(b)
                 png = decode_png(b) if pgm is None else None
-                gif = (decode_gif_frames(b)
+                bmp = (decode_bmp(b)
                        if pgm is None and png is None else None)
+                gif = (decode_gif_frames(b)
+                       if pgm is None and png is None and bmp is None
+                       else None)
                 if pgm is not None:
                     w, h, px = pgm
                     bands = _dhash_bands_from_gray(px, w, h)
                 elif png is not None:
                     w, h, gray = png
+                    bands = _dhash_bands_from_gray(gray, w, h)
+                elif bmp is not None:
+                    w, h, gray = bmp
                     bands = _dhash_bands_from_gray(gray, w, h)
                 elif gif is not None:
                     _idx, w, h, gray = gif[0]

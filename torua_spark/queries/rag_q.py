@@ -3132,6 +3132,7 @@ _XF_PLANT_EVERY = 20
 _XF_PGM_OFFSET = 80_000_000
 _XF_PNG_OFFSET = 90_000_000
 _XF_GIF_OFFSET = 100_000_000
+_XF_BMP_OFFSET = 110_000_000
 
 
 def _render_xf_gen(container: str, offset: int):
@@ -3141,6 +3142,7 @@ def _render_xf_gen(container: str, offset: int):
         import pandas as pd
 
         from torua_spark.operators.codecs import (
+            encode_bmp,
             encode_gif,
             encode_pgm,
             encode_png,
@@ -3154,6 +3156,8 @@ def _render_xf_gen(container: str, offset: int):
                     payloads.append(encode_pgm(9, 8, g))
                 elif container == "png":
                     payloads.append(encode_png(9, 8, g))
+                elif container == "bmp":
+                    payloads.append(encode_bmp(9, 8, g))
                 else:
                     payloads.append(encode_gif(9, 8, [g]))
             yield pd.DataFrame(
@@ -3165,7 +3169,7 @@ def _render_xf_gen(container: str, offset: int):
 
 def image_cross_format_media(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): corpus payloads (fake tier) plus, per 20th
-    doc, the same planted pixels in THREE containers."""
+    doc, the same planted pixels in FOUR containers."""
     from torua_spark.operators import multimodal as mm
     from torua_spark.sources.catalog import spread_small_scan
 
@@ -3195,7 +3199,8 @@ def image_cross_format_media(docs: DataFrame) -> DataFrame:
     out = media
     for container, off in (("pgm", _XF_PGM_OFFSET),
                            ("png", _XF_PNG_OFFSET),
-                           ("gif", _XF_GIF_OFFSET)):
+                           ("gif", _XF_GIF_OFFSET),
+                           ("bmp", _XF_BMP_OFFSET)):
         out = out.unionByName(
             seeds.mapInPandas(_render_xf_gen(container, off), out_schema)
         )
@@ -3204,9 +3209,10 @@ def image_cross_format_media(docs: DataFrame) -> DataFrame:
 
 def _q_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 image cross-format dedup (r13): the same pixels re-encoded
-    as PGM / PNG / GIF collide at dist 0 through three REAL decode
-    paths (raw, zlib+unfilter, LZW) feeding the one codec-independent
-    hash engine. max_hamming=0 — the exact-content re-encode class."""
+    as PGM / PNG / GIF / BMP collide at dist 0 through four REAL
+    decode paths (raw, zlib+unfilter, LZW, padded-BGR rows) feeding
+    the one codec-independent hash engine. max_hamming=0 — the
+    exact-content re-encode class."""
     from torua_spark.operators import multimodal as mm
 
     hashed = mm.image_dhash(
@@ -3221,7 +3227,8 @@ def _image_cross_format_oracle_sql() -> str:
     three container offsets — the containers are content-identical BY
     CONSTRUCTION (PGM raw bytes; PNG gray type-0 with index==gray;
     GIF grayscale palette with index==gray), which is exactly the
-    claim the Spark side must reproduce through three real decoders."""
+    claim the Spark side must reproduce through four real decoders
+    (BMP: 24-bit BGR (v,v,v) rows -> gray v)."""
     chain = "md5(t)"
     parts = [chain]
     for _ in range(4):
@@ -3273,6 +3280,8 @@ def _image_cross_format_oracle_sql() -> str:
         SELECT doc_id + {_XF_PNG_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
         UNION ALL
         SELECT doc_id + {_XF_GIF_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
+        UNION ALL
+        SELECT doc_id + {_XF_BMP_OFFSET} AS doc_id, b0, b1, b2, b3 FROM pone
     ),
     allh AS (SELECT * FROM fake UNION ALL SELECT * FROM pbands),
     bands AS (
