@@ -88,8 +88,9 @@ def main() -> None:
     # line, same key as before.
     memoized = [
         "streaming_knn", "streaming_image_dedup", "streaming_audio_dedup",
-        "streaming_video_dedup", "vector_index_append",
-        "dedup_incremental_substring", "streaming_lake_cdc",
+        "streaming_audio_spectral", "streaming_video_dedup",
+        "vector_index_append", "dedup_incremental_substring",
+        "streaming_lake_cdc",
     ]
     # BENCH_RUNS=1 is the A/B cold-plan mode: skip the memoized
     # warm-up too (ADVICE r12) so those entries are measured genuinely
@@ -137,15 +138,27 @@ def main() -> None:
     # adjudication has twice rested on after-the-fact load-avg prose;
     # sample the 1-min load before/after the timed section and before
     # each query so contention claims cite data on the bench line.
+    # Contended-draw flagging (r14, VERDICT r13 #4): a query whose
+    # pre-run 1-min load exceeds ~cpus/4 is drawn on a contended box —
+    # flag it on the line (mechanical adjudication instead of prose)
+    # and take extra runs so the median has more clean draws to land
+    # on. cpus/4 ≈ 8 on the 32-cpu driver box: the r12/r13 inflation
+    # episodes all sat at load 8.4-16.4, quiet draws at 0.5-3.
+    contended_load = cpus / 4.0
     raw: dict[str, list[float]] = {}
     load_by_query: dict[str, float] = {}
+    contended_queries: list[str] = []
     failed: set[str] = set()
     load_pre = round(os.getloadavg()[0], 2)
     t_all = time.perf_counter()
     for name in sorted(qs):
         raw[name] = []
-        load_by_query[name] = round(os.getloadavg()[0], 2)
+        load_q = round(os.getloadavg()[0], 2)
+        load_by_query[name] = load_q
         n_runs = runs if runs == 1 else max(runs, extra_runs.get(name, runs))
+        if runs != 1 and load_q > contended_load:
+            contended_queries.append(name)
+            n_runs = max(n_runs, 5)
         for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
@@ -236,6 +249,10 @@ def main() -> None:
             # 1-min load sampled just before each query's first run:
             # attributes a per-entry inflation to ambient contention.
             "load_1m_by_query": load_by_query,
+            # Entries whose pre-run load exceeded cpus/4 (each was
+            # auto-widened to >= 5 runs so the median can dodge the
+            # contended draws).
+            "contended_queries": contended_queries,
         }
     )
     line = json.dumps(
@@ -254,6 +271,11 @@ def main() -> None:
             # noise, not plan cost.
             "load_1m_pre": load_pre,
             "load_1m_post": load_post,
+            # Mechanical contention verdict (r14, VERDICT r13 #4):
+            # true when any timed entry started above the cpus/4 load
+            # threshold; per-entry detail on the diagnostics line.
+            "contended": bool(contended_queries),
+            "n_contended_queries": len(contended_queries),
         }
     )
     sys.stdout.flush()

@@ -19,12 +19,13 @@ shared merge loop (functions.bpe.train_from_counts). A drift in the
 engine's distributed pre-token counting therefore turns the driver
 row red instead of regenerating itself into the golden.
 
-The goldens are keyed by the embeddings-table row count because that
-is the key the verify harness passes to ORACLE_BY_N renderers.
-KNOWN AMBIGUITY: sf0.001 and sf0.01 both have 500 embeddings but
-different document contents; n=500 maps to the sf0.01 golden because
-sf0.01 is the driver gate. The sf0.001 table is already committed as
-resources/bpe_merges_v1.py and pinned by its own provenance pytest.
+Keying (r14, ADVICE r13): goldens are keyed by the SF TAG parsed from
+the sf_dir the verify harness passes to ORACLE_BY_N renderers —
+row counts cannot disambiguate (sf0.001 and sf0.01 both carry 500
+documents and 500 embeddings with DIFFERENT contents, so the r13
+embeddings-count key silently checked sf0.001 sweeps against the
+sf0.01 golden). BY_EMBEDDINGS_N remains as the no-sf_dir fallback
+with its documented n=500 -> sf0.01 (driver gate) bias.
 
 Usage: python scripts/make_bpe_train_goldens.py
 Writes torua_spark/resources/bpe_train_goldens.py
@@ -42,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from train_bpe_fixture import pretokens, wrap_hex  # noqa: E402
 
 SF_DIRS = {
+    "sf0.001": "/root/testdata/sf0.001",
     "sf0.01": "/root/testdata/sf0.01",
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": str(Path(__file__).resolve().parents[1] / "testdata_sf1"),
@@ -81,6 +83,8 @@ def main() -> None:
             f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
         ).fetchone()[0]
         goldens[tag] = train_offline(sf_dir, N_MERGES)
+        # n=500 is ambiguous (sf0.001 vs sf0.01); the fallback map
+        # keeps the driver-gate bias (sf0.01 wins — it is listed later)
         by_n[n_emb] = tag
         print(f"{tag}: embeddings={n_emb}, {len(goldens[tag])} merges")
 
@@ -95,9 +99,11 @@ def main() -> None:
         "",
         f"N_MERGES = {N_MERGES}",
         "",
-        "# embeddings-table row count -> SF tag (the ORACLE_BY_N key).",
-        "# n=500 is ambiguous between sf0.001 and sf0.01; it maps to",
-        "# sf0.01 (the driver gate) — sf0.001 is resources/bpe_merges_v1.",
+        "# embeddings-table row count -> SF tag: the FALLBACK key when",
+        "# no sf_dir reaches the renderer (r14: the primary key is the",
+        "# SF tag parsed from sf_dir — counts cannot disambiguate",
+        "# sf0.001 from sf0.01, both 500/500 with different contents).",
+        "# n=500 maps to sf0.01 (the driver gate).",
         f"BY_EMBEDDINGS_N = {by_n!r}",
         "",
         "GOLDENS = {",

@@ -85,7 +85,9 @@ def main() -> int:
             n_rows = con.execute(
                 "SELECT count(*) FROM embeddings"
             ).fetchone()[0]
-            oracles[qname] = render(n_rows)
+            # sf_dir disambiguates SFs whose row counts tie (r14,
+            # ADVICE r13: sf0.001 and sf0.01 are both 500/500)
+            oracles[qname] = render(n_rows, sf_dir=sf_dir)
     if os.environ.get("VERIFY_EXTRA") == "1":
         # Sweep the pytest-only surface too (the micro-queries folded
         # into composites plus signature-level variants).

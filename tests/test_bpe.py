@@ -309,6 +309,28 @@ def test_bpe_train_golden_oracle_renderer_contract():
         )
     with pytest.raises(KeyError, match="make_bpe_train_goldens"):
         pipeline_q._bpe_train_oracle_for_n(12345)
+    # r14 (ADVICE r13): the sf_dir tag is the PRIMARY key — counts
+    # cannot disambiguate sf0.001 from sf0.01 (both 500/500), so a
+    # sweep at sf0.001 must get the sf0.001 golden, not the driver
+    # gate's; an uncommitted SF tag is loud.
+    assert pipeline_q._bpe_train_oracle_for_n(
+        500, sf_dir="/root/testdata/sf0.001"
+    ) == pipeline_q.bpe_train_golden_oracle(GOLDENS["sf0.001"])
+    assert pipeline_q._bpe_train_oracle_for_n(
+        500, sf_dir="/root/testdata/sf0.01"
+    ) == static
+    assert pipeline_q._bpe_train_oracle_for_n(
+        20000, sf_dir="/root/repo/testdata_sf1"
+    ) == pipeline_q.bpe_train_golden_oracle(GOLDENS["sf1"])
+    assert GOLDENS["sf0.001"] != GOLDENS["sf0.01"]
+    # provenance closure: the sf0.001 golden IS the frozen v1 table
+    # (the generator and the v1 fixture run the same offline trainer
+    # on the same corpus)
+    from torua_spark.resources.bpe_merges_v1 import MERGES
+
+    assert GOLDENS["sf0.001"] == list(MERGES)[:96]
+    with pytest.raises(KeyError, match="make_bpe_train_goldens"):
+        pipeline_q._bpe_train_oracle_for_n(500, sf_dir="/tmp/sf9.9")
 
 
 def test_bpe_train_golden_matches_spark_at_driver_gate(spark):

@@ -422,6 +422,28 @@ def test_streaming_audio_dedup_equals_batch(spark, sf_dir):
     assert len(batch) > 0
 
 
+def test_streaming_audio_spectral_equals_batch_rows(spark, sf_dir):
+    """r14 spectral streaming twin: the drained union equals the batch
+    dedup_audio_spectral pass row-for-row (the same index-probe
+    protocol at the spectral fingerprint; all three plant tiers —
+    original, exact-silence pad, dithered pad — collide through the
+    stream exactly as in batch)."""
+    from torua_spark.queries import rag_q
+    from torua_spark.streaming.windows import streaming_audio_spectral
+
+    streamed = sorted(
+        map(tuple, streaming_audio_spectral(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            rag_q.QUERIES["dedup_audio_spectral"](spark, sf_dir).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_streaming_video_dedup_equals_batch(spark, sf_dir):
     """r13 video streaming twin: every doc (clip) streams exactly once
     against a persisted frame-hash index of the full media relation;

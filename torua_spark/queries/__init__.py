@@ -203,17 +203,31 @@ _DECLARED = [
     # dedup_image_phash_triples, and the cross-modal union gate stays
     # pytest-oracled forever).
     # Round-13 NEW operator (landing-round proof, VERDICT r12 #3): the
-    # SPECTRAL audio tier — exact-zero silence trim + per-frame FFT
-    # band energies + Haitsma-Kalker frequency-then-time
-    # double-difference sign bits, the shift/pad-robust form (the
-    # planted silence-padded variant collides at dist 0 where the
-    # time-domain tier misses it by Hamming 32 — the motivating test).
-    # Oracle re-derives the planted fingerprints with a naive 12-point
-    # DFT in SQL. In for dedup_audio_fingerprint (driver-green r12;
-    # the audio family keeps streaming_audio_dedup + this entry
-    # in-window, and the time-domain tier stays pytest-oracled
-    # forever).
+    # SPECTRAL audio tier — silence trim + per-frame FFT band energies
+    # + Haitsma-Kalker frequency-then-time double-difference sign
+    # bits, the shift/pad-robust form (the planted silence-padded
+    # variant collides at dist 0 where the time-domain tier misses it
+    # by Hamming 32 — the motivating test). Oracle re-derives the
+    # planted fingerprints with a naive 12-point DFT in SQL. In for
+    # dedup_audio_fingerprint (driver-green r12; the time-domain tier
+    # stays pytest-oracled forever). r14 (VERDICT r13 #1): the trim is
+    # now RELATIVE (64*|a| <= max|a| ~ -36 dB), closing the dithered-
+    # silence gap the exact-zero form missed; a third plant tier (the
+    # dithered pad, offset 120M) proves it in-window.
     "dedup_audio_spectral",
+    # Round-14 NEW operator (landing-round proof, VERDICT r13 #5):
+    # audio CROSS-FORMAT dedup — the same 65 samples planted as WAV
+    # (little-endian, 8-bit unsigned) and AIFF (big-endian, all-signed
+    # PCM; pure-stdlib decode of the public Audio IFF spec incl. the
+    # 80-bit extended-float sample rate) collide at dist 0 through two
+    # real container decodes feeding the one container-independent
+    # time-domain fingerprint engine — so the r12 tier keeps an
+    # in-window witness after its streaming twin rotates out this
+    # round. In for dedup_image_phash_scaled (driver-green r11-r13;
+    # the image family keeps dedup_image_phash_triples +
+    # dedup_image_cross_format in-window, and the pairs32 scheme
+    # stays pytest-oracled forever).
+    "dedup_audio_cross_format",
     # Round-11 NEW operator (landing-round proof, VERDICT r10 #3):
     # byte-level BPE tokenization under the frozen v1 merge table —
     # the whole tokenizer a JVM expression chain (hex render + one
@@ -409,26 +423,20 @@ _DECLARED = [
     # its arithmetic oracle. In for streaming_index_dedup
     # (driver-green r7-r9, the same index-probed-stream family,
     # pytest-oracled forever).
-    # Round-12 NEW streaming twin (landing-round proof): audio-content
-    # dedup as an index-probed stream — each micro-batch fingerprints
-    # its media rows (incl. the planted real-tier WAVs) and probes the
-    # persisted corpus fingerprint index via the shared banded join;
-    # the drained union equals the batch dedup_audio_fingerprint pass,
-    # reusing its arithmetic oracle. In for streaming_image_dedup
-    # (driver-green r10-r12; the index-probed-stream family keeps
-    # streaming_knn + this entry in-window, the image family keeps
-    # dedup_image_phash_scaled + dedup_image_phash_triples, and the
-    # image stream stays pytest-oracled forever).
-    "streaming_audio_dedup",
-    # Round-11 rotation (VERDICT r10 #1, second half): the Manku
-    # pairs32 corpus-scale image-dedup blocking scheme (6 rotated
-    # 32-bit pair tables, pigeonhole-exact at Hamming radius <= 2,
-    # n^2/2^32 candidate volume vs bands16's n^2/2^16), hash-proven
-    # equivalent to the bands16 path at radius 2. In for
-    # multimodal_audio_probe (driver-green r8-r10; the codec surface
-    # keeps dedup_image_phash + streaming_image_dedup in-window and
-    # the audio probe stays pytest-oracled forever).
-    "dedup_image_phash_scaled",
+    # Round-14 NEW streaming twin (landing-round proof, VERDICT r13
+    # #8): SPECTRAL audio dedup as an index-probed stream — each
+    # micro-batch spectral-fingerprints its media rows (incl. all
+    # three plant tiers: original, exact-silence pad, r14 dithered
+    # pad) and probes the persisted corpus fingerprint index via the
+    # shared banded join; the drained union equals the batch
+    # dedup_audio_spectral pass, reusing its naive-DFT arithmetic
+    # oracle — batch+streaming duality for the newest tier, matching
+    # the other three modalities. In for streaming_audio_dedup
+    # (driver-green r12-r13; the time-domain tier keeps an in-window
+    # witness via dedup_audio_cross_format, the index-probed-stream
+    # family keeps streaming_knn + streaming_video_dedup + this entry,
+    # and the time-domain stream stays pytest-oracled forever).
+    "streaming_audio_spectral",
     # --- reference KV/topology surface (§2.A via composites)
     "kv_reads",
     "kv_writes",

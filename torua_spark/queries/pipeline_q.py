@@ -591,16 +591,33 @@ def bpe_train_golden_oracle(merges) -> str:
     )
 
 
-def _bpe_train_oracle_for_n(n_rows: int) -> str:
-    """Golden lookup keyed by the embeddings-table row count (the key
-    the verify harness passes to ORACLE_BY_N renderers). Loud on an
-    unknown SF: silently falling back to the wrong golden would turn
-    a real training drift into an unexplained hash mismatch."""
+def _bpe_train_oracle_for_n(n_rows: int, sf_dir: str | None = None) -> str:
+    """Golden lookup. PRIMARY key (r14, ADVICE r13): the SF tag parsed
+    from ``sf_dir`` — row counts cannot disambiguate sf0.001 from
+    sf0.01 (both 500 documents / 500 embeddings, different contents),
+    so the r13 count-only key silently checked sf0.001 sweeps against
+    the sf0.01 golden. FALLBACK (no sf_dir — older harnesses): the
+    embeddings-count map with its documented n=500 -> sf0.01
+    (driver-gate) bias. Loud on an unknown SF either way: silently
+    using the wrong golden would turn a real training drift into an
+    unexplained hash mismatch."""
     from torua_spark.resources.bpe_train_goldens import (
         BY_EMBEDDINGS_N,
         GOLDENS,
     )
 
+    if sf_dir is not None:
+        base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        # "sf0.01" -> itself; "testdata_sf1" -> "sf1"
+        tag = "sf" + base.rsplit("sf", 1)[-1] if "sf" in base else base
+        if tag not in GOLDENS:
+            raise KeyError(
+                f"no committed text_bpe_train golden for SF tag "
+                f"{tag!r} (from sf_dir {sf_dir!r}) — run "
+                f"scripts/make_bpe_train_goldens.py for the new SF "
+                f"and commit the output"
+            )
+        return bpe_train_golden_oracle(GOLDENS[tag])
     tag = BY_EMBEDDINGS_N.get(n_rows)
     if tag is None:
         raise KeyError(

@@ -1926,7 +1926,10 @@ ORACLE["text_bigram_logprob"] = """
 # verify harness consults this map so our own sf0.1/sf1 sweeps stay
 # hash-exact as the laws engage.
 ORACLE_BY_N = {
-    "vector_neardup_pairs": lambda n_rows: neardup_oracle_sql(
+    # Renderers take (n_rows, sf_dir=None) as of r14: the band law
+    # needs only the corpus size; the bpe-train golden (pipeline_q)
+    # keys on the sf_dir tag because counts cannot disambiguate SFs.
+    "vector_neardup_pairs": lambda n_rows, sf_dir=None: neardup_oracle_sql(
         band_bits=sim.auto_band_bits(n_rows)
     ),
 }
@@ -2497,6 +2500,14 @@ ORACLE["dedup_decontaminate_multimodal"] = _multimodal_decon_oracle_sql()
 # window count itself (one sample per window: window mean == |s-128|),
 # the audio analog of the 9x8 identity-resize PGM.
 
+# All planted-media tiers across the dedup entries share one offset
+# SPACING: tier k of any entry plants ids at (k+1) * spacing + doc_id.
+# Every plant relation guards corpus ids at the SPACING (ADVICE r13):
+# guarding at an entry's first offset would let a corpus id in
+# [spacing, first_offset) alias one tier's plants into another's
+# (e.g. 30M + 15M == 40M + 5M), silently merging distinct payloads.
+_PLANT_SPACING = 10_000_000
+
 _AUD_PLANT_EVERY = 20
 _AUD_ORIG_OFFSET = 10_000_000
 _AUD_VAR_OFFSET = 20_000_000
@@ -2665,58 +2676,76 @@ QUERIES["dedup_audio_fingerprint"] = _q_audio_fingerprint
 ORACLE["dedup_audio_fingerprint"] = _audio_fp_oracle_sql()
 
 
-# --- SPECTRAL audio dedup (r13, VERDICT r12 #3) ------------------------------
-# The shift/pad-robust tier: exact-zero silence trim + per-frame FFT
+# --- SPECTRAL audio dedup (r13, VERDICT r12 #3; r14 epsilon trim) ------------
+# The shift/pad-robust tier: RELATIVE noise-floor silence trim (r14:
+# 64*|a| <= max|a| — exact zeros AND dithered silence) + per-frame FFT
 # band energies + the Haitsma-Kalker double-difference sign bits
 # (multimodal.audio_spectral_fingerprint). Driver proof follows the
 # planted-fixture recipe: every 20th doc plants a deterministic
 # 204-sample 8-bit mono WAV (17 frames x 12 samples; samples = a
-# 13-deep md5 chain of its text with byte 128 remapped to 129 so NO
-# amplitude is exactly zero — the trim is then the identity on the
-# original and removes exactly the planted silence on the variant)
-# plus a variant with 24 leading + 12 trailing silence samples — the
-# re-encode shape the time-domain tier MISSES (Hamming 32 on the same
-# fixture, pinned in tests) and this tier collides at dist 0. The
-# oracle re-derives the planted fingerprints ARITHMETICALLY: a naive
+# 13-deep md5 chain of its text with bytes 126..130 remapped to 131 so
+# NO interior amplitude sits at or below the trim floor — |amp| >= 3 >
+# max|amp|/64 since max|amp| <= 128, making the trim the identity on
+# the original) plus TWO pad variants the trim must remove exactly:
+# (a) 24 leading + 12 trailing EXACT-ZERO samples — the re-encode
+#     shape the time-domain tier MISSES (Hamming 32, pinned in tests);
+# (b) r14 (VERDICT r13 missing #1): the same pad as DITHERED silence
+#     (alternating amplitude +1/-1 — a digital noise floor), which the
+#     r13 exact-zero trim MISSED (pinned in tests) and the relative
+#     trim removes: 64*1 = 64 <= max|amp| on every planted signal
+#     (verified corpus-wide by tests/test_multimodal_codec.py's margin
+#     pin; uniform chain bytes leave max|amp| < 64 with p ~ 2^-204).
+# All three tiers carry the SAME fingerprint by construction, so the
+# oracle re-derives ONE planted fingerprint ARITHMETICALLY — a naive
 # 12-point DFT per frame in SQL (cos/sin sums — the frame is one
 # closed-form slice of the md5 chain), band energies via the same
 # floor bin-split, the same double-difference bits, the same 4x16
-# packing, the same banded Hamming verify.
+# packing — and replicates it at the three offsets before the same
+# banded Hamming verify.
 
 _SPEC_PLANT_EVERY = 20
 _SPEC_ORIG_OFFSET = 30_000_000
 _SPEC_VAR_OFFSET = 40_000_000
+_SPEC_DITHER_OFFSET = 120_000_000
 _SPEC_N = 204  # 17 frames x 12 samples
 _SPEC_CHAIN_DEPTH = 13  # 13 md5s = 208 bytes >= 204
-_SPEC_LEAD = 24  # planted leading-silence samples (variant tier)
-_SPEC_TAIL = 12  # planted trailing-silence samples (variant tier)
+_SPEC_LEAD = 24  # planted leading-silence samples (variant tiers)
+_SPEC_TAIL = 12  # planted trailing-silence samples (variant tiers)
 
 
-def _render_spec_wav_gen(pad: bool, offset: int):
+def _spec_remap(b: int) -> int:
+    """The plant remap: any byte whose amplitude would sit at or below
+    the relative trim floor (|b - 128| <= 2, possible when max|amp| is
+    its 128 ceiling) moves to amplitude 3 — mirrored in SQL by the
+    oracle's remap expression."""
+    return 131 if 126 <= b <= 130 else b
+
+
+def _render_spec_wav_gen(pad: str | None, offset: int):
     """(doc_id, hx) Arrow batches -> (doc_id + offset, 204-sample
-    8-bit mono WAV; samples = the leading md5-chain bytes, 128
-    remapped to 129). The variant tier wraps the SAME signal in
-    24 leading + 12 trailing silence samples (byte 128 == amplitude
-    0) — the pad/trim re-encode perturbation."""
+    8-bit mono WAV; samples = the leading md5-chain bytes through
+    _spec_remap). ``pad`` wraps the SAME signal in 24 leading + 12
+    trailing pad samples: 'zero' plants exact silence (byte 128 ==
+    amplitude 0), 'dither' plants an alternating +1/-1 noise floor
+    (bytes 129/127) — the r14 variant the exact-zero trim missed."""
     def gen(batches):
         import pandas as pd
 
         from torua_spark.operators.codecs import encode_wav
 
+        lead = tail = b""
+        if pad == "zero":
+            lead, tail = bytes([128] * _SPEC_LEAD), bytes([128] * _SPEC_TAIL)
+        elif pad == "dither":
+            lead = bytes([129, 127] * (_SPEC_LEAD // 2))
+            tail = bytes([129, 127] * (_SPEC_TAIL // 2))
         for pdf in batches:
             payloads = []
             for h in pdf["hx"]:
-                px = bytearray(
-                    b if b != 128 else 129
-                    for b in bytes.fromhex(h)[:_SPEC_N]
+                px = bytes(
+                    _spec_remap(b) for b in bytes.fromhex(h)[:_SPEC_N]
                 )
-                if pad:
-                    px = (
-                        bytearray([128] * _SPEC_LEAD)
-                        + px
-                        + bytearray([128] * _SPEC_TAIL)
-                    )
-                payloads.append(encode_wav(1, 8000, 8, bytes(px)))
+                payloads.append(encode_wav(1, 8000, 8, lead + px + tail))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
             )
@@ -2727,23 +2756,28 @@ def _render_spec_wav_gen(pad: bool, offset: int):
 def audio_spectral_media_with_plants(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) media relation for the spectral-dedup entry:
     corpus payloads (fake tier) plus, per 20th doc, a planted
-    204-sample WAV (real tier) and its silence-padded variant."""
+    204-sample WAV (real tier), its exact-silence-padded variant, and
+    (r14) its dithered-silence-padded variant."""
     from torua_spark.operators import multimodal as mm
     from torua_spark.sources.catalog import spread_small_scan
 
     docs = spread_small_scan(docs)
     media = mm.to_media_table(docs).select("doc_id", "payload")
+    # Guard at the offset SPACING, not the first offset (ADVICE r13):
+    # with multiple plant tiers spaced _PLANT_SPACING apart, a corpus
+    # id in [spacing, first_offset) would pass a first-offset guard yet
+    # make tier T's (offset_T + id) collide with tier T+1's ids.
     guarded_id = F.when(
-        F.col("doc_id") < _SPEC_ORIG_OFFSET, F.col("doc_id")
+        F.col("doc_id") < _PLANT_SPACING, F.col("doc_id")
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("audio_spectral_media_with_plants: doc_id "),
                 F.col("doc_id").cast("string"),
                 F.lit(
-                    f" >= plant offset {_SPEC_ORIG_OFFSET}; planted "
-                    f"rows would collide with real ids — raise the "
-                    f"offsets for this corpus"
+                    f" >= plant-offset spacing {_PLANT_SPACING}; "
+                    f"planted tiers would collide across offsets — "
+                    f"raise the offsets for this corpus"
                 ),
             )
         ).cast("long")
@@ -2757,12 +2791,15 @@ def audio_spectral_media_with_plants(docs: DataFrame) -> DataFrame:
     )
     out_schema = "doc_id long, payload binary"
     orig = seeds.mapInPandas(
-        _render_spec_wav_gen(False, _SPEC_ORIG_OFFSET), out_schema
+        _render_spec_wav_gen(None, _SPEC_ORIG_OFFSET), out_schema
     )
     variant = seeds.mapInPandas(
-        _render_spec_wav_gen(True, _SPEC_VAR_OFFSET), out_schema
+        _render_spec_wav_gen("zero", _SPEC_VAR_OFFSET), out_schema
     )
-    return media.unionByName(orig).unionByName(variant)
+    dither = seeds.mapInPandas(
+        _render_spec_wav_gen("dither", _SPEC_DITHER_OFFSET), out_schema
+    )
+    return media.unionByName(orig).unionByName(variant).unionByName(dither)
 
 
 def _q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2812,15 +2849,20 @@ def _spec_energy_sql(f_var: str = "f") -> str:
 def _audio_spectral_oracle_sql() -> str:
     """Mirrors the query tier-for-tier: fake bands from md5(text) hex;
     planted bands re-derived ARITHMETICALLY (naive DFT in SQL — see
-    _spec_energy_sql). The VARIANT's fingerprint is the original's BY
-    CONSTRUCTION: its only difference is 24+12 exact-silence samples,
-    the byte-128->129 remap guarantees no interior amplitude is zero,
-    and the engine's first step trims exact-zero ends — so
-    trim(variant) == trim(original) sample-for-sample."""
+    _spec_energy_sql). BOTH variants' fingerprints are the original's
+    BY CONSTRUCTION: their only difference is 24+12 pad samples of
+    amplitude 0 (zero variant) or +-1 (r14 dither variant); the
+    bytes-126..130->131 remap guarantees every interior amplitude
+    satisfies 64*|a| = 192 > 128 >= max|amp| (kept), while pad
+    amplitudes satisfy 64*|a| <= 64 <= max|amp| (trimmed — max|amp|
+    >= 64 on every planted chain, pinned corpus-wide by the margin
+    test) — so trim(variant) == trim(original) sample-for-sample
+    under the engine's relative noise-floor trim."""
     hx = _md5_chain_sql(_SPEC_CHAIN_DEPTH)
     remap = (
         "list_transform(range(0, 204), i -> CASE "
-        "WHEN ('0x' || substr(hx, 1 + 2 * i, 2))::INT = 128 THEN 1 "
+        "WHEN ('0x' || substr(hx, 1 + 2 * i, 2))::INT BETWEEN 126 AND 130 "
+        "THEN 3 "
         "ELSE ('0x' || substr(hx, 1 + 2 * i, 2))::INT - 128 END)"
     )
     return f"""
@@ -2873,6 +2915,9 @@ def _audio_spectral_oracle_sql() -> str:
         UNION ALL
         SELECT doc_id + {_SPEC_VAR_OFFSET} AS doc_id, b0, b1, b2, b3
         FROM pone
+        UNION ALL
+        SELECT doc_id + {_SPEC_DITHER_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
     ),
     allh AS (
         SELECT * FROM fake UNION ALL SELECT * FROM pbands
@@ -2899,6 +2944,182 @@ QUERIES["dedup_audio_spectral"] = _q_audio_spectral
 ORACLE["dedup_audio_spectral"] = _audio_spectral_oracle_sql()
 
 
+# --- audio CROSS-FORMAT dedup (r14, VERDICT r13 #5) --------------------------
+# The audio twin of dedup_image_cross_format: the SAME 65 samples
+# planted as a WAV (little-endian PCM, 8-bit unsigned offset-binary)
+# and as an AIFF (big-endian PCM, SIGNED at every width — the public
+# Audio IFF spec, codecs.encode_aiff/decode_aiff_header) must collide
+# at dist 0 through two REAL container decodes feeding the one
+# container-independent fingerprint engine (the time-domain tier —
+# so the r12 tier keeps an in-window witness after its streaming twin
+# rotates out this round). Own plant relation (offsets 140/150M).
+
+_XAUD_PLANT_EVERY = 20
+_XAUD_WAV_OFFSET = 140_000_000
+_XAUD_AIFF_OFFSET = 150_000_000
+
+
+def _render_xaud_gen(container: str, offset: int):
+    """(doc_id, hx) -> (doc_id + offset, the 65 leading chain bytes
+    as one 8-bit mono signal in the requested container). The SAME
+    amplitude sequence both times: WAV stores amplitude a as unsigned
+    byte a+128 (the chain byte itself), AIFF stores it as the SIGNED
+    byte a — so aiff_byte = (wav_byte - 128) mod 256."""
+    def gen(batches):
+        import pandas as pd
+
+        from torua_spark.operators.codecs import encode_aiff, encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                px = bytes.fromhex(h)[:65]
+                if container == "wav":
+                    payloads.append(encode_wav(1, 8000, 8, px))
+                else:
+                    signed = bytes((b - 128) & 0xFF for b in px)
+                    payloads.append(encode_aiff(1, 8000, 8, signed))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def audio_cross_format_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): corpus payloads (fake tier) plus, per 20th
+    doc, the same planted 65-sample signal in BOTH containers."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    # Guard at the offset SPACING (ADVICE r13) — see
+    # audio_spectral_media_with_plants for the collision argument.
+    guarded_id = F.when(
+        F.col("doc_id") < _PLANT_SPACING, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("audio_cross_format_media: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant-offset spacing {_PLANT_SPACING}; "
+                    f"planted tiers would collide across offsets — "
+                    f"raise the offsets for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
+    seeds = docs.filter(F.col("doc_id") % _XAUD_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    out = media
+    for container, off in (("wav", _XAUD_WAV_OFFSET),
+                           ("aiff", _XAUD_AIFF_OFFSET)):
+        out = out.unionByName(
+            seeds.mapInPandas(_render_xaud_gen(container, off), out_schema)
+        )
+    return out
+
+
+def _q_audio_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 audio cross-format dedup (r14): the same samples re-encoded
+    as WAV and AIFF collide at dist 0 through two real container
+    decodes (little-endian unsigned vs big-endian signed PCM) feeding
+    the one codec-independent fingerprint engine. max_hamming=0 — the
+    exact-content re-encode class. Reference hook: README.md:209-212
+    multi-modal relationships; closes VERDICT r13 #5."""
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.audio_fingerprint(
+        audio_cross_format_media(_docs(spark, sf_dir))
+    )
+    return mm.audio_neardup_pairs(hashed, max_hamming=0)
+
+
+def _audio_cross_format_oracle_sql() -> str:
+    """Fake bands from md5(text); ONE planted fingerprint derivation
+    (the time-domain oracle's |px - 128| window arithmetic) replicated
+    at BOTH container offsets — the containers carry the same
+    amplitudes BY CONSTRUCTION (WAV byte b -> amp b - 128; AIFF byte
+    (b - 128) mod 256 read as signed -> the same amp), which is
+    exactly the claim the Spark side must reproduce through the two
+    real decoders."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(4):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    hx = " || ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, 65),
+                   i -> ('0x' || substr(hx, 1 + 2 * i, 2))::INT) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_XAUD_PLANT_EVERY} = 0)
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN abs(px[i + 2] - 128) > abs(px[i + 1] - 128)
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pix
+    ),
+    pone AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    pbands AS (
+        SELECT doc_id + {_XAUD_WAV_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+        UNION ALL
+        SELECT doc_id + {_XAUD_AIFF_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+    ),
+    allh AS (SELECT * FROM fake UNION ALL SELECT * FROM pbands),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allh, (VALUES (0), (1), (2), (3)) AS parts(part)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(0 AS INT) AS dist
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    WHERE a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+    """
+
+
+QUERIES["dedup_audio_cross_format"] = _q_audio_cross_format
+ORACLE["dedup_audio_cross_format"] = _audio_cross_format_oracle_sql()
+
+
 # --- VIDEO content dedup (r13, VERDICT r12 #6) -------------------------------
 # Clip = frame sequence; per-frame dHash via the image tier's engine;
 # clip near-dup = banded join over FRAME hashes + min-matching-frames
@@ -2907,21 +3128,28 @@ ORACLE["dedup_audio_spectral"] = _audio_spectral_oracle_sql()
 # 18-deep md5 chain of its text, 72 bytes per frame) plus a variant
 # whose FIRST frame takes the image tier's one-pixel re-encode
 # perturbation (<=1 dHash bit) — frames 1-3 identical, so the pair
-# matches on >= 4 frame pairs, far past the min_matching_frames=2
-# gate. The oracle re-derives every planted frame hash with the image
-# entry's pixel-comparison arithmetic and mirrors the frame-pair
-# count exactly.
+# matches on >= 4 frame pairs at ONE consistent index offset (0), far
+# past the min_matching_frames=2 gate. r14 (VERDICT r13 missing #2)
+# adds a SHUFFLED-FRAME DECOY: the same 4 frames in REVERSED order —
+# it shares every frame with the original, so the r13 raw-count gate
+# false-paired it (4 matches), but its matches scatter across offsets
+# {+-3, +-1} (one each), so the temporal-order (modal-offset) verify
+# rejects it. The oracle re-derives every planted frame hash with the
+# image entry's pixel-comparison arithmetic and mirrors the
+# modal-offset count exactly.
 
 _VID_PLANT_EVERY = 20
 _VID_ORIG_OFFSET = 50_000_000
 _VID_VAR_OFFSET = 60_000_000
 _VID_GIF_OFFSET = 70_000_000
+_VID_DECOY_OFFSET = 130_000_000
 _VID_FRAMES = 4
 _VID_CHAIN_DEPTH = 18  # 18 md5s = 288 bytes = 4 frames x 72
 _VID_MIN_MATCH = 2
 
 
-def _render_video_gen(perturb: bool, offset: int, container: str = "tvid"):
+def _render_video_gen(perturb: bool, offset: int, container: str = "tvid",
+                      order: str = "forward"):
     """(doc_id, hx) Arrow batches -> (doc_id + offset, 4-frame 9x8
     clip; frame f = chain bytes [72f, 72f+72)). The variant tier sets
     frame 0's pixel 0 := pixel 1 (flips at most dHash bit 0 of that
@@ -2930,7 +3158,9 @@ def _render_video_gen(perturb: bool, offset: int, container: str = "tvid"):
     identical content — drive the cross-container collision proof
     through the real LZW decode; the grayscale palette makes GIF
     index bytes equal the gray bytes, so the planted dHashes are
-    container-independent by construction)."""
+    container-independent by construction). ``order='reverse'`` (r14)
+    emits the frames REVERSED — the shuffled-frame decoy the
+    temporal-order verify must reject."""
     def gen(batches):
         import pandas as pd
 
@@ -2947,6 +3177,8 @@ def _render_video_gen(perturb: bool, offset: int, container: str = "tvid"):
                 ]
                 if perturb:
                     frames[0][0] = frames[0][1]
+                if order == "reverse":
+                    frames.reverse()
                 payloads.append(
                     encode(9, 8, [bytes(f) for f in frames])
                 )
@@ -2960,25 +3192,28 @@ def _render_video_gen(perturb: bool, offset: int, container: str = "tvid"):
 def video_media_with_plants(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) media relation for the video-dedup entry:
     corpus payloads (fake tier, one pseudo-frame each) plus, per 20th
-    doc, a planted 4-frame TVID clip, its one-pixel variant, and
-    (r13) an animated-GIF RE-ENCODE of the same frames — the
-    cross-container duplicate the real LZW decode must collide."""
+    doc, a planted 4-frame TVID clip, its one-pixel variant, (r13) an
+    animated-GIF RE-ENCODE of the same frames — the cross-container
+    duplicate the real LZW decode must collide — and (r14) a
+    REVERSED-frame decoy the temporal-order verify must reject."""
     from torua_spark.operators import multimodal as mm
     from torua_spark.sources.catalog import spread_small_scan
 
     docs = spread_small_scan(docs)
     media = mm.to_media_table(docs).select("doc_id", "payload")
+    # Guard at the offset SPACING (ADVICE r13) — see
+    # audio_spectral_media_with_plants for the collision argument.
     guarded_id = F.when(
-        F.col("doc_id") < _VID_ORIG_OFFSET, F.col("doc_id")
+        F.col("doc_id") < _PLANT_SPACING, F.col("doc_id")
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("video_media_with_plants: doc_id "),
                 F.col("doc_id").cast("string"),
                 F.lit(
-                    f" >= plant offset {_VID_ORIG_OFFSET}; planted "
-                    f"rows would collide with real ids — raise the "
-                    f"offsets for this corpus"
+                    f" >= plant-offset spacing {_PLANT_SPACING}; "
+                    f"planted tiers would collide across offsets — "
+                    f"raise the offsets for this corpus"
                 ),
             )
         ).cast("long")
@@ -3001,7 +3236,14 @@ def video_media_with_plants(docs: DataFrame) -> DataFrame:
         _render_video_gen(False, _VID_GIF_OFFSET, container="gif"),
         out_schema,
     )
-    return media.unionByName(orig).unionByName(variant).unionByName(gif)
+    decoy = seeds.mapInPandas(
+        _render_video_gen(False, _VID_DECOY_OFFSET, order="reverse"),
+        out_schema,
+    )
+    return (
+        media.unionByName(orig).unionByName(variant)
+        .unionByName(gif).unionByName(decoy)
+    )
 
 
 def _q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3025,8 +3267,12 @@ def _video_fp_oracle_sql() -> str:
     pseudo-frame; planted frame hashes re-derived with the image
     oracle's pixel-comparison arithmetic per 72-byte chain slice
     (variant = frame 0 under the one-pixel perturbation, frames 1-3
-    shared); same banded blocking over (clip, frame), same synthetic
-    frame-id ordering, same count >= min_matching_frames gate."""
+    shared; r14 decoy = the same slices at REVERSED frame indices);
+    same banded blocking over (clip, frame), same synthetic frame-id
+    ordering, and (r14) the same TEMPORAL-ORDER gate: count frame
+    pairs per (clip pair, index offset), keep the modal offset's
+    count, gate it — the reversed decoy's four matches land on four
+    different offsets and die here, exactly as in the engine."""
     hx = _md5_chain_sql(_VID_CHAIN_DEPTH)
     ham = ("bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + "
            "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))")
@@ -3068,6 +3314,14 @@ def _video_fp_oracle_sql() -> str:
         SELECT doc_id + {_VID_GIF_OFFSET} AS clip, f.fidx,
                px[72 * f.fidx + 1: 72 * f.fidx + 72] AS fpx
         FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
+        UNION ALL
+        -- the r14 REVERSED-frame decoy: frame f carries the
+        -- original's frame (n-1-f) pixels — every frame matches, no
+        -- offset repeats, the modal-offset gate must reject it
+        SELECT doc_id + {_VID_DECOY_OFFSET} AS clip, f.fidx,
+               px[72 * ({_VID_FRAMES - 1} - f.fidx) + 1:
+                  72 * ({_VID_FRAMES - 1} - f.fidx) + 72] AS fpx
+        FROM pix, (SELECT unnest(range(0, {_VID_FRAMES}))::INT AS fidx) f
     ),
     pbits AS (
         SELECT clip, fidx,
@@ -3106,12 +3360,17 @@ def _video_fp_oracle_sql() -> str:
                     AND (a.clip * 65536 + a.fidx)
                       < (b.clip * 65536 + b.fidx)
         WHERE {ham} <= 3
+    ),
+    fpo AS (
+        SELECT ca, cb, fb - fa AS off, count(*)::BIGINT AS n_at_off
+        FROM fp WHERE ca != cb
+        GROUP BY 1, 2, 3
     )
     SELECT ca AS doc_a, cb AS doc_b,
-           count(*)::BIGINT AS n_matching_frames
-    FROM fp WHERE ca != cb
+           max(n_at_off)::BIGINT AS n_matching_frames
+    FROM fpo
     GROUP BY 1, 2
-    HAVING count(*) >= {_VID_MIN_MATCH}
+    HAVING max(n_at_off) >= {_VID_MIN_MATCH}
     """
 
 
@@ -3122,11 +3381,12 @@ ORACLE["dedup_video_fingerprint"] = _video_fp_oracle_sql()
 # --- image CROSS-FORMAT dedup (r13) ------------------------------------------
 # The image-tier twin of the video tier's cross-container proof: the
 # SAME 9x8 pixels planted as binary PGM, as PNG (full zlib+unfilter
-# decode), and as single-frame GIF (full LZW decode) must collide at
-# dist 0 — re-encodes are the dominant duplicate class in a real
-# image corpus, and the hash engine is codec-independent by design.
-# Own plant relation (offsets 80/90/100M) so the five oracles sharing
-# image_media_with_plants stay untouched.
+# decode), as single-frame GIF (full LZW decode), and as BMP
+# (padded-BGR rows) must collide at dist 0 — re-encodes are the
+# dominant duplicate class in a real image corpus, and the hash
+# engine is codec-independent by design. Own plant relation (offsets
+# 80/90/100/110M) so the five oracles sharing image_media_with_plants
+# stay untouched.
 
 _XF_PLANT_EVERY = 20
 _XF_PGM_OFFSET = 80_000_000
@@ -3175,17 +3435,19 @@ def image_cross_format_media(docs: DataFrame) -> DataFrame:
 
     docs = spread_small_scan(docs)
     media = mm.to_media_table(docs).select("doc_id", "payload")
+    # Guard at the offset SPACING (ADVICE r13) — see
+    # audio_spectral_media_with_plants for the collision argument.
     guarded_id = F.when(
-        F.col("doc_id") < _XF_PGM_OFFSET, F.col("doc_id")
+        F.col("doc_id") < _PLANT_SPACING, F.col("doc_id")
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("image_cross_format_media: doc_id "),
                 F.col("doc_id").cast("string"),
                 F.lit(
-                    f" >= plant offset {_XF_PGM_OFFSET}; planted rows "
-                    f"would collide with real ids — raise the offsets "
-                    f"for this corpus"
+                    f" >= plant-offset spacing {_PLANT_SPACING}; "
+                    f"planted tiers would collide across offsets — "
+                    f"raise the offsets for this corpus"
                 ),
             )
         ).cast("long")
@@ -3224,11 +3486,11 @@ def _q_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_cross_format_oracle_sql() -> str:
     """Fake bands from md5(text); ONE planted dHash derivation (the
     image oracle's pixel-comparison arithmetic) replicated at the
-    three container offsets — the containers are content-identical BY
-    CONSTRUCTION (PGM raw bytes; PNG gray type-0 with index==gray;
-    GIF grayscale palette with index==gray), which is exactly the
-    claim the Spark side must reproduce through four real decoders
-    (BMP: 24-bit BGR (v,v,v) rows -> gray v)."""
+    FOUR container offsets (80/90/100/110M) — the containers are
+    content-identical BY CONSTRUCTION (PGM raw bytes; PNG gray type-0
+    with index==gray; GIF grayscale palette with index==gray; BMP
+    24-bit BGR (v,v,v) rows -> gray v), which is exactly the claim
+    the Spark side must reproduce through four real decoders."""
     chain = "md5(t)"
     parts = [chain]
     for _ in range(4):

@@ -359,6 +359,18 @@ QUERIES["streaming_audio_dedup"] = streaming_audio_dedup
 ORACLE["streaming_audio_dedup"] = _rag_q.ORACLE["dedup_audio_fingerprint"]
 
 
+from torua_spark.streaming.windows import streaming_audio_spectral  # noqa: E402
+
+QUERIES["streaming_audio_spectral"] = streaming_audio_spectral
+
+# Same drained-union-equals-batch argument, SPECTRAL tier (r14): every
+# doc streams once against an index of the spectral entry's media
+# relation, each pair emitted when its smaller id streams, so the
+# stream equals the batch dedup_audio_spectral pass and reuses its
+# naive-DFT arithmetic oracle.
+ORACLE["streaming_audio_spectral"] = _rag_q.ORACLE["dedup_audio_spectral"]
+
+
 from torua_spark.streaming.windows import streaming_video_dedup  # noqa: E402
 
 QUERIES["streaming_video_dedup"] = streaming_video_dedup

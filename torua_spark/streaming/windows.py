@@ -746,6 +746,72 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Session-scoped persisted SPECTRAL audio-fingerprint index, same
+# memo contract as _STREAM_AUD_INDEX (pure function of the corpus).
+_STREAM_SPEC_INDEX: dict[tuple[str, str], str] = {}
+
+
+def streaming_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SPECTRAL audio-content near-dup against a persisted
+    fingerprint index (r14, VERDICT r13 #8 — completes batch+streaming
+    duality for the newest audio tier, matching the other three
+    modalities): identical probe protocol to `streaming_audio_dedup`,
+    but the fingerprint is the spectral tier
+    (`multimodal.audio_spectral_fingerprint` — relative noise-floor
+    trim + per-frame FFT band energies + Haitsma-Kalker
+    double-difference bits) over the spectral entry's plant relation
+    (original + exact-silence pad + r14 dithered-silence pad — all
+    three collide at dist 0 through the stream). The drained union
+    equals the batch `dedup_audio_spectral` pass row-for-row, so it
+    reuses that entry's naive-DFT arithmetic oracle."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.queries.rag_q import audio_spectral_media_with_plants
+    from torua_spark.sources.io import evict_stale_app_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_app_entries(_STREAM_SPEC_INDEX, app)
+    key = (app, sf_dir)
+    path = _STREAM_SPEC_INDEX.get(key)
+    if path is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = _mkdtemp_for_session("torua_stream_spec_")
+        path = f"{base}/hashes"
+        mm.audio_spectral_fingerprint(
+            audio_spectral_media_with_plants(docs)
+        ).write.parquet(path)
+        _STREAM_SPEC_INDEX[key] = path
+    index = spark.read.parquet(path)
+
+    stream = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hits: list[DataFrame] = []
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        bh = mm.audio_spectral_fingerprint(
+            audio_spectral_media_with_plants(batch_df)
+        )
+        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        hits.append(pairs.localCheckpoint(eager=True))
+
+    q = stream.writeStream.foreachBatch(_probe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = None
+    for h in hits:
+        out = h if out is None else out.unionByName(h)
+    if out is None:
+        from torua_spark.sources.local import local_df
+
+        return local_df(spark, [], "doc_a long, doc_b long, dist int")
+    return out
+
+
 # Session-scoped persisted video frame-hash index, same memo contract
 # as _STREAM_AUD_INDEX (pure function of the corpus, built once).
 _STREAM_VID_INDEX: dict[tuple[str, str], str] = {}
