@@ -2289,3 +2289,148 @@ def test_rotated_out_r14_entries_vs_oracle(spark, sf_dir):
         streaming_q.ORACLE["streaming_audio_dedup"],
         sf_dir,
     )
+
+
+class TestJpegCodec:
+    """r14 JPEG baseline decode (VERDICT r13 missing #3): full
+    Huffman + dequant + IDCT luma decode, exercised through the
+    fixture encoder's every mode (grayscale / 3-component / 4:2:0
+    subsampled / restart markers)."""
+
+    def _gray(self, w, h, seed=b"jpeg"):
+        import hashlib
+
+        raw = hashlib.md5(seed).digest()
+        while len(raw) < w * h:
+            raw += hashlib.md5(raw).digest()
+        return raw[: w * h]
+
+    def test_roundtrip_error_bound_all_modes(self):
+        """The all-ones quant table makes the round trip near-lossless
+        — max per-pixel error <= 2 (measured 1) across geometries and
+        every encoder mode. This bound is the margin argument the
+        dedup_image_jpeg oracle rests on (designed plants separate
+        adjacent pixels by >= 8)."""
+        import numpy as np
+
+        from torua_spark.operators.codecs import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        modes = [
+            {},
+            {"n_components": 3},
+            {"n_components": 3, "subsample": True},
+            {"restart_interval": 1},
+            {"restart_interval": 3},
+            {"n_components": 3, "subsample": True, "restart_interval": 2},
+        ]
+        for kwargs in modes:
+            for (w, h) in [(9, 8), (16, 16), (13, 7), (33, 18), (1, 1)]:
+                gray = self._gray(w, h)
+                out = decode_jpeg_gray(
+                    encode_jpeg_gray(w, h, gray, **kwargs)
+                )
+                assert out is not None, (kwargs, w, h)
+                ww, hh, g2 = out
+                assert (ww, hh) == (w, h)
+                err = np.abs(
+                    np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+                    - np.frombuffer(g2, dtype=np.uint8).astype(np.int64)
+                ).max()
+                assert err <= 2, (kwargs, w, h, err)
+
+    def test_rejects_non_baseline_and_garbage(self):
+        from torua_spark.operators.codecs import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        assert decode_jpeg_gray(b"not a jpeg") is None
+        assert decode_jpeg_gray(b"\xff\xd8\xff\xd9") is None
+        base = encode_jpeg_gray(8, 8, bytes(64))
+        # progressive (SOF2) and arithmetic (SOF9) frames: PIL-tier
+        # territory, loudly not-this-decoder
+        assert decode_jpeg_gray(
+            base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        ) is None
+        assert decode_jpeg_gray(
+            base.replace(b"\xff\xc0", b"\xff\xc9", 1)
+        ) is None
+
+    def test_never_raises_on_adversarial_bytes(self):
+        from hypothesis import given, settings, strategies as st
+
+        from torua_spark.operators.codecs import decode_jpeg_gray
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            body=st.binary(min_size=0, max_size=400),
+            prefix=st.sampled_from([b"", b"\xff\xd8"]),
+        )
+        def run(body, prefix):
+            out = decode_jpeg_gray(prefix + body)
+            if out is not None:
+                w, h, gray = out
+                assert len(gray) == w * h
+
+        run()
+
+    def test_lossy_reencode_collides_with_lossless_pgm(self, spark):
+        """The tier's production claim end-to-end: designed pixels
+        (adjacent separation >= 8) planted losslessly (PGM) and
+        through the real lossy JPEG round trip hash IDENTICALLY —
+        while byte digests differ, which is why digest dedup can
+        never catch a re-encode."""
+        import hashlib
+
+        from torua_spark.operators import multimodal as mm
+        from torua_spark.operators.codecs import (
+            encode_jpeg_gray,
+            encode_pgm,
+        )
+        from torua_spark.queries.rag_q import _jpeg_design_px
+        from torua_spark.sources.local import local_df
+
+        raw = hashlib.md5(b"design").digest() * 5
+        px = _jpeg_design_px(raw)
+        assert all(
+            abs(px[i + 1] - px[i]) >= 8
+            for r in range(8) for i in range(r * 9, r * 9 + 8)
+        )
+        pgm, jpg = encode_pgm(9, 8, px), encode_jpeg_gray(9, 8, px)
+        assert hashlib.md5(pgm).digest() != hashlib.md5(jpg).digest()
+        media = local_df(
+            spark, [(1, pgm), (2, jpg)], "doc_id long, payload binary"
+        )
+        hashed = mm.image_dhash(media)
+        rows = {r["doc_id"]: r for r in hashed.collect()}
+        assert rows[1]["is_real"] and rows[2]["is_real"]
+        pairs = mm.image_neardup_pairs(hashed, max_hamming=0).collect()
+        assert [(p["doc_a"], p["doc_b"], p["dist"])
+                for p in pairs] == [(1, 2, 0)]
+
+    def test_registry_oracle_parity(self, spark, sf_dir):
+        from tests.oracle import compare
+        from torua_spark.queries import rag_q
+
+        compare(
+            rag_q.QUERIES["dedup_image_jpeg"](spark, sf_dir),
+            rag_q.ORACLE["dedup_image_jpeg"],
+            sf_dir,
+        )
+
+
+def test_rotated_out_r14_graph_collect_vs_oracle(spark, sf_dir):
+    """Rotation discipline: graph_collect_priorities (driver-green
+    r7-r13) leaves the window for dedup_image_jpeg and keeps its full
+    pytest-vs-DuckDB hash parity here."""
+    from tests.oracle import compare
+    from torua_spark.queries import graph_q
+
+    compare(
+        graph_q.QUERIES["graph_collect_priorities"](spark, sf_dir),
+        graph_q.ORACLE["graph_collect_priorities"],
+        sf_dir,
+    )

@@ -386,19 +386,21 @@ def _dhash_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL perceptual hash where the payload has a real pixel path
     (binary PPM/PGM via codecs; PNG via the full zlib+unfilter decode
     and GIF via the full LZW decode — both genuinely public compressed
-    formats, r13; any PIL-decodable format when PIL is present — PIL
-    only supplies grayscale pixel bytes, the hash engine is always
-    _dhash_bands_from_gray so the hash is CODEC-INDEPENDENT: the same
-    pixels in different containers collide, which is the point),
-    md5-derived DETERMINISTIC FAKE otherwise (documented, the audio
-    probe's tier contract) — band j = hex[4j:4j+4] of md5(payload).
-    A multi-frame GIF hashes its FIRST frame here (the image-tier
-    denomination; the video tier hashes every frame)."""
+    formats, r13; JPEG via the full baseline-DCT luma decode — r14,
+    the last README-format hole; any PIL-decodable format when PIL is
+    present — PIL only supplies grayscale pixel bytes, the hash engine
+    is always _dhash_bands_from_gray so the hash is CODEC-INDEPENDENT:
+    the same pixels in different containers collide, which is the
+    point), md5-derived DETERMINISTIC FAKE otherwise (documented, the
+    audio probe's tier contract) — band j = hex[4j:4j+4] of
+    md5(payload). A multi-frame GIF hashes its FIRST frame here (the
+    image-tier denomination; the video tier hashes every frame)."""
     import numpy as np
 
     from torua_spark.operators.codecs import (
         decode_bmp,
         decode_gif_frames,
+        decode_jpeg_gray,
         decode_pgm,
         decode_png,
         decode_ppm,
@@ -427,6 +429,9 @@ def _dhash_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 gif = (decode_gif_frames(b)
                        if pgm is None and png is None and bmp is None
                        else None)
+                jpg = (decode_jpeg_gray(b)
+                       if pgm is None and png is None and bmp is None
+                       and gif is None else None)
                 if pgm is not None:
                     w, h, px = pgm
                     bands = _dhash_bands_from_gray(px, w, h)
@@ -438,6 +443,9 @@ def _dhash_batch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     bands = _dhash_bands_from_gray(gray, w, h)
                 elif gif is not None:
                     _idx, w, h, gray = gif[0]
+                    bands = _dhash_bands_from_gray(gray, w, h)
+                elif jpg is not None:
+                    w, h, gray = jpg
                     bands = _dhash_bands_from_gray(gray, w, h)
                 elif Image is not None:
                     try:

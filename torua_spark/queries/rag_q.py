@@ -3565,6 +3565,195 @@ QUERIES["dedup_image_cross_format"] = _q_image_cross_format
 ORACLE["dedup_image_cross_format"] = _image_cross_format_oracle_sql()
 
 
+# --- image JPEG (LOSSY re-encode) dedup (r14, VERDICT r13 missing #3) --------
+# The last README-format hole closed with a full baseline-DCT pixel
+# decode (codecs.decode_jpeg_gray: Huffman entropy decode, dequantize,
+# IDCT, luma plane). JPEG is LOSSY, so the cross-format proof needs a
+# margin argument, not byte equality: the fixture encoder's all-ones
+# quant table bounds the decode error at 1/255 per pixel (pinned in
+# tests), and the planted pixels are DESIGNED so every horizontally
+# adjacent pair differs by >= 8 — px[i] = 16*(chain_byte % 15) +
+# 8*((i % 9) % 2) + 8, i.e. even/odd columns draw from disjoint level
+# sets {8,24,..} / {16,32,..} — so no dHash comparison can flip and
+# the JPEG's hash EQUALS the losslessly-planted PGM's. That is the
+# production claim exactly: perceptual dedup must collide lossy
+# re-encodes, which byte-level (digest) dedup can never catch.
+# Own plant relation (offsets 160/170M).
+
+_JPG_PLANT_EVERY = 20
+_JPG_PGM_OFFSET = 160_000_000
+_JPG_JPEG_OFFSET = 170_000_000
+
+
+def _jpeg_design_px(raw: bytes) -> bytes:
+    """72 chain bytes -> 72 designed pixels with >= 8 separation
+    between horizontally adjacent pixels (mirrored closed-form by the
+    oracle's list_transform)."""
+    return bytes(
+        16 * (b % 15) + 8 * ((i % 9) % 2) + 8
+        for i, b in enumerate(raw[:72])
+    )
+
+
+def _render_jpg_gen(container: str, offset: int):
+    """(doc_id, hx) -> (doc_id + offset, the designed 9x8 pixels as
+    PGM (lossless) or baseline JPEG (lossy, all-ones quant table))."""
+    def gen(batches):
+        import pandas as pd
+
+        from torua_spark.operators.codecs import (
+            encode_jpeg_gray,
+            encode_pgm,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for h in pdf["hx"]:
+                px = _jpeg_design_px(bytes.fromhex(h))
+                if container == "pgm":
+                    payloads.append(encode_pgm(9, 8, px))
+                else:
+                    payloads.append(encode_jpeg_gray(9, 8, px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + offset, "payload": payloads}
+            )
+
+    return gen
+
+
+def image_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): corpus payloads (fake tier) plus, per 20th
+    doc, the designed pixels as lossless PGM and as lossy JPEG."""
+    from torua_spark.operators import multimodal as mm
+    from torua_spark.sources.catalog import spread_small_scan
+
+    docs = spread_small_scan(docs)
+    media = mm.to_media_table(docs).select("doc_id", "payload")
+    # Guard at the offset SPACING (ADVICE r13) — see
+    # audio_spectral_media_with_plants for the collision argument.
+    guarded_id = F.when(
+        F.col("doc_id") < _PLANT_SPACING, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("image_jpeg_media: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" >= plant-offset spacing {_PLANT_SPACING}; "
+                    f"planted tiers would collide across offsets — "
+                    f"raise the offsets for this corpus"
+                ),
+            )
+        ).cast("long")
+    )
+    media = media.select(guarded_id.alias("doc_id"), "payload")
+    seeds = docs.filter(F.col("doc_id") % _JPG_PLANT_EVERY == 0).select(
+        "doc_id",
+        _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
+    )
+    out_schema = "doc_id long, payload binary"
+    out = media
+    for container, off in (("pgm", _JPG_PGM_OFFSET),
+                           ("jpeg", _JPG_JPEG_OFFSET)):
+        out = out.unionByName(
+            seeds.mapInPandas(_render_jpg_gen(container, off), out_schema)
+        )
+    return out
+
+
+def _q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 image LOSSY-re-encode dedup (r14): designed pixels planted
+    losslessly (PGM) and through a real lossy JPEG round trip collide
+    at dist 0 — the baseline-DCT decode error (<= 1/255 under the
+    all-ones quant table) cannot flip a dHash comparison at the
+    plant's >= 8 adjacent-pixel margin. Reference hook:
+    README.md:209-212; closes VERDICT r13 missing #3."""
+    from torua_spark.operators import multimodal as mm
+
+    hashed = mm.image_dhash(image_jpeg_media(_docs(spark, sf_dir)))
+    return mm.image_neardup_pairs(hashed, max_hamming=0)
+
+
+def _image_jpeg_oracle_sql() -> str:
+    """Fake bands from md5(text); ONE designed-pixel dHash derivation
+    (pixels from the closed-form design, bits from the image oracle's
+    comparison arithmetic) replicated at BOTH offsets — the JPEG
+    round trip preserves every comparison BY THE MARGIN ARGUMENT
+    (decode error <= 1 << the designed adjacent-pixel gap of 8), so
+    the lossy container's hash is the lossless one's."""
+    chain = "md5(t)"
+    parts = [chain]
+    for _ in range(4):
+        chain = f"md5({chain})"
+        parts.append(chain)
+    hx = " || ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    fake AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::INT AS b0,
+               ('0x' || substr(md5(t), 5, 4))::INT AS b1,
+               ('0x' || substr(md5(t), 9, 4))::INT AS b2,
+               ('0x' || substr(md5(t), 13, 4))::INT AS b3
+        FROM base
+    ),
+    pix AS (
+        SELECT doc_id,
+               list_transform(range(0, 72),
+                   i -> 16 * (('0x' || substr(hx, 1 + 2 * i, 2))::INT % 15)
+                        + 8 * ((i % 9) % 2) + 8) AS px
+        FROM (SELECT doc_id, {hx} AS hx FROM base
+              WHERE doc_id % {_JPG_PLANT_EVERY} = 0)
+    ),
+    pbits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CASE
+                   WHEN px[(i // 8) * 9 + (i % 8) + 2]
+                      > px[(i // 8) * 9 + (i % 8) + 1]
+                   THEN 1 ELSE 0 END) AS bits
+        FROM pix
+    ),
+    pone AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 1] * (1 << i))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 17] * (1 << i))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 33] * (1 << i))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> bits[i + 49] * (1 << i))) AS INT) AS b3
+        FROM pbits
+    ),
+    pbands AS (
+        SELECT doc_id + {_JPG_PGM_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+        UNION ALL
+        SELECT doc_id + {_JPG_JPEG_OFFSET} AS doc_id, b0, b1, b2, b3
+        FROM pone
+    ),
+    allh AS (SELECT * FROM fake UNION ALL SELECT * FROM pbands),
+    bands AS (
+        SELECT doc_id, b0, b1, b2, b3, part,
+               CASE part WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS key
+        FROM allh, (VALUES (0), (1), (2), (3)) AS parts(part)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(0 AS INT) AS dist
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    WHERE a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+    """
+
+
+QUERIES["dedup_image_jpeg"] = _q_image_jpeg
+ORACLE["dedup_image_jpeg"] = _image_jpeg_oracle_sql()
+
+
 # --- BPE-denominated stats family (r12, VERDICT r11 #8 stretch) -------------
 # The quality pipeline's remaining whitespace denominators get a
 # token_mode='bpe' flip; this extra driver-proves the heaviest one —
