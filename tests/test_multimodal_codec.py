@@ -2434,3 +2434,34 @@ def test_rotated_out_r14_graph_collect_vs_oracle(spark, sf_dir):
         graph_q.ORACLE["graph_collect_priorities"],
         sf_dir,
     )
+
+
+def test_audio_probe_aiff_real_tier(spark):
+    """r14: the audio probe's real tier covers AIFF — metadata from
+    the COMM chunk, RMS from sampled big-endian signed frames; the
+    same samples in a WAV produce the same RMS (container parity at
+    probe level)."""
+    import struct
+
+    from torua_spark.operators.codecs import encode_aiff, encode_wav
+    from torua_spark.operators.multimodal import audio_probe
+    from torua_spark.sources.local import local_df
+
+    amps = [0, 1000, -2000, 30000, -30000, 123, -456, 789]
+    wav = encode_wav(
+        1, 16000, 16, b"".join(struct.pack("<h", a) for a in amps)
+    )
+    aiff = encode_aiff(
+        1, 16000, 16, b"".join(struct.pack(">h", a) for a in amps)
+    )
+    media = local_df(
+        spark,
+        [(1, wav), (2, aiff), (3, b"neither")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in audio_probe(media, n_samples=8).collect()}
+    assert out[1]["is_real"] and out[2]["is_real"]
+    assert not out[3]["is_real"]
+    for k in ("n_channels", "sample_rate", "bits", "n_frames", "rms"):
+        assert out[1][k] == out[2][k], k
+    assert out[1]["sample_rate"] == 16000 and out[1]["n_frames"] == 8

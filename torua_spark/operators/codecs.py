@@ -819,6 +819,32 @@ def decode_aiff_header(b: bytes):
     return nch, rate, bits, n_frames, ssnd
 
 
+def sample_pcm_aiff(b: bytes, n: int = 16):
+    """Evenly spaced first-channel AIFF samples as normalized floats
+    in [-1, 1] — the big-endian all-signed twin of ``sample_pcm``
+    (n index computations + n frame reads, never a full stream
+    decode). Returns None for non-AIFF payloads."""
+    hdr = decode_aiff_header(b)
+    if hdr is None:
+        return None
+    nch, _rate, bits, n_frames, off = hdr
+    if n_frames == 0:
+        return []
+    step = bits // 8
+    frame = nch * step
+    m = min(n, n_frames)
+    idx = [(k * (n_frames - 1)) // max(m - 1, 1) for k in range(m)]
+    out = []
+    for fi in sorted(set(idx)):
+        p = off + fi * frame
+        raw = b[p: p + step]
+        if len(raw) < step:
+            break
+        x = int.from_bytes(raw, "big", signed=True)
+        out.append(x / float(1 << (bits - 1)))
+    return out
+
+
 def encode_aiff(n_channels: int, sample_rate: int, bits: int,
                 frames: bytes) -> bytes:
     """Minimal AIFF writer (the encode_wav twin): FORM/AIFF + COMM +

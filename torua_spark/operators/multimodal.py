@@ -279,14 +279,21 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def _audio_batch(n_samples: int):
-    """Audio probe: REAL RIFF/WAVE decode where the bytes are a PCM
-    WAV (operators/codecs.decode_wav_header + sample_pcm — header walk
-    plus n evenly spaced frame reads, never a full stream decode),
-    md5-derived deterministic fake otherwise — the same tier contract
-    as `_decode_batch`, with `is_real` telling the tiers apart."""
+    """Audio probe: REAL container decode where the bytes are PCM
+    audio — RIFF/WAVE (codecs.decode_wav_header + sample_pcm) or,
+    r14, AIFF (decode_aiff_header + sample_pcm_aiff — the big-endian
+    signed twin); either way a header walk plus n evenly spaced frame
+    reads, never a full stream decode. md5-derived deterministic fake
+    otherwise — the same tier contract as `_decode_batch`, with
+    `is_real` telling the tiers apart."""
     import math
 
-    from torua_spark.operators.codecs import decode_wav_header, sample_pcm
+    from torua_spark.operators.codecs import (
+        decode_aiff_header,
+        decode_wav_header,
+        sample_pcm,
+        sample_pcm_aiff,
+    )
 
     _RATES = (8000, 16000, 22050, 44100)
 
@@ -303,9 +310,16 @@ def _audio_batch(n_samples: int):
                 rows["n_bytes"].append(len(b))
                 rows["digest"].append(d)
                 hdr = decode_wav_header(b)
+                samples = None
                 if hdr is not None:
                     nch, rate, bits, n_frames, _off, _dlen = hdr
                     samples = sample_pcm(b, n_samples) or []
+                else:
+                    ahdr = decode_aiff_header(b)
+                    if ahdr is not None:
+                        nch, rate, bits, n_frames, _off = ahdr
+                        samples = sample_pcm_aiff(b, n_samples) or []
+                if samples is not None:
                     rms = (
                         math.sqrt(sum(v * v for v in samples) / len(samples))
                         if samples else 0.0
