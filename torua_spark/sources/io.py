@@ -137,6 +137,73 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
 
 
 
+# --- maintenance-rewrite sizing and overlap (r14 optimization) --------------
+# A partition rewrite used to write with however many partitions its
+# plan arrived in — inside foreachBatch (AQE is disabled on micro-batch
+# plans) that is the full spark.sql.shuffle.partitions, so a 3-row
+# update landed 33 near-empty files per partition dir and every later
+# read paid 33 file opens (guide §6 small-files, measured in the
+# streaming_lake_cdc job profile: 33/65-task jobs over kB of data).
+# Rewrites now size their output from the INPUT BYTES of the live
+# partition (the compact_files pattern — driver-side listing, never a
+# data job): ceil(bytes / target_mb) files, so the local fixture gets
+# 1 file and a 100 TB partition keeps bytes/128MB-way parallelism.
+# Brand-new partitions have no bytes to list; they size from the batch
+# row count at a conservative rows-per-file (overridable for fat rows).
+_LAKE_TARGET_FILE_MB = 128
+# Independent partition rewrites overlap from a small driver thread
+# pool (guide §2.6): each rewrite is one small job + two renames, and
+# FIFO scheduling back-fills the tail of one rewrite with the next.
+_LAKE_REWRITE_THREADS = 4
+
+
+def _lake_conf_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get(name, str(default))))
+    except ValueError:
+        return default
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    import pathlib
+
+    return sum(f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet"))
+
+
+def _rewrite_files(existing_bytes: int, n_rows: int | None = None) -> int:
+    """Output file count for one partition rewrite: bytes-derived when
+    the live partition exists, row-derived for brand-new partitions."""
+    import math
+
+    target_mb = _lake_conf_int("TORUA_LAKE_TARGET_FILE_MB", _LAKE_TARGET_FILE_MB)
+    if existing_bytes > 0:
+        return max(1, math.ceil(existing_bytes / (target_mb * 1024 * 1024)))
+    rows_per_file = _lake_conf_int("TORUA_LAKE_INSERT_ROWS_PER_FILE", 4_000_000)
+    return max(1, math.ceil((n_rows or 1) / rows_per_file))
+
+
+def _overlap_partition_jobs(fn, values) -> None:
+    """Run one independent per-partition maintenance job per value,
+    overlapped from a small driver thread pool (guide §2.6). Results
+    are deterministic: each job touches only its own partition dir and
+    the shared report numbers are computed before/after the loop."""
+    values = list(values)
+    if len(values) <= 1:
+        for v in values:
+            fn(v)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    threads = min(_lake_conf_int("TORUA_LAKE_REWRITE_THREADS",
+                                 _LAKE_REWRITE_THREADS), len(values))
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        # list(...) propagates the first exception; a partial rewrite
+        # is exactly the crash class _recover_swaps already heals.
+        list(pool.map(fn, values))
+
+
 def _partition_dir(path: str, partition_col: str, value) -> str:
     """Hive directory for one partition value. Restricted to the
     simple value space ([A-Za-z0-9_.-]) — hive-escaped values (%xx
@@ -269,17 +336,25 @@ def purge_keys(spark: SparkSession, path: str, keys, key_col: str,
     # failure on partition k would otherwise leave 0..k-1 rewritten
     # with the report lost.
     part_dirs = {pv: _partition_dir(path, partition_col, pv) for pv in hit_parts}
-    for pv in hit_parts:
+
+    def _rewrite(pv) -> None:
         part_dir = part_dirs[pv]
         # one job per partition: anti-join straight into the temp dir
         # (the source files are this read's input, so never overwrite
-        # in place), then swap.
+        # in place), then swap. Output sized from the live partition's
+        # bytes (r14: the plan's input partitioning would otherwise
+        # dictate the file count — 30+ near-empty files under a
+        # shuffled source).
         kept = spark.read.parquet(part_dir).join(
             F.broadcast(keys), key_col, "left_anti"
         )
         tmp = f"{path}/.purge_tmp_{partition_col}={pv}"
-        kept.write.mode("overwrite").parquet(tmp)
+        kept.coalesce(_rewrite_files(_dir_parquet_bytes(part_dir))).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         _swap_partition(part_dir, tmp, f"{path}/.purge_trash_{partition_col}={pv}")
+
+    _overlap_partition_jobs(_rewrite, hit_parts)
     rows_deleted = sum(hits.values())
     return {
         "partitions_total": len(
@@ -346,31 +421,66 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         part_dirs = {
             pv: _partition_dir(path, partition_col, pv) for pv in hit_parts
         }
-        rows_updated = rows_inserted = 0
-        for pv in hit_parts:
+        existing = [
+            pv for pv in hit_parts if pathlib.Path(part_dirs[pv]).exists()
+        ]
+        # ONE column-pruned discovery scan over the hit partitions
+        # yields every per-partition update count (r14, the purge_keys
+        # pattern): the old shape ran a count job per partition inside
+        # the loop. Joining on (partition, key) is the per-partition
+        # key match exactly; basePath keeps the partition column.
+        hit_counts: dict = {}
+        if existing:
+            tbl = spark.read.option("basePath", path).parquet(
+                *[part_dirs[pv] for pv in existing]
+            )
+            hit_counts = {
+                r[0]: r[1]
+                for r in (
+                    tbl.select(partition_col, key_col)
+                    .join(
+                        F.broadcast(batch_all.select(partition_col, key_col)),
+                        [partition_col, key_col],
+                        "left_semi",
+                    )
+                    .groupBy(partition_col)
+                    .count()
+                    .collect()
+                )
+            }
+        rows_updated = sum(hit_counts.values())
+        rows_inserted = sum(batch_counts.values()) - rows_updated
+        existing_set = set(existing)
+
+        def _rewrite(pv) -> None:
             part_dir = part_dirs[pv]
-            batch = batch_all.filter(F.col(partition_col) == pv).drop(partition_col)
-            n_batch = batch_counts[pv]
-            if pathlib.Path(part_dir).exists():
+            batch = batch_all.filter(
+                F.col(partition_col) == pv
+            ).drop(partition_col)
+            tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
+            if pv in existing_set:
                 part = spark.read.parquet(part_dir)
-                n_hit = part.join(
-                    F.broadcast(batch.select(key_col)), key_col, "left_semi"
-                ).count()
                 out = part.join(
                     F.broadcast(batch.select(key_col)), key_col, "left_anti"
                 ).unionByName(batch.select(*part.columns))
-                tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
-                out.write.mode("overwrite").parquet(tmp)
+                # output sized from the live partition's bytes (r14):
+                # the union's plan partitioning (scan files + the
+                # batch's shuffle partitions — 33 under foreachBatch,
+                # where AQE is off) would otherwise dictate the file
+                # count and every later reader pays the opens.
+                out.coalesce(
+                    _rewrite_files(_dir_parquet_bytes(part_dir))
+                ).write.mode("overwrite").parquet(tmp)
                 _swap_partition(
                     part_dir, tmp, f"{path}/.merge_trash_{partition_col}={pv}"
                 )
-                rows_updated += n_hit
-                rows_inserted += n_batch - n_hit
             else:
-                tmp = f"{path}/.merge_tmp_{partition_col}={pv}"
-                batch.write.mode("overwrite").parquet(tmp)
-                rows_inserted += n_batch
+                batch.coalesce(
+                    _rewrite_files(0, batch_counts[pv])
+                ).write.mode("overwrite").parquet(tmp)
                 pathlib.Path(tmp).rename(part_dir)
+
+        _overlap_partition_jobs(_rewrite, hit_parts)
     finally:
         batch_all.unpersist()
     return {
