@@ -1129,6 +1129,17 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
     exact_substring_append_recover(spark, path)
     meta = read_meta_sidecar(spark, path)
     old_max = meta[0]["max_id"] if meta else None
+    # ONE batch aggregate serves the precondition check AND both
+    # watermark writes below (r14): the old shape scanned the batch
+    # three times — a min() job here plus an agg-select inside each of
+    # the journal and _meta writes.
+    mm = new_docs.agg(
+        F.min(F.col(id_col)).cast("long").alias("mn"),
+        F.max(F.col(id_col)).cast("long").alias("mx"),
+    ).collect()[0]
+    batch_min, batch_max = mm["mn"], mm["mx"]
+    wm_vals = [v for v in (batch_max, old_max) if v is not None]
+    watermark_max = max(wm_vals) if wm_vals else None
     if meta:
         if meta[0]["k"] != k:
             raise ValueError(
@@ -1136,9 +1147,6 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
                 f"append requested k={k} — window hashes don't compare"
             )
         if old_max is not None:
-            batch_min = new_docs.agg(
-                F.min(F.col(id_col)).cast("long")
-            ).collect()[0][0]
             if batch_min is not None and batch_min <= old_max:
                 raise ValueError(
                     f"monotone-ingest-key precondition violated: batch "
@@ -1157,24 +1165,20 @@ def exact_substring_index_append(spark, path: str, new_docs: DataFrame,
     )
     n_new = new_rows.count()
     # journal FIRST (crash detection), then _meta (fail-closed), then
-    # grams, then journal clear — agg-select writes, never
-    # createDataFrame (the ~5 s local-relation trap)
-    new_docs.agg(
+    # grams, then journal clear. Watermarks were computed by the ONE
+    # batch aggregate above, so both writes are literal single-row
+    # range plans (r14) — no further batch scans; still never
+    # createDataFrame (the ~5 s local-relation trap).
+    spark.range(1).select(
         F.lit(old_max).cast("long").alias("old_max"),
         F.lit(n_new).cast("long").alias("n_new"),
         F.lit(k).alias("k"),
-        F.greatest(
-            F.max(F.col(id_col)).cast("long"),
-            F.lit(old_max).cast("long"),
-        ).alias("batch_max"),
+        F.lit(watermark_max).cast("long").alias("batch_max"),
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_SUBSTR_JOURNAL}"
     )
-    new_docs.agg(
-        F.greatest(
-            F.max(F.col(id_col)).cast("long"),
-            F.lit(old_max).cast("long"),
-        ).alias("max_id"),
+    spark.range(1).select(
+        F.lit(watermark_max).cast("long").alias("max_id"),
         F.lit(k).alias("k"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     new_rows.write.mode("append").parquet(f"{path}/grams")
@@ -1224,11 +1228,16 @@ def exact_substring_index_compact(spark, path: str,
     files = list(pathlib.Path(grams).rglob("*.parquet"))
     n_bytes = sum(f.stat().st_size for f in files)
     target = max(1, math.ceil(n_bytes / (target_mb * 1024 * 1024)))
-    (
-        spark.read.parquet(grams)
-        .repartitionByRange(target, "h")
-        .write.mode("overwrite").parquet(tmp)
-    )
+    grams_df = spark.read.parquet(grams)
+    if target == 1:
+        # single-file target: range partitioning adds nothing (the
+        # min/max-stats benefit needs >= 2 files) but pays a separate
+        # range-boundary sampling job — coalesce writes the same
+        # content in one job (r14)
+        out = grams_df.coalesce(1)
+    else:
+        out = grams_df.repartitionByRange(target, "h")
+    out.write.mode("overwrite").parquet(tmp)
     tree_swap_publish(grams, tmp, trash)
     return {
         "files_before": len(files),

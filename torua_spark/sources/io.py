@@ -637,10 +637,26 @@ def read_meta_sidecar(spark: SparkSession, path: str,
     goes loud while the other goes silent (r9 review). ``name`` points
     the same classifier at sibling sidecars (the r10 append journal)
     so their missing-vs-corrupt handling cannot drift either."""
+    import os
+
+    sidecar = f"{path}/{name}"
+    if "://" not in sidecar:
+        # Local-filesystem fast path (r14): the sidecar is a one-row
+        # parquet read once or more per index operation, and a full
+        # Spark read paid ~0.2-0.3 s of job overhead per call (the
+        # incremental-substring lifecycle reads three). pyarrow reads
+        # it driver-side in ms with the SAME missing-vs-corrupt
+        # classification: absent dir -> [], anything else re-raises
+        # (pyarrow's dataset discovery skips _SUCCESS/.crc markers).
+        if not os.path.isdir(sidecar):
+            return []
+        import pyarrow.parquet as pq
+
+        return pq.read_table(sidecar).to_pylist()
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{path}/{name}").collect()
+        return spark.read.parquet(sidecar).collect()
     except AnalysisException as exc:
         msg = str(exc)
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
