@@ -2035,6 +2035,42 @@ def _md5_chain_sql(depth: int) -> str:
     return " || ".join(parts)
 
 
+def _fanout_gens(*gens):
+    """Render SEVERAL plant tiers in ONE mapInPandas stream (r14,
+    guide §4): each Arrow batch of seeds is handed to every tier's
+    generator, so the plants cost one Python stage (one worker wave)
+    instead of one stage per tier — measured ~0.5-1 s of pure
+    JVM<->Python round-trip overhead per extra stream at sf0.1. Row
+    content is identical to the per-tier union it replaces (tiers
+    write disjoint doc_id offsets; union order is immaterial to every
+    consumer)."""
+    def gen(batches):
+        for pdf in batches:
+            for g in gens:
+                yield from g(iter([pdf]))
+
+    return gen
+
+
+def _plants_union(media: DataFrame, plants: DataFrame) -> DataFrame:
+    """Union the corpus media with the planted tiers WITHOUT doubling
+    the partition count downstream Python stages pay per-task
+    overhead for (r14, guide §2.4/§6): coalesce (narrow, no shuffle)
+    back to the larger of the corpus partitioning and the session
+    parallelism. Locally that turns corpus(32)+plants(32) -> 32 (one
+    worker wave for the fingerprint stage instead of two+); at
+    production scale the corpus scan dominates the max() and the
+    plants (corpus/20 rows) merge into corpus-sized partitions."""
+    u = media.unionByName(plants)
+    # .rdd here is PLAN METADATA only (the spread_small_scan
+    # precedent): partition count without moving rows through Python.
+    p = max(
+        media.rdd.getNumPartitions(),
+        media.sparkSession.sparkContext.defaultParallelism,
+    )
+    return u.coalesce(p)
+
+
 def _render_pgm_gen(perturb: bool, offset: int):
     """(doc_id, hx) Arrow batches -> (doc_id + offset, 9x8 binary PGM
     whose pixels are the 72 leading md5-chain bytes); the variant tier
@@ -2102,13 +2138,14 @@ def image_media_with_plants(docs: DataFrame) -> DataFrame:
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    orig = seeds.mapInPandas(
-        _render_pgm_gen(False, _IMG_ORIG_OFFSET), out_schema
+    plants = seeds.mapInPandas(
+        _fanout_gens(
+            _render_pgm_gen(False, _IMG_ORIG_OFFSET),
+            _render_pgm_gen(True, _IMG_VAR_OFFSET),
+        ),
+        out_schema,
     )
-    variant = seeds.mapInPandas(
-        _render_pgm_gen(True, _IMG_VAR_OFFSET), out_schema
-    )
-    return media.unionByName(orig).unionByName(variant)
+    return _plants_union(media, plants)
 
 
 def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,13 +2605,14 @@ def audio_media_with_plants(docs: DataFrame) -> DataFrame:
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    orig = seeds.mapInPandas(
-        _render_wav_gen(False, _AUD_ORIG_OFFSET), out_schema
+    plants = seeds.mapInPandas(
+        _fanout_gens(
+            _render_wav_gen(False, _AUD_ORIG_OFFSET),
+            _render_wav_gen(True, _AUD_VAR_OFFSET),
+        ),
+        out_schema,
     )
-    variant = seeds.mapInPandas(
-        _render_wav_gen(True, _AUD_VAR_OFFSET), out_schema
-    )
-    return media.unionByName(orig).unionByName(variant)
+    return _plants_union(media, plants)
 
 
 def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2790,16 +2828,15 @@ def audio_spectral_media_with_plants(docs: DataFrame) -> DataFrame:
         ).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    orig = seeds.mapInPandas(
-        _render_spec_wav_gen(None, _SPEC_ORIG_OFFSET), out_schema
+    plants = seeds.mapInPandas(
+        _fanout_gens(
+            _render_spec_wav_gen(None, _SPEC_ORIG_OFFSET),
+            _render_spec_wav_gen("zero", _SPEC_VAR_OFFSET),
+            _render_spec_wav_gen("dither", _SPEC_DITHER_OFFSET),
+        ),
+        out_schema,
     )
-    variant = seeds.mapInPandas(
-        _render_spec_wav_gen("zero", _SPEC_VAR_OFFSET), out_schema
-    )
-    dither = seeds.mapInPandas(
-        _render_spec_wav_gen("dither", _SPEC_DITHER_OFFSET), out_schema
-    )
-    return media.unionByName(orig).unionByName(variant).unionByName(dither)
+    return _plants_union(media, plants)
 
 
 def _q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3017,13 +3054,15 @@ def audio_cross_format_media(docs: DataFrame) -> DataFrame:
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    out = media
-    for container, off in (("wav", _XAUD_WAV_OFFSET),
-                           ("aiff", _XAUD_AIFF_OFFSET)):
-        out = out.unionByName(
-            seeds.mapInPandas(_render_xaud_gen(container, off), out_schema)
-        )
-    return out
+    plants = seeds.mapInPandas(
+        _fanout_gens(*[
+            _render_xaud_gen(container, off)
+            for container, off in (("wav", _XAUD_WAV_OFFSET),
+                                   ("aiff", _XAUD_AIFF_OFFSET))
+        ]),
+        out_schema,
+    )
+    return _plants_union(media, plants)
 
 
 def _q_audio_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3226,24 +3265,16 @@ def video_media_with_plants(docs: DataFrame) -> DataFrame:
         ).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    orig = seeds.mapInPandas(
-        _render_video_gen(False, _VID_ORIG_OFFSET), out_schema
-    )
-    variant = seeds.mapInPandas(
-        _render_video_gen(True, _VID_VAR_OFFSET), out_schema
-    )
-    gif = seeds.mapInPandas(
-        _render_video_gen(False, _VID_GIF_OFFSET, container="gif"),
+    plants = seeds.mapInPandas(
+        _fanout_gens(
+            _render_video_gen(False, _VID_ORIG_OFFSET),
+            _render_video_gen(True, _VID_VAR_OFFSET),
+            _render_video_gen(False, _VID_GIF_OFFSET, container="gif"),
+            _render_video_gen(False, _VID_DECOY_OFFSET, order="reverse"),
+        ),
         out_schema,
     )
-    decoy = seeds.mapInPandas(
-        _render_video_gen(False, _VID_DECOY_OFFSET, order="reverse"),
-        out_schema,
-    )
-    return (
-        media.unionByName(orig).unionByName(variant)
-        .unionByName(gif).unionByName(decoy)
-    )
+    return _plants_union(media, plants)
 
 
 def _q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3458,15 +3489,17 @@ def image_cross_format_media(docs: DataFrame) -> DataFrame:
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    out = media
-    for container, off in (("pgm", _XF_PGM_OFFSET),
-                           ("png", _XF_PNG_OFFSET),
-                           ("gif", _XF_GIF_OFFSET),
-                           ("bmp", _XF_BMP_OFFSET)):
-        out = out.unionByName(
-            seeds.mapInPandas(_render_xf_gen(container, off), out_schema)
-        )
-    return out
+    plants = seeds.mapInPandas(
+        _fanout_gens(*[
+            _render_xf_gen(container, off)
+            for container, off in (("pgm", _XF_PGM_OFFSET),
+                                   ("png", _XF_PNG_OFFSET),
+                                   ("gif", _XF_GIF_OFFSET),
+                                   ("bmp", _XF_BMP_OFFSET))
+        ]),
+        out_schema,
+    )
+    return _plants_union(media, plants)
 
 
 def _q_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3652,13 +3685,15 @@ def image_jpeg_media(docs: DataFrame) -> DataFrame:
         _md5_chain5(F.coalesce(F.col("text"), F.lit(""))).alias("hx"),
     )
     out_schema = "doc_id long, payload binary"
-    out = media
-    for container, off in (("pgm", _JPG_PGM_OFFSET),
-                           ("jpeg", _JPG_JPEG_OFFSET)):
-        out = out.unionByName(
-            seeds.mapInPandas(_render_jpg_gen(container, off), out_schema)
-        )
-    return out
+    plants = seeds.mapInPandas(
+        _fanout_gens(*[
+            _render_jpg_gen(container, off)
+            for container, off in (("pgm", _JPG_PGM_OFFSET),
+                                   ("jpeg", _JPG_JPEG_OFFSET))
+        ]),
+        out_schema,
+    )
+    return _plants_union(media, plants)
 
 
 def _q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
