@@ -334,7 +334,11 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         # Zero-contribution rows for every vertex replace the final
         # vertices left-join: dangling/no-inbound vertices survive the
         # groupBy, so rank update = union + ONE aggregation shuffle.
-        zeros = vertices.select("id", F.lit(0.0).alias("c")).localCheckpoint()
+        # No checkpoint of its own (r14): a literal projection of the
+        # already-checkpointed vertices is O(1)-deep lineage — the
+        # extra eager checkpoint was one more job and one more
+        # resident block for zero plan benefit.
+        zeros = vertices.select("id", F.lit(0.0).alias("c"))
         bcast = _use_broadcast_state(state_mode, n_edges, n_vertices)
         ranks = vertices.withColumn("rank", F.lit(1.0))
         for _ in range(iterations):
@@ -370,7 +374,8 @@ SSSP_CONVERGE_CAP = 64
 
 
 def shortest_paths(edges: DataFrame, source_id: int,
-                   max_hops: int | None = 6) -> DataFrame:
+                   max_hops: int | None = 6,
+                   undirected_dedup: bool = True) -> DataFrame:
     """B2 — Cypher ``shortestPath((src)-[*..k]-(v))`` parity: single-
     source unweighted shortest paths over the undirected graph, with a
     DETERMINISTIC predecessor per vertex so callers can reconstruct one
@@ -403,13 +408,23 @@ def shortest_paths(edges: DataFrame, source_id: int,
     be bucketed on `a` so the per-round join is shuffle-free on the
     edge side.
     """
-    und = _undirected(edges).localCheckpoint()
-    n_edges = und.count()
+    und = _undirected(edges, dedup=undirected_dedup).localCheckpoint()
+    # ONE stats job replaces und.count() + a materialized distinct
+    # vertex relation + its count (r14, guide §1.2: the BFS result
+    # contains only REACHED vertices, so the vertex relation was never
+    # in the output path — it existed only for its count and the
+    # source-row seed, both of which this aggregate / the filter below
+    # provide without the extra shuffle + checkpoint + jobs).
+    stats = und.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.approx_count_distinct("a").alias("nv"),
+    ).collect()[0]
+    n_edges, n_vertices = stats["ne"], stats["nv"]
     with _iteration_partitions(und, n_edges):
-        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
-        n_vertices = vertices.count()
         dist = (
-            vertices.filter(F.col("id") == F.lit(source_id))
+            und.filter(F.col("a") == F.lit(source_id))
+            .select(F.col("a").alias("id"))
+            .distinct()
             .select(
                 "id",
                 F.lit(0).cast("int").alias("hops"),
@@ -419,8 +434,21 @@ def shortest_paths(edges: DataFrame, source_id: int,
         )
         bcast = _use_broadcast_state("auto", n_edges, n_vertices)
 
-        def _round(d: DataFrame) -> DataFrame:
-            state = F.broadcast(d) if bcast else d
+        def _round(d: DataFrame, r: int) -> DataFrame:
+            # FRONTIER-only messages (r14, guide §2.3): only vertices
+            # first reached in the previous round send. Equivalent to
+            # all-state sends: a vertex's hops is final at first reach
+            # (BFS level order), every minimal-hops predecessor of a
+            # vertex is first reached in the SAME round, so all
+            # candidate (hops, via) messages that can win the
+            # struct-min arrive together the round after — re-sends
+            # from older vertices only duplicate messages the min
+            # already consumed. Message volume per round drops from
+            # |N(reached)| (~|E| once the component saturates) to
+            # |N(frontier)|, and the per-round broadcast ships the
+            # frontier, not the whole reached set.
+            frontier = d.filter(F.col("hops") == F.lit(r - 1))
+            state = F.broadcast(frontier) if bcast else frontier
             msgs = und.join(state, und.a == state.id).select(
                 F.col("b").alias("id"),
                 (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
@@ -441,8 +469,8 @@ def shortest_paths(edges: DataFrame, source_id: int,
             rounds = 0
             while True:
                 for _ in range(SSSP_CONVERGE_BATCH):
-                    dist = _round(dist)
-                rounds += SSSP_CONVERGE_BATCH
+                    rounds += 1
+                    dist = _round(dist, rounds)
                 dist = dist.localCheckpoint(eager=True)
                 n = dist.count()
                 if n == reached:
@@ -457,8 +485,8 @@ def shortest_paths(edges: DataFrame, source_id: int,
                         f"bound for a partial traversal"
                     )
         else:
-            for _ in range(max_hops):
-                dist = _round(dist)
+            for r in range(1, max_hops + 1):
+                dist = _round(dist, r)
             dist = dist.localCheckpoint(eager=True)
     return dist
 
@@ -492,7 +520,8 @@ def reconstruct_path(paths: DataFrame, target_id: int) -> list[int]:
 
 
 def weighted_shortest_paths(edges: DataFrame, source_id: int,
-                            rounds: int | None = 6) -> DataFrame:
+                            rounds: int | None = 6,
+                            undirected_dedup: bool = True) -> DataFrame:
     """B2 weighted — k-bounded lightest paths (Bellman-Ford rounds)
     over the undirected weighted graph: `dist` = minimum total edge
     weight among paths of <= `rounds` edges from `source_id`, with the
@@ -525,42 +554,81 @@ def weighted_shortest_paths(edges: DataFrame, source_id: int,
     Scale shape: identical to `shortest_paths` — sparse state, one
     aggregation shuffle per round, lazily chained checkpoints, the
     edge list never re-shuffled in broadcast-state mode."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
-        .unionByName(
-            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w")
-        )
-        .groupBy("a", "b")
-        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
-        .localCheckpoint()
+    und = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "w"
+    ).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w")
     )
-    n_edges = und.count()
+    if undirected_dedup:
+        # parallel edges: keep the lightest. ``undirected_dedup=False``
+        # skips this shuffle when the caller's input is already one row
+        # per (src, dst) AND src/dst ids cannot collide (the bipartite
+        # vertex encoding) — reversal then cannot create a duplicate
+        # (a, b), so the groupBy is the identity (r14).
+        und = und.groupBy("a", "b").agg(F.min("w").alias("w"))
+    und = und.localCheckpoint()
+    # ONE stats job replaces und.count() + the materialized vertex
+    # relation + its count (r14) — the result contains only reached
+    # vertices, and n_vertices only feeds the broadcast-mode pick.
+    stats = und.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.approx_count_distinct("a").alias("nv"),
+    ).collect()[0]
+    n_edges, n_vertices = stats["ne"], stats["nv"]
     with _iteration_partitions(und, n_edges):
-        vertices = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
-        n_vertices = vertices.count()
         dist = (
-            vertices.filter(F.col("id") == F.lit(source_id))
+            und.filter(F.col("a") == F.lit(source_id))
+            .select(F.col("a").alias("id"))
+            .distinct()
             .select(
                 "id",
                 F.lit(0).cast("long").alias("dist"),
                 F.lit(None).cast("long").alias("via"),
+                F.lit(True).alias("act"),
             )
             .localCheckpoint()
         )
         bcast = _use_broadcast_state("auto", n_edges, n_vertices)
 
         def _round(d: DataFrame) -> DataFrame:
-            state = F.broadcast(d) if bcast else d
+            # DELTA messages (r14, guide §2.3): only vertices whose
+            # (dist, via) changed last round send. Equivalent to
+            # full re-sends: a vertex that did not change would resend
+            # byte-identical messages, which are no-ops under the
+            # struct-min (its last change already delivered its
+            # current dist+w to every neighbor, and the state keeps
+            # the min of everything ever received). ``act`` marks the
+            # changed set: the winning struct differs from the best
+            # previously-held row (or the vertex is newly reached).
+            frontier = d.filter(F.col("act"))
+            state = F.broadcast(frontier) if bcast else frontier
             msgs = und.join(state, und.a == state.id).select(
                 F.col("b").alias("id"),
                 (F.col("dist") + F.col("w")).cast("long").alias("dist"),
                 F.col("a").cast("long").alias("via"),
+                F.lit(True).alias("msg"),
+            )
+            held = d.select(
+                "id", "dist", "via", F.lit(False).alias("msg")
             )
             return (
-                msgs.unionByName(d.select("id", "dist", "via"))
+                msgs.unionByName(held)
                 .groupBy("id")
-                .agg(F.min(F.struct("dist", "via")).alias("s"))
-                .select("id", F.col("s.dist").alias("dist"), F.col("s.via").alias("via"))
+                .agg(
+                    F.min(F.struct("dist", "via")).alias("s"),
+                    F.min(
+                        F.when(~F.col("msg"), F.struct("dist", "via"))
+                    ).alias("s_old"),
+                )
+                .select(
+                    "id",
+                    F.col("s.dist").alias("dist"),
+                    F.col("s.via").alias("via"),
+                    (
+                        F.col("s_old").isNull()
+                        | (F.col("s") < F.col("s_old"))
+                    ).alias("act"),
+                )
                 .localCheckpoint(eager=False)
             )
 
@@ -596,7 +664,8 @@ def weighted_shortest_paths(edges: DataFrame, source_id: int,
             for _ in range(rounds):
                 dist = _round(dist)
             dist = dist.localCheckpoint(eager=True)
-    return dist
+    # ``act`` is loop machinery, not part of the contract
+    return dist.select("id", "dist", "via")
 
 
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
@@ -644,7 +713,8 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
 
 
 def k_core(edges: DataFrame, k: int = 2, rounds: int = 16,
-           check_every: int = 2) -> DataFrame:
+           check_every: int = 2,
+           undirected_dedup: bool = True) -> DataFrame:
     """B6 — k-core membership by synchronous peeling: each round drops
     every vertex whose degree in the INDUCED surviving subgraph is
     < k; the fixpoint is the k-core. Returns (vertex, core_degree)
@@ -669,7 +739,7 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 16,
     state is one id per surviving vertex and the edge list is
     checkpointed once. Rounds needed ~ the peeling depth (cascade
     length), typically far below diameter."""
-    und = _undirected(edges).localCheckpoint()
+    und = _undirected(edges, dedup=undirected_dedup).localCheckpoint()
     n_edges = und.count()
     with _iteration_partitions(und, n_edges):
         alive = und.select(F.col("a").alias("id")).distinct().localCheckpoint()

@@ -719,7 +719,11 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = g.copurchase_vertex_edges(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
-    return g.shortest_paths(edges, SSSP_SOURCE, SSSP_MAX_HOPS)
+    # bipartite-encoded + distinct input: symmetrizing cannot create a
+    # duplicate, so the operator's undirected-dedup shuffle is skipped
+    return g.shortest_paths(
+        edges, SSSP_SOURCE, SSSP_MAX_HOPS, undirected_dedup=False
+    )
 
 
 def _sssp_oracle_sql(source: int = SSSP_SOURCE,
@@ -797,8 +801,12 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 weighted — k-bounded lightest paths (6 Bellman-Ford rounds)
     from customer 1 over min-quantity-weighted co-purchase edges;
     hash-checked including the deterministic `via` predecessor."""
+    # one row per (src, dst) by construction (the groupBy/min) and
+    # bipartite-encoded: the operator's lightest-parallel-edge groupBy
+    # over the symmetrized list is the identity — skip it
     return g.weighted_shortest_paths(
-        _weighted_edges(spark, sf_dir), SSSP_SOURCE, WSSSP_ROUNDS
+        _weighted_edges(spark, sf_dir), SSSP_SOURCE, WSSSP_ROUNDS,
+        undirected_dedup=False,
     )
 
 
@@ -1236,6 +1244,9 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
         ),
         KCORE_K, KCORE_ROUNDS,
+        # bipartite-encoded + distinct: no duplicate (a, b) can exist,
+        # so induced degrees are identical without the dedup shuffle
+        undirected_dedup=False,
     )
 
 
