@@ -695,10 +695,64 @@ def _dhash_block_triples_exploded(hashed: DataFrame) -> DataFrame:
     ).repartition(_shuffle_width(hashed), "part", "key")
 
 
+def _exploder_for_scheme(scheme: str, max_hamming: int):
+    """Pick the banded-explode helper for ``scheme`` and enforce its
+    exact-recall pigeonhole bound (shared by the self-join, the probe
+    join, and the pre-exploded index builder)."""
+    if scheme == "triples11":
+        if max_hamming > 3:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall "
+                f"bound of the triples11 scheme (pigeonhole: four "
+                f"errors can dirty four of the six blocks, leaving no "
+                f"clean triple) — no exact tier at radius 4 here; "
+                f"re-block narrower (Manku et al. WWW'07) if that "
+                f"radius is ever required"
+            )
+        return _dhash_block_triples_exploded
+    if scheme == "pairs32":
+        if max_hamming > 2:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall "
+                f"bound of the pairs32 scheme (pigeonhole: three errors "
+                f"can leave no clean band pair) — use scheme='bands16' "
+                f"(max_hamming <= 3) and budget for its n^2/2^16 "
+                f"candidate growth"
+            )
+        return _dhash_band_pairs_exploded
+    if scheme == "bands16":
+        if max_hamming >= DHASH_BANDS:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall "
+                f"bound of {DHASH_BANDS}-band blocking (pigeonhole "
+                f"needs max_hamming < {DHASH_BANDS})"
+            )
+        return _dhash_bands_exploded
+    raise ValueError(f"unknown blocking scheme {scheme!r}")
+
+
+def exploded_probe_index(hashed: DataFrame, scheme: str = "bands16",
+                         max_hamming: int = 3) -> DataFrame:
+    """Explode + co-partition + persist a fingerprint index ONCE for
+    repeated probes (r14, guide §2.4 — the streaming twins): without
+    this, every micro-batch's ``image_neardup_join`` re-explodes and
+    re-SHUFFLES the full corpus-sized index, per trigger. The returned
+    relation is hash-partitioned on (part, key) at the session shuffle
+    width — the distribution the probe join requires — so each batch's
+    plan reads co-partitioned cached blocks with NO exchange on the
+    index side (only the batch side shuffles). Callers re-call
+    ``.persist()`` before a probe burst in case an external cache
+    sweep unpersisted the handle (a no-op when still cached; a lazy
+    one-shot rebuild otherwise)."""
+    return _exploder_for_scheme(scheme, max_hamming)(hashed).persist()
+
+
 def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
                        max_hamming: int = 3,
                        scheme: str = "bands16",
-                       ordered: bool = True) -> DataFrame:
+                       ordered: bool = True,
+                       right_exploded: DataFrame | None = None
+                       ) -> DataFrame:
     """The banded Hamming join over two (possibly identical) dHash
     relations: (doc_a from left, doc_b from right, dist) with
     dist <= max_hamming — exact recall by pigeonhole.
@@ -753,42 +807,18 @@ def image_neardup_join(left_hashed: DataFrame, right_hashed: DataFrame,
       the recipe still runs pairs32 first and triples11 only where
       the last radius matters.
     """
-    if scheme == "triples11":
-        if max_hamming > 3:
-            raise ValueError(
-                f"max_hamming={max_hamming} exceeds the exact-recall "
-                f"bound of the triples11 scheme (pigeonhole: four "
-                f"errors can dirty four of the six blocks, leaving no "
-                f"clean triple) — no exact tier at radius 4 here; "
-                f"re-block narrower (Manku et al. WWW'07) if that "
-                f"radius is ever required"
-            )
-        explode = _dhash_block_triples_exploded
-    elif scheme == "pairs32":
-        if max_hamming > 2:
-            raise ValueError(
-                f"max_hamming={max_hamming} exceeds the exact-recall "
-                f"bound of the pairs32 scheme (pigeonhole: three errors "
-                f"can leave no clean band pair) — use scheme='bands16' "
-                f"(max_hamming <= 3) and budget for its n^2/2^16 "
-                f"candidate growth"
-            )
-        explode = _dhash_band_pairs_exploded
-    elif scheme == "bands16":
-        if max_hamming >= DHASH_BANDS:
-            raise ValueError(
-                f"max_hamming={max_hamming} exceeds the exact-recall "
-                f"bound of {DHASH_BANDS}-band blocking (pigeonhole "
-                f"needs max_hamming < {DHASH_BANDS})"
-            )
-        explode = _dhash_bands_exploded
-    else:
-        raise ValueError(f"unknown blocking scheme {scheme!r}")
+    explode = _exploder_for_scheme(scheme, max_hamming)
     left = explode(left_hashed).select(
         "part", "key", F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(DHASH_BANDS)],
     )
-    right = explode(right_hashed).select(
+    # ``right_exploded``: a pre-exploded, co-partitioned (and usually
+    # persisted) index from ``exploded_probe_index`` — the rename is a
+    # projection on top of the cached scan, no re-explode, no exchange
+    right = (
+        right_exploded if right_exploded is not None
+        else explode(right_hashed)
+    ).select(
         "part", "key", F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{j}").alias(f"c{j}") for j in range(DHASH_BANDS)],
     )

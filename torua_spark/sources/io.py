@@ -769,5 +769,7 @@ def evict_stale_app_entries(memo: dict, app: str, root_of=None) -> None:
 
     for k in [k for k in memo if k[0] != app]:
         p = memo.pop(k)
+        if isinstance(p, tuple):  # (path, companion) entries (r14:
+            p = p[0]              # the pre-exploded index handles)
         root = root_of(p) if root_of is not None else os.path.dirname(p)
         shutil.rmtree(root, ignore_errors=True)

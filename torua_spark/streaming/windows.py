@@ -642,14 +642,23 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     evict_stale_app_entries(_STREAM_IMG_INDEX, app)
     key = (app, sf_dir)
-    path = _STREAM_IMG_INDEX.get(key)
-    if path is None:
+    entry = _STREAM_IMG_INDEX.get(key)
+    if entry is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = _mkdtemp_for_session("torua_stream_img_")
         path = f"{base}/hashes"
         mm.image_dhash(image_media_with_plants(docs)).write.parquet(path)
-        _STREAM_IMG_INDEX[key] = path
+        # explode + co-partition + persist ONCE (r14, guide §2.4):
+        # per-batch probes then join against cached co-partitioned
+        # blocks instead of re-exploding and re-shuffling the corpus
+        # index every trigger
+        entry = (path, mm.exploded_probe_index(spark.read.parquet(path)))
+        _STREAM_IMG_INDEX[key] = entry
+    path, index_ex = entry
     index = spark.read.parquet(path)
+    # re-register in case an external cache sweep unpersisted the
+    # handle (no-op when still cached; lazy one-shot rebuild otherwise)
+    index_ex = index_ex.persist()
 
     stream = documents_stream(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -660,7 +669,9 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         bh = mm.image_dhash(image_media_with_plants(batch_df))
-        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        pairs = mm.image_neardup_join(
+            bh, index, max_hamming=3, right_exploded=index_ex
+        )
         hits.append(pairs.localCheckpoint(eager=True))
 
     q = stream.writeStream.foreachBatch(_probe).start()
@@ -707,16 +718,19 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     evict_stale_app_entries(_STREAM_AUD_INDEX, app)
     key = (app, sf_dir)
-    path = _STREAM_AUD_INDEX.get(key)
-    if path is None:
+    entry = _STREAM_AUD_INDEX.get(key)
+    if entry is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = _mkdtemp_for_session("torua_stream_aud_")
         path = f"{base}/hashes"
         mm.audio_fingerprint(audio_media_with_plants(docs)).write.parquet(
             path
         )
-        _STREAM_AUD_INDEX[key] = path
+        entry = (path, mm.exploded_probe_index(spark.read.parquet(path)))
+        _STREAM_AUD_INDEX[key] = entry
+    path, index_ex = entry
     index = spark.read.parquet(path)
+    index_ex = index_ex.persist()
 
     stream = documents_stream(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -727,7 +741,9 @@ def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         bh = mm.audio_fingerprint(audio_media_with_plants(batch_df))
-        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        pairs = mm.image_neardup_join(
+            bh, index, max_hamming=3, right_exploded=index_ex
+        )
         hits.append(pairs.localCheckpoint(eager=True))
 
     q = stream.writeStream.foreachBatch(_probe).start()
@@ -771,16 +787,19 @@ def streaming_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     evict_stale_app_entries(_STREAM_SPEC_INDEX, app)
     key = (app, sf_dir)
-    path = _STREAM_SPEC_INDEX.get(key)
-    if path is None:
+    entry = _STREAM_SPEC_INDEX.get(key)
+    if entry is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = _mkdtemp_for_session("torua_stream_spec_")
         path = f"{base}/hashes"
         mm.audio_spectral_fingerprint(
             audio_spectral_media_with_plants(docs)
         ).write.parquet(path)
-        _STREAM_SPEC_INDEX[key] = path
+        entry = (path, mm.exploded_probe_index(spark.read.parquet(path)))
+        _STREAM_SPEC_INDEX[key] = entry
+    path, index_ex = entry
     index = spark.read.parquet(path)
+    index_ex = index_ex.persist()
 
     stream = documents_stream(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -793,7 +812,9 @@ def streaming_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         bh = mm.audio_spectral_fingerprint(
             audio_spectral_media_with_plants(batch_df)
         )
-        pairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        pairs = mm.image_neardup_join(
+            bh, index, max_hamming=3, right_exploded=index_ex
+        )
         hits.append(pairs.localCheckpoint(eager=True))
 
     q = stream.writeStream.foreachBatch(_probe).start()
@@ -847,16 +868,19 @@ def streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     evict_stale_app_entries(_STREAM_VID_INDEX, app)
     key = (app, sf_dir)
-    path = _STREAM_VID_INDEX.get(key)
-    if path is None:
+    entry = _STREAM_VID_INDEX.get(key)
+    if entry is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = _mkdtemp_for_session("torua_stream_vid_")
         path = f"{base}/frame_hashes"
         mm.video_frame_synth_ids(
             mm.video_frame_hashes(video_media_with_plants(docs))
         ).write.parquet(path)
-        _STREAM_VID_INDEX[key] = path
+        entry = (path, mm.exploded_probe_index(spark.read.parquet(path)))
+        _STREAM_VID_INDEX[key] = entry
+    path, index_ex = entry
     index = spark.read.parquet(path)
+    index_ex = index_ex.persist()
 
     stream = documents_stream(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -869,7 +893,9 @@ def streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bh = mm.video_frame_synth_ids(
             mm.video_frame_hashes(video_media_with_plants(batch_df))
         )
-        fpairs = mm.image_neardup_join(bh, index, max_hamming=3)
+        fpairs = mm.image_neardup_join(
+            bh, index, max_hamming=3, right_exploded=index_ex
+        )
         clips = mm.clip_pairs_from_frame_pairs(fpairs, _VID_MIN_MATCH)
         hits.append(clips.localCheckpoint(eager=True))
 
