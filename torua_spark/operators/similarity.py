@@ -159,7 +159,13 @@ def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     dim, the exact round4 expression order ((d2*1e4)+0.5)+1e-9, and
     first-min argmin over ascending cell ids == min(struct(d4, cell));
     parity verified at sf0.01/0.1/1 in tests and by the oracle row."""
-    crows = cents.select("cell", "centroid").collect()
+    # ``cents`` may be a DataFrame or pre-collected rows (r14: the
+    # persisted-index paths read the codebook driver-side via
+    # read_small_parquet_rows — no Spark job for k metadata rows)
+    crows = (
+        cents if isinstance(cents, list)
+        else cents.select("cell", "centroid").collect()
+    )
     cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
     cmat = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
     order = np.argsort(cell_ids)
@@ -1567,41 +1573,50 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> dict:
     # swap forward/back so the append always sees the full tree.
     ivf_compact_recover(path)
     ivf_append_recover(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
+    from torua_spark.sources.io import read_small_parquet_rows
+
+    # codebook = k metadata rows: driver-side read, no Spark job (r14)
+    crows = read_small_parquet_rows(spark, f"{path}/centroids")
     meta = read_meta_sidecar(spark, path)
-    if meta and meta[0]["max_id"] is not None:
-        max_indexed = meta[0]["max_id"]
-        batch_min = new_embeddings.agg(
-            F.min(F.col("vec_id")).cast("long")
-        ).collect()[0][0]
-        if batch_min is not None and batch_min <= max_indexed:
+    old_max = meta[0]["max_id"] if meta else None
+    # ONE batch aggregate serves the precondition check AND both
+    # watermark writes below (r14, the exact_substring_index_append
+    # shape): the old path scanned the batch four times — a min()
+    # probe, a count(), and an agg-select inside each sidecar write.
+    mm = new_embeddings.agg(
+        F.min(F.col("vec_id")).cast("long").alias("mn"),
+        F.max(F.col("vec_id")).cast("long").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    batch_min, batch_max, n_new = mm["mn"], mm["mx"], int(mm["n"])
+    if meta and old_max is not None:
+        if batch_min is not None and batch_min <= old_max:
             raise ValueError(
                 f"fresh-ids precondition violated: batch min vec_id="
-                f"{batch_min} <= max indexed id {max_indexed}; appending "
+                f"{batch_min} <= max indexed id {old_max}; appending "
                 f"would double-index the vector and skew every kNN rank "
                 f"(rebuild the index or re-key the batch)"
             )
-    cells = assign_cells(new_embeddings, cents)
-    n_new = new_embeddings.count()
-    old_max = meta[0]["max_id"] if meta else None
+    # max over the non-NULLs == the old greatest(max(vec_id), old_max)
+    # semantics (covers an empty batch / pre-meta index)
+    wm_vals = [v for v in (batch_max, old_max) if v is not None]
+    watermark_max = max(wm_vals) if wm_vals else None
+    cells = assign_cells(new_embeddings, crows)
     # journal FIRST (crash detection, see docstring), then _meta
-    # (fail-closed), then vectors, then journal clear. Both sidecar
-    # writes are agg-selects over the batch, NOT createDataFrame
-    # (local-relation construction costs seconds per call in this
-    # PySpark build); greatest(NULL, x) = x covers an empty batch /
-    # pre-meta index
-    new_embeddings.agg(
-        F.max(F.col("vec_id")).cast("long").alias("batch_max"),
-        F.count(F.lit(1)).alias("batch_count"),
+    # (fail-closed), then vectors, then journal clear. Watermarks were
+    # computed by the ONE batch aggregate above, so both writes are
+    # literal single-row range plans — no further batch scans; still
+    # never createDataFrame (local-relation construction costs seconds
+    # per call in this PySpark build).
+    spark.range(1).select(
+        F.lit(batch_max).cast("long").alias("batch_max"),
+        F.lit(n_new).cast("long").alias("batch_count"),
         F.lit(old_max).cast("long").alias("old_max"),
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_APPEND_JOURNAL}"
     )
-    new_embeddings.agg(
-        F.greatest(
-            F.max(F.col("vec_id")).cast("long"),
-            F.lit(old_max).cast("long"),
-        ).alias("max_id")
+    spark.range(1).select(
+        F.lit(watermark_max).cast("long").alias("max_id"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     (
         new_embeddings.join(cells, "vec_id")
@@ -1639,8 +1654,10 @@ def ivf_index_topk(spark, path: str, query_vec, k: int = 10,
     def _r4(x: float) -> float:
         return math.floor(x * 10000.0 + 0.5 + 1e-9) / 10000.0
 
+    from torua_spark.sources.io import read_small_parquet_rows
+
     ranked = []
-    for r in spark.read.parquet(f"{path}/centroids").collect():
+    for r in read_small_parquet_rows(spark, f"{path}/centroids"):
         c = np.asarray(r["centroid"], dtype=np.float64)
         nc = float(np.linalg.norm(c))
         sim = float(q @ c) / (nq * nc) if nq > 0 and nc > 0 else -1.0
@@ -1667,7 +1684,11 @@ def probe_cells(embeddings: DataFrame, cents: DataFrame,
     hard assignment. Same Arrow ``mapInPandas`` shape and bit-identical
     arithmetic, so the oracle's ``row_number() OVER (ORDER BY d4,
     cell) <= nprobe`` walks the same decisions."""
-    crows = cents.select("cell", "centroid").collect()
+    # DataFrame or pre-collected rows, as in assign_cells (r14)
+    crows = (
+        cents if isinstance(cents, list)
+        else cents.select("cell", "centroid").collect()
+    )
     cell_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
     cmat = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
     order = np.argsort(cell_ids)
@@ -1868,9 +1889,11 @@ def ivf_index_upsert(spark, path: str, new_embeddings: DataFrame) -> dict:
     # then refuse a half-committed append — same guards as the append
     ivf_compact_recover(path)
     _require_no_pending_append(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
+    from torua_spark.sources.io import read_small_parquet_rows
+
+    crows = read_small_parquet_rows(spark, f"{path}/centroids")
     assigned = new_embeddings.join(
-        assign_cells(new_embeddings, cents), "vec_id"
+        assign_cells(new_embeddings, crows), "vec_id"
     )
     pr = purge_keys(
         spark, f"{path}/vectors", new_embeddings.select("vec_id"),
@@ -1910,8 +1933,10 @@ def ivf_index_knn_batch(spark, path: str, queries: DataFrame,
     renames and fail on the vanished tree — retry once, compaction's
     swap is two atomic renames and the retry sees the full index."""
     _require_no_pending_append(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
-    probes = probe_cells(queries, cents, nprobe).localCheckpoint()
+    from torua_spark.sources.io import read_small_parquet_rows
+
+    crows = read_small_parquet_rows(spark, f"{path}/centroids")
+    probes = probe_cells(queries, crows, nprobe).localCheckpoint()
     probed_cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
