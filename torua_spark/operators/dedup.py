@@ -761,12 +761,18 @@ def exact_substring_spans(documents: DataFrame, k: int = 10,
     both constructions (Lee et al. use 50 tokens); the only residual
     gap vs the paper is token vs byte granularity."""
     occ = _window_hashes(documents, k, id_col, text_col)
-    agg = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("c"), F.min("p").alias("first_p")
-    )
+    # Window functions over h instead of groupBy(h) + self-join (r15,
+    # guide §2.4): the old shape computed the tokenize/explode/md5
+    # subtree TWICE (once under the aggregate, once on the probe side
+    # of the join — the subtrees differ, so no ReusedExchange) and paid
+    # two exchanges on h. One exchange, one pass, identical rows: every
+    # occ row sees its hash's count and min(p), exactly what the join
+    # delivered (the aggregate covered every h by construction).
+    w_h = Window.partitionBy("h")
     dups = (
-        occ.join(agg.filter(F.col("c") >= 2).drop("c"), "h")
-        .filter(F.col("p") != F.col("first_p"))
+        occ.withColumn("c", F.count(F.lit(1)).over(w_h))
+        .withColumn("first_p", F.min("p").over(w_h))
+        .filter((F.col("c") >= 2) & (F.col("p") != F.col("first_p")))
         .select(id_col, "start", (F.col("start") + k).alias("end"))
     )
     return _merge_spans(dups, id_col)
@@ -902,23 +908,36 @@ def _clean_from_spans(documents: DataFrame, spans: DataFrame,
     covered = spans.select(
         id_col,
         F.explode(F.sequence("start", F.col("end") - 1)).alias("idx"),
+        F.lit(True).alias("_cov"),
     )
     tok_idx = toks.select(id_col, F.posexplode("t").alias("idx", "tok"))
-    kept = tok_idx.join(covered, [id_col, "idx"], "left_anti")
-    clean = kept.groupBy(id_col).agg(
+    # ONE pass (r15, guide §1.2/§2.4): the old shape anti-joined away
+    # covered tokens, aggregated the survivors, then joined a SECOND
+    # scan of `documents` back on id for n_tokens. A left join with a
+    # coverage marker + conditional aggregates computes all three
+    # outputs in one grouping over one scan: posexplode emits >= 1 row
+    # per document (split of "" is [""]), so every document groups;
+    # covered is one row per (id, idx) (merged spans are disjoint), so
+    # the join never multiplies; collect_list skips the NULL the CASE
+    # leaves on covered tokens; array_join over the empty array is ''
+    # — exactly the old coalesce(clean_text, '') for fully-covered
+    # documents.
+    joined = tok_idx.join(covered, [id_col, "idx"], "left")
+    return joined.groupBy(id_col).agg(
         F.expr(
-            "array_join(transform(array_sort(collect_list(struct(idx, tok)))"
-            ", s -> s.tok), ' ')"
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN _cov IS NULL THEN struct(idx, tok) END"
+            ")), s -> s.tok), ' ')"
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("kept_n"),
-    )
-    base = toks.select(id_col, F.size("t").alias("n_tokens"))
-    return base.join(clean, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce("kept_n", F.lit(0)))
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("_cov").isNull(), F.lit(1)))
         .cast("long")
+        .alias("kept_n"),
+    ).select(
+        id_col,
+        "clean_text",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("kept_n")).cast("long")
         .alias("n_tokens_removed"),
     )
 
@@ -1298,11 +1317,15 @@ def incremental_exact_substring_dedup(
     idx = spark.read.parquet(f"{index_path}/grams").select(
         "h", F.col("first_p").alias("_idx_p")
     )
-    batch_agg = wins.groupBy("h").agg(
-        F.count(F.lit(1)).alias("c"), F.min("p").alias("batch_first")
-    )
+    # Window functions over h instead of groupBy(h) + self-join (r15,
+    # same rewrite as exact_substring_spans): one exchange and ONE
+    # tokenize/explode/md5 pass over the batch instead of two, and the
+    # index join's sort-merge reuses the window's (h) partitioning and
+    # sort — identical rows, the aggregate covered every h.
+    w_h = Window.partitionBy("h")
     dups = (
-        wins.join(batch_agg, "h")
+        wins.withColumn("c", F.count(F.lit(1)).over(w_h))
+        .withColumn("batch_first", F.min("p").over(w_h))
         .join(idx, "h", "left")
         .filter(
             F.col("_idx_p").isNotNull()  # corpus-first lives in the base
